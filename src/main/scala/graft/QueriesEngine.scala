@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.PipelineSpec
+import graft.core.Runner
+import graft.sink.MergeSink
+
+/** Layer A query battery: the reference's own operator surface — MERGE
+  * semantics (upsert Pype.py:97-117, update Pype.py:119-130, delete
+  * Pype.py:179-186, exclusions Pype.py:132-143) and the YAML-driven
+  * pipeline lifecycle (Pypeline.py:26-50) — each verified against a pure
+  * SQL oracle that re-derives the expected merge result relationally.
+  */
+object QueriesEngine {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- upsert with an excluded-from-update column (A5 + A8)
+    "q30_merge_upsert" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") <= 1000)
+      val batch = o.filter(col("o_orderkey").between(500, 1500))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("X"))
+      MergeSink.upsert(target, batch, Seq("o_orderkey"),
+          excluded = Seq("o_orderpriority"), broadcastBatch = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // -- update-only: unmatched batch rows dropped (A6)
+    "q31_merge_update" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") <= 1000)
+      val batch = o.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      MergeSink.update(target, batch, Seq("o_orderkey"),
+          excluded = Seq("o_orderdate"), broadcastBatch = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // -- delete by identifier list, ids deduped (A7 + A9)
+    "q32_merge_delete" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val ids = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("o_orderkey"))
+      MergeSink.delete(o, ids, "o_orderkey").orderBy("o_orderkey")
+    }),
+
+    // -- full pipeline lifecycle: YAML registry → hydrated extract →
+    //    transformer chain → upsert sink → read-back (A1,A3,A4,A5,A12,A13)
+    "q33_pipeline_e2e" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [revenue_stage]
+          |pypes:
+          |  revenue_stage:
+          |    extract_query: "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag FROM lineitem WHERE l_shipdate < TIMESTAMP '{cutoff}'"
+          |    transformers: [graft.transformers.AddRevenue]
+          |    target_table: q33_revenue
+          |    type: upsert
+          |    key: [l_orderkey, l_linenumber]
+          |""".stripMargin
+      val tmp = "/tmp/graft-run-" + java.util.UUID.randomUUID().toString
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("cutoff" -> "1996-01-01"), tmp)
+      runner.run("demo")
+      s.read.parquet(s"$tmp/q33_revenue").orderBy("l_orderkey", "l_linenumber")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q30_merge_upsert" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+        |b AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |        o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey BETWEEN 500 AND 1500)
+        |SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |  CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |  CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+        |  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+        |FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q31_merge_update" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+        |b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderstatus = 'O')
+        |SELECT t.o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |  CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |  t.o_orderdate,
+        |  CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM t LEFT JOIN b ON t.o_orderkey = b.o_orderkey
+        |ORDER BY t.o_orderkey""".stripMargin,
+    "q32_merge_delete" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+    // keys; the upsert sink resolves them deterministically (smallest
+    // full row wins — MergeSink.dedupeBatch), which QUALIFY re-derives
+    "q33_pipeline_e2e" ->
+      """WITH x AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,
+        |    l_extendedprice * (1.0 - l_discount) AS revenue
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01')
+        |SELECT * FROM x
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY l_orderkey, l_linenumber
+        |  ORDER BY l_quantity, l_extendedprice, l_discount, l_returnflag, revenue) = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

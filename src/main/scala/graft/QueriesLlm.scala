@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Layer C query battery: the LLM-training-data operators (dedup,
+  * similarity search, multimodal, text analysis). Exact/deterministic
+  * operators carry full SQL oracles; the sketch-based ones (MinHash-LSH,
+  * SimHash, LSH-ANN) are deterministic but not SQL-expressible, so the
+  * driver records rows-only checks for them.
+  */
+object QueriesLlm {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- exact dedup: hash-groupBy on normalized text (one shuffle)
+    "q40_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    // -- exact n-gram Jaccard pairs via shingle posting lists
+    "q41_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- MinHash-LSH near-dup candidates, exact-verified (no SQL oracle:
+    //    xxhash64 signatures are engine-specific; deterministic across runs)
+    "q42_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- SimHash near-dup pairs (no SQL oracle, same reason)
+    "q43_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- text quality/token statistics (pure column fns over one scan)
+    "q44_text_stats" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // -- n-gram-marker language ID
+    "q45_lang_id" -> ((s, dir) => {
+      TextAnalysis.withLangId(Tables.load(s, dir, "documents"))
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+
+    // -- rolling-hash document fingerprint
+    "q46_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // -- multimodal: binary assets + stub decode → feature vectors
+    "q47_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+      val feats = Multimodal.featurize(assets)
+      assets.select(col("asset_id"), col("meta.n_bytes").as("n_bytes"))
+        .join(feats, "asset_id")
+        .select("asset_id", "n_bytes", "features")
+        .orderBy("asset_id")
+    }),
+
+    // -- exact cosine top-k via broadcast + partial-agg TopK Aggregator
+    "q48_cosine_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // -- approximate top-k via random-hyperplane LSH buckets (no oracle:
+    //    approximate by design; deterministic planes, seed=42)
+    "q49_ann_lsh" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy("query_id", "rank")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q40_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+    "q41_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
+        |  FROM toks),
+        |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
+        |freq AS (SELECT shingle FROM posts GROUP BY shingle
+        |         HAVING count(*) >= 2 AND count(*) <= 1000000),
+        |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i
+        |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |WHERE round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q44_text_stats" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish,
+        |  round(
+        |    least(len(toks) / 100.0, 1.0) * 0.3
+        |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3
+        |    + (1.0 - CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2
+        |    + least(((length(text) - (CAST(len(toks) AS DOUBLE) - 1.0)) / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) * 0.2,
+        |    4) AS quality
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q45_lang_id" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  lang, source, n_chars FROM documents),
+        |s AS (SELECT doc_id, lang, source, n_chars,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS INT) AS score_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un'))) AS INT) AS score_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein','zu'))) AS INT) AS score_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','que','un','est'))) AS INT) AS score_fr
+        |  FROM d)
+        |SELECT doc_id, lang, source, n_chars, score_en, score_es, score_de, score_fr,
+        |  CASE
+        |    WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |    WHEN score_es > 0 AND score_es > score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |    WHEN score_de > 0 AND score_de > score_en AND score_de > score_es AND score_de >= score_fr THEN 'de'
+        |    WHEN score_fr > 0 AND score_fr > score_en AND score_fr > score_es AND score_fr > score_de THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q46_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(sum(ascii(substr(text, i, 1)) * ((i * 2654435761) % 1000003)) AS BIGINT) AS fp
+        |FROM (SELECT doc_id, text, CAST(unnest(range(1, length(text) + 1)) AS INT) AS i
+        |      FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q47_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  [CAST(len(list_filter(string_split(text, ''), c -> (ascii(c) // 16) = b)) AS DOUBLE)
+        |     / CAST(length(text) AS DOUBLE) for b in range(0, 16)] AS features
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q48_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings),
+        |s AS (SELECT query_id, cand_id,
+        |    round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
+        |  FROM q, c WHERE query_id <> cand_id),
+        |r AS (SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM s)
+        |SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+}

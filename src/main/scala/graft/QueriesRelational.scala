@@ -1,0 +1,452 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Layer B query battery (SURVEY §2): the relational surface the
+  * reference delegates to SQL engines (Pype.py:36,167), expressed
+  * natively on the DataFrame API. Every query is paired with an ANSI-SQL
+  * oracle in `oracles` (run by the driver in DuckDB over the same
+  * parquet).
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - double SUMs go through DECIMAL(18,4) (exact, order-independent)
+  *     and cast back to double at the end; AVG = exact-sum / count.
+  *   - per-row double arithmetic is left as-is (IEEE ops are bit-equal
+  *     across engines given equal inputs).
+  *   - every query has a total deterministic ORDER BY on both sides.
+  *   - integer widths are aligned (Spark size()/year() are INT; DuckDB
+  *     len()/extract() are BIGINT — the oracle casts).
+  */
+object QueriesRelational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- aggregation: TPC-H Q1 shape (partial+final hash agg over the scan;
+    //    the filter and 6-column projection push to parquet)
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // -- filter + projection + computed column (all pushdown-able)
+    "q02_filter_project" -> ((s, dir) => {
+      T(s, dir, "part")
+        .filter(col("p_size").isin(1, 5, 10, 15, 20) &&
+          col("p_type").like("S%") && col("p_retailprice") > 500.0)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          col("p_brand"), col("p_type"), col("p_size"),
+          (col("p_retailprice") * 0.9).as("discounted"))
+        .orderBy("p_partkey")
+    }),
+
+    // -- star join: fact × 2 shuffle joins × 2 broadcast dims
+    "q03_star_join_revenue" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .groupBy("n_name")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // -- left-semi join (EXISTS)
+    "q04_semi_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // -- left-anti join (NOT EXISTS)
+    "q05_anti_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // -- theta (non-equi band) join: BroadcastNestedLoopJoin on the small side
+    "q06_theta_join" -> ((s, dir) => {
+      val su = T(s, dir, "supplier").select("s_suppkey", "s_acctbal")
+      val c = T(s, dir, "customer").select("c_custkey", "c_acctbal")
+      broadcast(su)
+        .join(c, col("c_acctbal") > col("s_acctbal") &&
+          col("c_acctbal") - col("s_acctbal") < 100.0, "left")
+        .groupBy("s_suppkey")
+        .agg(count(col("c_custkey")).as("n_near_richer"))
+        .orderBy("s_suppkey")
+    }),
+
+    // -- window: top-3 orders per customer
+    "q07_window_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // -- window: running total (exact via decimal), lag, rank
+    "q08_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("run_total"),
+          lag(col("o_totalprice"), 1).over(
+            Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey")))
+            .as("prev_price"),
+          row_number().over(wr).as("price_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // -- rollup (grouping sets)
+    "q09_rollup_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // -- distinct aggregates
+    "q10_distinct_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          sum_distinct(dec(col("l_quantity"))).cast("double").as("sum_distinct_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- approximate distinct (HLL++); engine-specific sketch ⇒ no SQL oracle
+    "q11_approx_distinct" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- set operations: INTERSECT / EXCEPT / UNION ALL
+    "q12_set_ops" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val b = o.select(col("o_custkey").as("k"))
+      val x = c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
+      val y = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      a.intersect(b).union(x.except(y)).orderBy("k")
+    }),
+
+    // -- string functions
+    "q13_string_funcs" -> ((s, dir) => {
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_type"), 1, 4).as("type4"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+        regexp_replace(col("p_name"), "a", "@").as("repl"),
+        length(col("p_name")).as("len"),
+        levenshtein(col("p_brand"), lit("Brand#10")).as("lev"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brandnum"),
+        lpad(col("p_brand"), 10, "*").as("padded"),
+        element_at(split(col("p_brand"), "#"), 2).as("brand_no"))
+        .orderBy("p_partkey")
+    }),
+
+    // -- date/time functions
+    "q14_date_funcs" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("mon_ts"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -- math functions
+    "q15_math_funcs" -> ((s, dir) => {
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        abs(col("p_retailprice") - 1000.0).as("dist1000"),
+        floor(col("p_retailprice")).as("fl"),
+        ceil(col("p_retailprice")).as("ce"),
+        round(col("p_retailprice"), 1).as("r1"),
+        sqrt(col("p_retailprice")).as("sq"),
+        pow(lit(2.0), pmod(col("p_partkey"), lit(10))).as("p2"),
+        pmod(col("p_partkey"), lit(7)).as("m7"),
+        greatest(col("p_retailprice"), lit(900.0)).as("g"),
+        least(col("p_retailprice"), lit(900.0)).as("l"))
+        .orderBy("p_partkey")
+    }),
+
+    // -- array / higher-order functions
+    "q16_array_funcs" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        array_contains(toks, "spark").as("has_spark"),
+        element_at(toks, 1).as("first_token"),
+        slice(array_sort(toks), 1, 3).as("top3"),
+        concat_ws("|", slice(array_sort(toks), 1, 3)).as("top3_str"),
+        size(filter(toks, t => length(t) > 5)).as("n_long"))
+        .orderBy("doc_id")
+    }),
+
+    // -- JSON extraction over events.props
+    "q17_json_events" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // -- global top-k (sort + limit; Spark runs TakeOrderedAndProject)
+    "q18_global_topk" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // -- event-time tumbling window aggregation
+    "q19_time_window_agg" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // -- sessionization (batch form: gap > 30 min starts a new session)
+    "q20_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("new_s")).as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // -- as-of join: latest order at-or-before each event, per user
+    "q21_asof_join" -> ((s, dir) => {
+      val e = T(s, dir, "events").select("event_id", "user_id", "ts")
+      val o = T(s, dir, "orders")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+      e.join(o, col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_order"), col("o_totalprice").as("last_price"))
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT p_partkey, upper(p_name) AS uname, p_brand, p_type, p_size,
+        |  p_retailprice * CAST(0.9 AS DOUBLE) AS discounted
+        |FROM part
+        |WHERE p_size IN (1,5,10,15,20) AND p_type LIKE 'S%' AND p_retailprice > 500.0
+        |ORDER BY p_partkey""".stripMargin,
+    "q03_star_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_theta_join" ->
+      """SELECT s_suppkey, count(c_custkey) AS n_near_richer
+        |FROM supplier LEFT JOIN customer
+        |  ON c_acctbal > s_acctbal AND c_acctbal - s_acctbal < 100.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q07_window_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q08_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q09_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_distinct_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q12_set_ops" ->
+      """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT SELECT o_custkey AS k FROM orders)
+        |UNION ALL
+        |(SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        | EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY k""".stripMargin,
+    "q13_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
+        |  substring(p_type, 1, 4) AS type4,
+        |  concat_ws('-', p_brand, p_type) AS bt,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS repl,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  CAST(levenshtein(p_brand, 'Brand#10') AS INT) AS lev,
+        |  regexp_extract(p_brand, '#([0-9]+)', 1) AS brandnum,
+        |  lpad(p_brand, 10, '*') AS padded,
+        |  split_part(p_brand, '#', 2) AS brand_no
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dom,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+        |  date_trunc('month', o_orderdate) AS mon_ts,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q15_math_funcs" ->
+      """SELECT p_partkey,
+        |  abs(p_retailprice - 1000.0) AS dist1000,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  round(p_retailprice, 1) AS r1,
+        |  sqrt(p_retailprice) AS sq,
+        |  pow(2.0, p_partkey % 10) AS p2,
+        |  p_partkey % 7 AS m7,
+        |  greatest(p_retailprice, 900.0) AS g,
+        |  least(p_retailprice, 900.0) AS l
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q16_array_funcs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  toks[1] AS first_token,
+        |  list_sort(toks)[1:3] AS top3,
+        |  array_to_string(list_sort(toks)[1:3], '|') AS top3_str,
+        |  CAST(len(list_filter(toks, t -> length(t) > 5)) AS INT) AS n_long
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q17_json_events" ->
+      """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q19_time_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q20_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q21_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey AS last_order, o_totalprice AS last_price FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+}

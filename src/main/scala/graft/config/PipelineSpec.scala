@@ -1,0 +1,107 @@
+package graft.config
+
+import java.{util => ju}
+import scala.jdk.CollectionConverters._
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+
+/** One ETL stage — the Spark-native analogue of a reference "pype"
+  * (reference: pypeline/Pype.py:12-29, defaults at Pype.py:14-21).
+  *
+  * Differences from the reference, by design:
+  *   - `key` (the upsert/update conflict key) is configurable with default
+  *     "id"; the reference hardcodes `id` (Pype.py:117,127).
+  *   - schemas are carried by Spark `StructType`s instead of being inferred
+  *     from the first row of each batch (Pype.py:87).
+  *   - `bulkSize` is accepted for config compatibility but unused: Spark
+  *     partitioning replaces hand-batching (Pype.py:38-78).
+  */
+final case class StageSpec(
+    name: String,
+    extractQuery: String,
+    transformers: Seq[String] = Nil,
+    targetTable: String = "",
+    loadType: String = "upsert", // upsert | update | delete (Pype.py:20,58,89)
+    key: Seq[String] = Seq("id"),
+    identifier: String = "id", // delete key (Pype.py:83,180)
+    fieldsExcludedFromUpdate: Seq[String] = Nil, // Pype.py:15,132-143
+    postQuery: String = "", // Pype.py:17,164-168
+    bulkSize: Int = 2000, // Pype.py:16 (unused; kept for config parity)
+    debug: Boolean = false)
+
+/** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
+  * (reference: pypeline/Pypeline.py:15-19,37-50).
+  *
+  * Validation is eager and complete: unknown pipeline names AND unknown
+  * stage names both raise with a clear message — the reference has a bug
+  * where unknown pypes escape as a bare KeyError (Pypeline.py:43 tests
+  * `pype in self.config["pypes"][pype]` instead of `not in ...["pypes"]`).
+  */
+final case class PipelineSpec(
+    pipelines: Map[String, Seq[String]],
+    stages: Map[String, StageSpec]) {
+
+  def resolve(pipeline: String): Seq[StageSpec] = {
+    val stageNames = pipelines.getOrElse(
+      pipeline,
+      throw new IllegalArgumentException(
+        s"This pypeline is not defined in the configuration file: $pipeline"))
+    stageNames.map(n =>
+      stages.getOrElse(
+        n,
+        throw new IllegalArgumentException(
+          s"This pype is not defined in the configuration file: $n")))
+  }
+}
+
+object PipelineSpec {
+
+  /** Parse the YAML text with a safe constructor (the reference uses unsafe
+    * `yaml.load`, Pypeline.py:19; we do not). */
+  def fromYaml(yaml: String): PipelineSpec = {
+    val loaded = new Yaml(new SafeConstructor(new LoaderOptions))
+      .load[ju.Map[String, Object]](yaml)
+    require(loaded != null, "empty pipeline configuration")
+    val root = loaded.asScala
+
+    val pipelines: Map[String, Seq[String]] = root.get("pypelines") match {
+      case Some(m: ju.Map[_, _]) =>
+        m.asScala.map { case (k, v) =>
+          k.toString -> v.asInstanceOf[ju.List[Object]].asScala.toSeq.map(_.toString)
+        }.toMap
+      case _ => Map.empty
+    }
+
+    val stages: Map[String, StageSpec] = root.get("pypes") match {
+      case Some(m: ju.Map[_, _]) =>
+        m.asScala.map { case (k, v) =>
+          val name = k.toString
+          name -> parseStage(name, v.asInstanceOf[ju.Map[String, Object]].asScala.toMap)
+        }.toMap
+      case _ => Map.empty
+    }
+
+    PipelineSpec(pipelines, stages)
+  }
+
+  private def parseStage(name: String, c: Map[String, Object]): StageSpec = {
+    def str(k: String, d: String) = c.get(k).map(_.toString).getOrElse(d)
+    def strs(k: String): Seq[String] = c.get(k) match {
+      case Some(l: ju.List[_]) => l.asScala.toSeq.map(_.toString)
+      case Some(s)             => Seq(s.toString)
+      case None                => Nil
+    }
+    StageSpec(
+      name = name,
+      extractQuery = str("extract_query", ""),
+      transformers = strs("transformers"),
+      targetTable = str("target_table", ""),
+      loadType = str("type", "upsert"),
+      key = if (c.contains("key")) strs("key") else Seq("id"),
+      identifier = str("identifier", "id"),
+      fieldsExcludedFromUpdate = strs("fields_excluded_from_update"),
+      postQuery = str("post_query", ""),
+      bulkSize = str("bulk_size", "2000").toInt,
+      debug = str("debug", "false").toBoolean)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.slf4j.LoggerFactory
+
+import graft.config.{PipelineSpec, StageSpec}
+import graft.sink.MergeSink
+
+/** Per-stage metrics, the analogue of the reference's per-batch debug log
+  * (rows, extract/transform/load wall-times, Pype.py:65-75). Spark's own
+  * UI/listeners add executor-level detail for free; this is the compact
+  * driver-side summary. */
+final case class StageMetrics(
+    stage: String,
+    rows: Long,
+    extractSec: Double,
+    transformSec: Double,
+    loadSec: Double)
+
+/** Executes a named pipeline from a PipelineSpec — the analogue of
+  * `Pypeline.run` (Pypeline.py:26-35) + the `Pype.run` ETL loop
+  * (Pype.py:31-80), collapsed into Spark's lazy model:
+  *
+  *   extract (spark.sql over registered views, hydrated) →
+  *   transformer chain (one logical plan) →
+  *   load (MergeSink upsert/update/delete into a parquet target) →
+  *   post query (spark.sql on the target side, hydrated).
+  *
+  * Where the reference makes 2 network hops per 2000-row batch, this
+  * builds ONE Catalyst plan per stage and crosses driver→executors once,
+  * at the write. Targets are parquet dirs registered as temp views so
+  * later stages and post-queries can read them by name.
+  */
+final class Runner(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    placeholders: Map[String, String] = Map.empty,
+    targetRoot: String = "") {
+
+  private val log = LoggerFactory.getLogger(classOf[Runner])
+
+  private def targetPath(table: String): String =
+    if (targetRoot.isEmpty) table else s"$targetRoot/$table"
+
+  /** Run every stage of `pipeline` in order; placeholder overrides follow
+    * the reference rule (run-time placeholders replace ctor ones when
+    * non-empty, Pypeline.py:27-28). Returns per-stage metrics. */
+  def run(
+      pipeline: String,
+      runPlaceholders: Map[String, String] = Map.empty): Seq[StageMetrics] = {
+    val ph = if (runPlaceholders.nonEmpty) runPlaceholders else placeholders
+    spec.resolve(pipeline).map(runStage(_, ph))
+  }
+
+  def runStage(stage: StageSpec, ph: Map[String, String]): StageMetrics = {
+    val t0 = System.nanoTime()
+    val extracted = extract(stage, ph)
+    val t1 = System.nanoTime()
+    val transformed = TransformerRegistry.applyChain(
+      extracted, TransformerRegistry.loadChain(stage.transformers))
+    val t2 = System.nanoTime()
+    val rows = load(stage, transformed)
+    if (stage.postQuery.nonEmpty)
+      spark.sql(Hydrate(stage.postQuery, ph)).collect() // Pype.py:80,164-168
+    val t3 = System.nanoTime()
+    val m = StageMetrics(stage.name, rows,
+      (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+    if (stage.debug)
+      log.info(s"Pype: ${m.stage}, ${m.rows} items; ETL: " +
+        f"${m.extractSec}%.3fs/${m.transformSec}%.3fs/${m.loadSec}%.3fs")
+    m
+  }
+
+  /** The extract is declarative SQL over registered views — the engine-side
+    * replacement for the reference's pass-through extract_query
+    * (Pype.py:34-36), with `{key}` hydration (Pype.py:170-177). */
+  def extract(stage: StageSpec, ph: Map[String, String]): DataFrame =
+    spark.sql(Hydrate(stage.extractQuery, ph))
+
+  private def load(stage: StageSpec, df: DataFrame): Long = {
+    if (stage.targetTable.isEmpty) return df.count()
+    val path = targetPath(stage.targetTable)
+    MergeSink.mergeIntoParquet(
+      spark, df, path, stage.loadType, stage.key, stage.identifier,
+      stage.fieldsExcludedFromUpdate)
+    val result = spark.read.parquet(path)
+    result.createOrReplaceTempView(stage.targetTable)
+    df.count()
+  }
+}

@@ -1,0 +1,171 @@
+package graft.sink
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** MERGE-semantics sink: upsert / update-only / delete keyed by a
+  * configurable key (default "id"), with an update-exclusion column list.
+  *
+  * Reference semantics reproduced:
+  *   - upsert  = INSERT ... ON CONFLICT (id) DO UPDATE SET <non-excluded>
+  *               (Pype.py:97-117)
+  *   - update  = UPDATE ... FROM <batch> WHERE target.id = batch.id
+  *               (Pype.py:119-130) — unmatched batch rows are dropped
+  *   - delete  = DELETE WHERE identifier = ANY(<deduped ids>)
+  *               (Pype.py:179-186; dedup at Pype.py:184)
+  *   - the key itself and `fields_excluded_from_update` never appear in the
+  *     update set (Pype.py:132-143); excluded columns keep their TARGET
+  *     value on match but take the BATCH value on insert (exclusion only
+  *     affects the UPDATE branch, exactly like the reference's SET list).
+  *   - the target schema is authoritative: batch columns unknown to the
+  *     target are ignored, target columns missing from the batch become
+  *     null on insert (json_populate_recordset(null::t, ...) coercion,
+  *     Pype.py:107,126).
+  *
+  * Scale design: one full-outer (upsert) or left (update) join on the key.
+  * The typical shape is huge-target × small-batch, so the batch side is
+  * broadcast when `broadcastBatch` is set; otherwise Catalyst/AQE picks the
+  * strategy (sort-merge with skew handling for batch ~ target). On a real
+  * lakehouse the write would target only affected key-bucket partitions;
+  * on plain parquet we rewrite via an atomic temp-dir swap, the analogue
+  * of the reference's per-batch commit (Pype.py:148).
+  */
+object MergeSink {
+
+  /** Deterministically drop duplicate keys in the batch (keep the row that
+    * sorts first over all columns). Postgres would reject a batch that
+    * touches the same key twice ("cannot affect row a second time"); we
+    * resolve it deterministically instead of failing. */
+  def dedupeBatch(batch: DataFrame, key: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(key.map(col): _*)
+      .orderBy(struct(batch.columns.map(col).toSeq: _*))
+    batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  private def keyCond(key: Seq[String]): Column =
+    key.map(k => col(s"t.$k") <=> col(s"b.$k")).reduce(_ && _)
+
+  /** Upsert `batch` into `target` on `key`. */
+  def upsert(
+      target: DataFrame,
+      batch: DataFrame,
+      key: Seq[String] = Seq("id"),
+      excluded: Seq[String] = Nil,
+      broadcastBatch: Boolean = false): DataFrame = {
+    val cleanBatch = dedupeBatch(batch, key)
+    val b0 = if (broadcastBatch) broadcast(cleanBatch) else cleanBatch
+    val t = target.withColumn("__t", lit(true)).alias("t")
+    val b = b0.withColumn("__b", lit(true)).alias("b")
+    val joined = t.join(b, keyCond(key), "full_outer")
+    val batchCols = b0.columns.toSet
+    val out = target.columns.toSeq.map { c =>
+      if (key.contains(c))
+        coalesce(col(s"t.$c"), col(s"b.$c")).as(c)
+      else if (!batchCols.contains(c))
+        col(s"t.$c").as(c) // not shipped by batch: keep target / null on insert
+      else if (excluded.contains(c))
+        // excluded from update: target value wins on match, batch on insert
+        when(col("__t").isNotNull, col(s"t.$c")).otherwise(col(s"b.$c")).as(c)
+      else
+        when(col("__b").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    joined.select(out: _*)
+  }
+
+  /** Update-only: matched rows take batch values (minus exclusions);
+    * unmatched batch rows are dropped; unmatched target rows unchanged. */
+  def update(
+      target: DataFrame,
+      batch: DataFrame,
+      key: Seq[String] = Seq("id"),
+      excluded: Seq[String] = Nil,
+      broadcastBatch: Boolean = false): DataFrame = {
+    val cleanBatch = dedupeBatch(batch, key)
+    val b0 = if (broadcastBatch) broadcast(cleanBatch) else cleanBatch
+    val t = target.alias("t")
+    val b = b0.withColumn("__b", lit(true)).alias("b")
+    val joined = t.join(b, keyCond(key), "left")
+    val batchCols = b0.columns.toSet
+    val out = target.columns.toSeq.map { c =>
+      if (key.contains(c) || excluded.contains(c) || !batchCols.contains(c))
+        col(s"t.$c").as(c)
+      else
+        when(col("__b").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    joined.select(out: _*)
+  }
+
+  /** Delete target rows whose `identifier` appears in `ids` (any column
+    * layout: the first column of `ids` is used if `identifier` is absent).
+    * Ids are deduped (Pype.py:184) — and left_anti is insensitive to
+    * duplicates anyway. */
+  def delete(
+      target: DataFrame,
+      ids: DataFrame,
+      identifier: String = "id",
+      broadcastIds: Boolean = true): DataFrame = {
+    val idCol = if (ids.columns.contains(identifier)) identifier else ids.columns.head
+    val dk = ids.select(col(idCol).as("__del_id")).distinct()
+    val d = if (broadcastIds) broadcast(dk) else dk
+    target.join(d, col(identifier) === col("__del_id"), "left_anti")
+  }
+
+  /** Atomically replace the parquet dir at `path` with `df`: write to a
+    * temp sibling, then swap. Safe for read-modify-write cycles where `df`
+    * itself reads from `path` (writing in place would corrupt the input
+    * mid-scan). Analogue of the reference's per-batch commit boundary
+    * (Pype.py:148,186). */
+  def writeAtomic(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(hconf)
+    val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) {
+      val old = new Path(path + ".old-" + UUID.randomUUID().toString)
+      require(fs.rename(dst, old), s"could not stage out old $path")
+      require(fs.rename(tmp, dst), s"could not commit $path")
+      fs.delete(old, true)
+    } else {
+      require(fs.rename(tmp, dst), s"could not commit $path")
+    }
+  }
+
+  /** Read-merge-write against a parquet target path, creating it if absent
+    * (upsert/update against an empty target = plain insert / no-op). */
+  def mergeIntoParquet(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      loadType: String,
+      key: Seq[String] = Seq("id"),
+      identifier: String = "id",
+      excluded: Seq[String] = Nil): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(path))
+    val result =
+      if (!exists) {
+        if (loadType == "delete") return
+        dedupeBatch(batch, key)
+      } else {
+        val target = spark.read.parquet(path)
+        loadType match {
+          case "upsert" => upsert(target, batch, key, excluded, broadcastBatch = true)
+          case "update" => update(target, batch, key, excluded, broadcastBatch = true)
+          case "delete" => delete(target, batch, identifier)
+          case other =>
+            throw new IllegalArgumentException(s"unknown load type: $other")
+        }
+      }
+    writeAtomic(result, path)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2 Layer B "Streaming").
+  *
+  * The reference's only incremental behaviour is its batch loop
+  * (Pype.py:38-78); these are the Spark-native streaming equivalents a
+  * user of the engine gets on top: watermarked windowed aggregation,
+  * file-source ingestion, and custom session state via
+  * flatMapGroupsWithState. All transforms are identical for batch and
+  * streaming DataFrames — the same `DataFrame => DataFrame` transformer
+  * contract the engine uses everywhere (readStream swaps in for read).
+  */
+object Streams {
+
+  /** Tumbling-window per-type counts with a watermark: the canonical
+    * streaming aggregation. Works on a batch frame too (window() is the
+    * same expression either way). */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** File-stream reader over a directory of event parquet (schema fixed
+    * up front — streaming sources can't infer). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionAgg(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
+  private final case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Session aggregation with a 30-minute inactivity gap, via
+    * flatMapGroupsWithState — the custom-state escape hatch the engine
+    * exposes for semantics windowed aggs can't express. Emits one row per
+    * closed session; state is per-user and O(1). */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-mode contract: all of a user's events arrive sorted here
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[SessionAgg]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(1, t, t)
+            else if (t - st.last > gapMs) {
+              closed += SessionAgg(user, st.n, new Timestamp(st.start), new Timestamp(st.last))
+              st = SessionState(1, t, t)
+            } else st = SessionState(st.n + 1, st.start, t)
+          }
+          if (st != null) {
+            // close the trailing session too (batch semantics; a streaming
+            // deployment would keep it open via timeout instead)
+            closed += SessionAgg(user, st.n, new Timestamp(st.start), new Timestamp(st.last))
+            state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+}
