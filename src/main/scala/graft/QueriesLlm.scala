@@ -64,14 +64,18 @@ object QueriesLlm {
         .orderBy("doc_id")
     }),
 
-    // -- multimodal: binary assets + stub decode → feature vectors
+    // -- multimodal: binary assets + stub decode → feature vectors.
+    //    The vector stays internal; it is emitted as 16 scalar columns
+    //    (the driver's comparator can't sort top-level array columns).
     "q47_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.toAssets(
         Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
       val feats = Multimodal.featurize(assets)
+      val featCols = (0 until 16).map(b =>
+        element_at(col("features"), b + 1).as(f"f$b%02d"))
       assets.select(col("asset_id"), col("meta.n_bytes").as("n_bytes"))
         .join(feats, "asset_id")
-        .select("asset_id", "n_bytes", "features")
+        .select(col("asset_id") +: col("n_bytes") +: featCols: _*)
         .orderBy("asset_id")
     }),
 
@@ -107,7 +111,7 @@ object QueriesLlm {
         |  FROM toks),
         |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
         |freq AS (SELECT shingle FROM posts GROUP BY shingle
-        |         HAVING count(*) >= 2 AND count(*) <= 1000000),
+        |         HAVING count(*) >= 2 AND count(*) <= 10000),
         |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
         |inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i
@@ -154,11 +158,14 @@ object QueriesLlm {
         |      FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q47_multimodal_features" ->
-      """SELECT doc_id AS asset_id,
+      ("""SELECT doc_id AS asset_id,
         |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  [CAST(len(list_filter(string_split(text, ''), c -> (ascii(c) // 16) = b)) AS DOUBLE)
-        |     / CAST(length(text) AS DOUBLE) for b in range(0, 16)] AS features
-        |FROM documents ORDER BY asset_id""".stripMargin,
+        |""".stripMargin +
+        (0 until 16).map(b =>
+          s"  CAST(len(list_filter(string_split(text, ''), c -> (ascii(c) // 16) = $b)) AS DOUBLE)" +
+            f" / CAST(length(text) AS DOUBLE) AS f$b%02d")
+          .mkString("", ",\n", "\n") +
+        "FROM documents ORDER BY asset_id"),
     "q48_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

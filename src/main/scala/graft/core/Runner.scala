@@ -85,6 +85,9 @@ final class Runner(
       stage.fieldsExcludedFromUpdate)
     val result = spark.read.parquet(path)
     result.createOrReplaceTempView(stage.targetTable)
-    df.count()
+    // metrics row count comes from the WRITTEN parquet (a footer-metadata
+    // count) — counting `df` here would re-run the whole extract+transform
+    // plan a second time just for the log line, doubling stage cost
+    result.count()
   }
 }

@@ -29,8 +29,16 @@ class TopKAggregator(k: Int)
     s.sortWith(better).take(k)
 
   override def zero: Seq[ScoredId] = Vector.empty
-  override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
-    trim(buf :+ in)
+  // buf is kept sorted (better-first), so reduce is an O(k) bounded
+  // insert, not an O(k log k) re-sort per input row
+  override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] = {
+    if (buf.size >= k && better(buf.last, in)) buf
+    else {
+      val i = buf.indexWhere(b => better(in, b))
+      val ins = if (i < 0) buf :+ in else (buf.take(i) :+ in) ++ buf.drop(i)
+      if (ins.size > k) ins.take(k) else ins
+    }
+  }
   override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
     trim(a ++ b)
   override def finish(r: Seq[ScoredId]): Seq[ScoredId] = trim(r)

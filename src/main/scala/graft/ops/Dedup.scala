@@ -48,15 +48,19 @@ object Dedup {
       k: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxDocFreq: Long = 1000000L): DataFrame = {
+      maxDocFreq: Long = 10000L): DataFrame = {
     val sizes = df.select(
       col(idCol).as("id"),
       shingles(normalize(col(textCol)), k).as("sh"))
       .withColumn("setsize", size(col("sh")))
     val posts = sizes
       .select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
-    // drop shingles whose posting list is too hot (stop-shingle removal —
-    // the skew guard that makes this survive 100 TB)
+    // drop shingles whose posting list is too hot: the self-join below is
+    // O(Σ df²) over posting-list sizes, so one shingle shared by 10⁶ docs
+    // would alone yield ~5×10¹¹ candidate pairs. Capping df at 10⁴ bounds
+    // any single shingle's contribution to ~5×10⁷ pairs — the skew guard
+    // that makes this survive 100 TB (near-universal shingles are
+    // boilerplate and carry no similarity signal anyway).
     val freq = posts.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
     val filtered = posts.join(freq, "shingle")
@@ -78,17 +82,24 @@ object Dedup {
 
   private val P = 1000000007L
 
-  /** MinHash signature column: array of `numHashes` minima of affine
-    * permutations of xxhash64(shingle). Fixed coefficients ⇒ deterministic. */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column = {
-    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+  /** MinHash signature from a column of ALREADY-HASHED shingles (longs):
+    * array of `numHashes` minima of affine permutations. Fixed
+    * coefficients ⇒ deterministic. Taking the hashed column (rather than
+    * hashing inside) matters for the plan: the xxhash64 pass runs once in
+    * its own projection instead of being re-expanded inside each of the
+    * `numHashes` HOF trees (HOFs defeat common-subexpression elimination). */
+  def minhashSignature(hashedCol: Column, numHashes: Int = 32): Column = {
     val sigs = (0 until numHashes).map { j =>
       val a = 2L * j + 1
       val b = 12345L * j + 7
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
+      array_min(transform(hashedCol, h => pmod(h * lit(a) + lit(b), lit(P))))
     }
     array(sigs: _*)
   }
+
+  /** xxhash64 of every shingle, mod P (the minhash base domain). */
+  def hashShingles(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
 
   /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verification.
     *
@@ -107,26 +118,36 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val docs = df.select(
-      col(idCol).as("id"),
-      shingles(normalize(col(textCol)), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = docs.select(
-      col("id"), col("sh"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+    // shingle → hash → signature in three separate projections so each
+    // pass is computed once (CollapseProject keeps non-cheap expressions
+    // un-inlined); only (id, band, bucket) enters the self-join — at
+    // 100 TB the shuffle payload is 3 longs per (doc, band), never the
+    // shingle arrays themselves.
+    val banded = df
+      .select(col(idCol).as("id"), shingles(normalize(col(textCol)), k).as("sh"))
+      .select(col("id"), hashShingles(col("sh")).as("hashed"))
+      .select(col("id"), minhashSignature(col("hashed"), numHashes).as("sig"))
+      .select(
+        col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact verification: join the (deduped, much smaller) candidate list
+    // back to the shingle sets once per side
+    val sh = df.select(
+      col(idCol).as("id"), shingles(normalize(col(textCol)), k).as("sh"))
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
@@ -138,25 +159,22 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token multiset: bit i of the hash is set when the
-    * count-weighted sum of (±1 per token, sign = bit i of xxhash64(token))
-    * is positive. Pure higher-order-function fold — no UDF, no explode. */
+    * sum over token occurrences of (±1, sign = bit i of xxhash64(token))
+    * is positive. Pure higher-order-function fold — no UDF, no explode.
+    * Each occurrence contributes ±1 directly, so the fold is O(64·n) per
+    * document (no distinct-token recount, which would be O(distinct·n)). */
   def simhash(text: Column): Column = {
-    val toks = split(text, " ")
-    val withCounts = transform(
-      array_distinct(toks),
-      t => struct(
-        xxhash64(t).as("h"),
-        size(filter(toks, x => x === t)).cast("long").as("cnt")))
+    val hashes = transform(split(text, " "), t => xxhash64(t))
     // accumulate per-bit counterweights in an array[64] of longs
     val zeros = array_repeat(lit(0L), 64)
     val sums = aggregate(
-      withCounts,
+      hashes,
       zeros,
-      (acc, tc) => zip_with(acc, sequence(lit(0), lit(63)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
         (a, i) => a + when(
-          call_function("shiftright", tc.getField("h"), i.cast("int"))
+          call_function("shiftright", h, i.cast("int"))
             .bitwiseAND(1) === 1,
-          tc.getField("cnt")).otherwise(-tc.getField("cnt"))))
+          lit(1L)).otherwise(lit(-1L))))
     // fold bits back into one long
     aggregate(
       zip_with(sums, sequence(lit(0), lit(63)), (s, i) =>

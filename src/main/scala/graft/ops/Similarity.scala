@@ -82,10 +82,13 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** H-bit signature of a vector column under one table's planes. */
+  /** H-bit signature of a vector column under one table's planes. Each
+    * plane ships as ONE array literal (`typedLit`), not `dim` scalar
+    * literal nodes — per-double literals once ballooned the serialized
+    * task binaries past 1 MiB. */
   private def signature(vec: Column, tablePlanes: Array[Array[Double]]): Column = {
     val bits = tablePlanes.zipWithIndex.map { case (p, i) =>
-      val w = array(p.map(lit).toSeq: _*)
+      val w = typedLit(p.toSeq)
       val d = aggregate(
         zip_with(vec, w, (x, y) => x.cast("double") * y),
         lit(0.0),

@@ -53,7 +53,28 @@ object MergeSink {
   private def keyCond(key: Seq[String]): Column =
     key.map(k => col(s"t.$k") <=> col(s"b.$k")).reduce(_ && _)
 
-  /** Upsert `batch` into `target` on `key`. */
+  /** Upsert `batch` into `target` on `key`.
+    *
+    * Two physical shapes with identical semantics:
+    *
+    *   - `broadcastBatch = true` (huge-target × small-batch, the typical
+    *     shape): Spark cannot broadcast either side of a FULL OUTER join,
+    *     so a naive full-outer formulation silently sort-merges the whole
+    *     target. Instead the merge is decomposed into
+    *       (1) target LEFT JOIN broadcast(batch)  — every target row,
+    *           updated where the key matches (build side = batch, so the
+    *           target is scanned in place, never shuffled), unioned with
+    *       (2) the insert rows: batch rows whose key is absent from the
+    *           target. The matched key set is computed with a LEFT SEMI
+    *           join that also broadcasts the batch keys, and that (small,
+    *           ≤|batch|) set is broadcast back for the anti join.
+    *     Total cost: two broadcast passes over the target scan, zero
+    *     shuffles of the target.
+    *
+    *   - `broadcastBatch = false` (batch comparable to target): one
+    *     full-outer sort-merge join — the right plan when both sides must
+    *     shuffle anyway.
+    */
   def upsert(
       target: DataFrame,
       batch: DataFrame,
@@ -61,23 +82,50 @@ object MergeSink {
       excluded: Seq[String] = Nil,
       broadcastBatch: Boolean = false): DataFrame = {
     val cleanBatch = dedupeBatch(batch, key)
-    val b0 = if (broadcastBatch) broadcast(cleanBatch) else cleanBatch
-    val t = target.withColumn("__t", lit(true)).alias("t")
-    val b = b0.withColumn("__b", lit(true)).alias("b")
-    val joined = t.join(b, keyCond(key), "full_outer")
-    val batchCols = b0.columns.toSet
-    val out = target.columns.toSeq.map { c =>
-      if (key.contains(c))
-        coalesce(col(s"t.$c"), col(s"b.$c")).as(c)
-      else if (!batchCols.contains(c))
-        col(s"t.$c").as(c) // not shipped by batch: keep target / null on insert
-      else if (excluded.contains(c))
-        // excluded from update: target value wins on match, batch on insert
-        when(col("__t").isNotNull, col(s"t.$c")).otherwise(col(s"b.$c")).as(c)
-      else
-        when(col("__b").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)
+    val batchCols = cleanBatch.columns.toSet
+    if (broadcastBatch) {
+      // leg 1: all target rows, batch values where the key matches
+      val t = target.alias("t")
+      val b = broadcast(cleanBatch.withColumn("__b", lit(true))).alias("b")
+      val updated = t.join(b, keyCond(key), "left").select(
+        target.columns.toSeq.map { c =>
+          if (key.contains(c) || excluded.contains(c) || !batchCols.contains(c))
+            col(s"t.$c").as(c)
+          else
+            when(col("__b").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)
+        }: _*)
+      // leg 2: insert rows (batch keys absent from the target); excluded
+      // columns take the batch value on insert, exactly like the
+      // reference's ON CONFLICT SET list (exclusion only affects updates)
+      val bk = broadcast(cleanBatch.select(key.map(col): _*))
+      val matchedKeys = broadcast(
+        target.select(key.map(col): _*).alias("t")
+          .join(bk.alias("b"), keyCond(key), "left_semi")
+          .distinct())
+      val inserts = cleanBatch.alias("b")
+        .join(matchedKeys.alias("t"), keyCond(key), "left_anti")
+        .select(target.schema.fields.toSeq.map { f =>
+          if (batchCols.contains(f.name)) col(s"b.${f.name}").cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      updated.unionByName(inserts)
+    } else {
+      val t = target.withColumn("__t", lit(true)).alias("t")
+      val b = cleanBatch.withColumn("__b", lit(true)).alias("b")
+      val joined = t.join(b, keyCond(key), "full_outer")
+      val out = target.columns.toSeq.map { c =>
+        if (key.contains(c))
+          coalesce(col(s"t.$c"), col(s"b.$c")).as(c)
+        else if (!batchCols.contains(c))
+          col(s"t.$c").as(c) // not shipped by batch: keep target / null on insert
+        else if (excluded.contains(c))
+          // excluded from update: target value wins on match, batch on insert
+          when(col("__t").isNotNull, col(s"t.$c")).otherwise(col(s"b.$c")).as(c)
+        else
+          when(col("__b").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)
+      }
+      joined.select(out: _*)
     }
-    joined.select(out: _*)
   }
 
   /** Update-only: matched rows take batch values (minus exclusions);
