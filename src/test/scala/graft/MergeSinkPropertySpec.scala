@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.MergeSink
+
+/** Algebraic properties of the merge sink (SURVEY §5 item 4): upsert
+  * idempotence, key coverage, delete∘insert, dedupe uniqueness. Inputs are
+  * scalacheck-generated row sets (seeded → deterministic), kept small
+  * because every case pays a Spark job. */
+class MergeSinkPropertySpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  /** n deterministic samples of gen (scalatestplus isn't in the offline
+    * dep cache, so cases are drawn by hand from seeded Gen). */
+  private def samples[A](gen: Gen[A], n: Int = 8): Seq[A] = {
+    val p = Gen.Parameters.default.withSize(12)
+    Iterator.from(0)
+      .map(i => gen.apply(p, Seed(42L + 1000L * i)))
+      .collect { case Some(a) => a }
+      .take(n).toSeq
+  }
+
+  private val rowsGen: Gen[List[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.alphaLowerStr.map(_.take(4))))
+
+  private def forAllPairs(f: (List[(Long, String)], List[(Long, String)]) => Unit): Unit =
+    samples(Gen.zip(rowsGen, rowsGen)).foreach { case (t, b) =>
+      withClue(s"target=$t batch=$b: ") { f(t, b) }
+    }
+
+  private def df(rows: List[(Long, String)]): DataFrame = rows.toDF("id", "v")
+
+  test("property: upsert is idempotent — applying the same batch twice changes nothing") {
+    forAllPairs { (t, b) =>
+      val once = MergeSink.upsert(df(t), df(b)).cache()
+      val twice = MergeSink.upsert(once, df(b))
+      assert(canon(twice) == canon(once))
+      once.unpersist()
+    }
+  }
+
+  test("property: upsert result keys = target keys ∪ batch keys") {
+    forAllPairs { (t, b) =>
+      val out = MergeSink.upsert(df(t), df(b))
+      val expectedKeys = (t.map(_._1) ++ b.map(_._1)).distinct.sorted
+      val gotKeys = out.select("id").as[Long].collect().toList
+      assert(gotKeys.distinct.sorted == expectedKeys)
+      // a key-unique target stays key-unique (no row multiplication)
+      if (t.map(_._1).distinct.size == t.size)
+        assert(gotKeys.size == expectedKeys.size)
+    }
+  }
+
+  test("property: matched rows take batch values, unmatched keep target values") {
+    forAllPairs { (t0, b) =>
+      val t = t0.distinctBy(_._1)
+      val out = MergeSink.upsert(df(t), df(b)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bMap = MergeSink.dedupeBatch(df(b), Seq("id")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      t.foreach { case (id, v) =>
+        assert(out(id) == bMap.getOrElse(id, v))
+      }
+    }
+  }
+
+  test("property: delete then re-upsert restores the deleted keys") {
+    samples(Gen.zip(rowsGen.map(_.distinctBy(_._1)),
+      Gen.listOf(Gen.choose(0L, 15L)))).foreach { case (t, ids) =>
+      val deleted = MergeSink.delete(df(t), ids.toDF("id"))
+      val reinserted = MergeSink.upsert(deleted, df(t))
+      assert(canon(reinserted) == canon(df(t)))
+    }
+  }
+
+  test("property: dedupeBatch yields unique keys drawn from the batch, covering every key") {
+    samples(rowsGen).foreach { b =>
+      val out = MergeSink.dedupeBatch(df(b), Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toList
+      assert(out.map(_._1).distinct.size == out.size)
+      assert(out.toSet.subsetOf(b.toSet))
+      assert(out.map(_._1).toSet == b.map(_._1).toSet)
+    }
+  }
+
+  test("property: broadcast and full-outer upsert shapes agree") {
+    forAllPairs { (t, b) =>
+      val a = MergeSink.upsert(df(t), df(b), broadcastBatch = false)
+      val c = MergeSink.upsert(df(t), df(b), broadcastBatch = true)
+      assert(canon(a) == canon(c))
+    }
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.MergeSink
+
+/** MERGE semantics vs the reference (upsert Pype.py:97-117, update
+  * Pype.py:119-130, delete Pype.py:179-186, exclusion Pype.py:132-143). */
+class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def target: DataFrame =
+    Seq(
+      (1L, "t1", "n1", 10),
+      (2L, "t2", "n2", 20),
+      (3L, "t3", "n3", 30))
+      .toDF("id", "val", "note", "t_only")
+
+  // "extra" is unknown to the target; "t_only" is missing from the batch
+  private def batch: DataFrame =
+    Seq(
+      (2L, "b2", "bn2", "x"),
+      (4L, "b4", "bn4", "y"))
+      .toDF("id", "val", "note", "extra")
+
+  private def expectedUpsert: DataFrame =
+    Seq(
+      (1L, "t1", "n1", Some(10)),
+      (2L, "b2", "n2", Some(20)), // note excluded → target value on match
+      (3L, "t3", "n3", Some(30)),
+      (4L, "b4", "bn4", None)) // insert: excluded col takes batch value
+      .toDF("id", "val", "note", "t_only")
+
+  test("upsert: insert unmatched, update matched, exclusion keeps target value on match") {
+    val out = MergeSink.upsert(target, batch, Seq("id"), excluded = Seq("note"))
+    assertSameRows(out, expectedUpsert)
+  }
+
+  test("upsert: broadcast decomposition is semantically identical to full-outer") {
+    val bc = MergeSink.upsert(target, batch, Seq("id"),
+      excluded = Seq("note"), broadcastBatch = true)
+    assertSameRows(bc, expectedUpsert)
+  }
+
+  test("upsert: broadcast plan contains no full-outer join") {
+    val plan = MergeSink.upsert(target, batch, Seq("id"), broadcastBatch = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FullOuter"), s"unexpected full-outer join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"batch side not broadcast:\n$plan")
+  }
+
+  test("upsert: target schema is authoritative (batch-only columns dropped, missing ones null)") {
+    val out = MergeSink.upsert(target, batch, Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "val", "note", "t_only"))
+    val inserted = out.filter($"id" === 4L).collect().head
+    assert(inserted.isNullAt(inserted.fieldIndex("t_only")))
+  }
+
+  test("upsert: composite key matches on all key columns") {
+    val t = Seq((1L, "a", "old"), (1L, "b", "old")).toDF("id", "region", "v")
+    val b = Seq((1L, "a", "new"), (2L, "a", "new")).toDF("id", "region", "v")
+    val out = MergeSink.upsert(t, b, Seq("id", "region"))
+    val expected = Seq(
+      (1L, "a", "new"), (1L, "b", "old"), (2L, "a", "new"))
+      .toDF("id", "region", "v")
+    assertSameRows(out, expected)
+  }
+
+  test("upsert: null keys match null-safely (<=>), both join shapes") {
+    val t = Seq((Some(1L), "t1"), (None, "tnull")).toDF("id", "v")
+    val b = Seq((Some(1L), "b1"), (None, "bnull")).toDF("id", "v")
+    val expected = Seq((Some(1L), "b1"), (None, "bnull")).toDF("id", "v")
+    assertSameRows(MergeSink.upsert(t, b, Seq("id")), expected)
+    assertSameRows(MergeSink.upsert(t, b, Seq("id"), broadcastBatch = true), expected)
+  }
+
+  test("update: matched rows take batch values, unmatched batch rows dropped") {
+    val out = MergeSink.update(target, batch, Seq("id"), excluded = Seq("note"))
+    val expected = Seq(
+      (1L, "t1", "n1", 10),
+      (2L, "b2", "n2", 20), // note excluded
+      (3L, "t3", "n3", 30)) // id=4 from batch NOT inserted
+      .toDF("id", "val", "note", "t_only")
+    assertSameRows(out, expected)
+  }
+
+  test("update: key and excluded columns never change") {
+    val out = MergeSink.update(target, batch, Seq("id"), excluded = Seq("val"))
+    val r2 = out.filter($"id" === 2L).collect().head
+    assert(r2.getString(r2.fieldIndex("val")) == "t2")   // excluded
+    assert(r2.getString(r2.fieldIndex("note")) == "bn2") // updated
+  }
+
+  test("delete: removes ids, insensitive to duplicate ids in the batch") {
+    val ids = Seq(2L, 2L, 99L).toDF("id")
+    val out = MergeSink.delete(target, ids, "id")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("delete: falls back to the first ids column when identifier is absent") {
+    val ids = Seq(3L).toDF("whatever")
+    val out = MergeSink.delete(target, ids, "id")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dedupeBatch: one row per key, deterministic survivor") {
+    val b = Seq((1L, "z"), (1L, "a"), (2L, "m")).toDF("id", "v")
+    val out = MergeSink.dedupeBatch(b, Seq("id"))
+    // survivor = row sorting first over all columns → (1,"a")
+    assert(canon(out) == Seq(Seq("1", "a"), Seq("2", "m")))
+  }
+
+  test("upsert: duplicate batch keys resolve deterministically, not multiplicatively") {
+    val b = Seq((2L, "dup_z", "x", "e"), (2L, "dup_a", "x", "e"))
+      .toDF("id", "val", "note", "extra")
+    val out = MergeSink.upsert(target, b, Seq("id"))
+    assert(out.count() == 3) // no row multiplication
+    val r2 = out.filter($"id" === 2L).collect().head
+    assert(r2.getString(r2.fieldIndex("val")) == "dup_a")
+  }
+
+  test("mergeIntoParquet: creates target on first upsert, delete on absent target is a no-op") {
+    val dir = Files.createTempDirectory("graft-merge").toString
+    val path = s"$dir/tgt"
+    MergeSink.mergeIntoParquet(spark, target, path, "delete")
+    assert(!new java.io.File(path).exists()) // no-op, nothing created
+    MergeSink.mergeIntoParquet(spark, target, path, "upsert")
+    assert(spark.read.parquet(path).count() == 3)
+    MergeSink.mergeIntoParquet(spark, batch, path, "upsert",
+      excluded = Seq("note"))
+    assertSameRows(
+      spark.read.parquet(path).select("id", "val", "note", "t_only"),
+      expectedUpsert)
+  }
+
+  test("writeAtomic: read-modify-write against the same path is safe") {
+    val dir = Files.createTempDirectory("graft-atomic").toString
+    val path = s"$dir/t"
+    target.write.parquet(path)
+    // df reads from `path` and is rewritten to `path` — must not corrupt
+    val df = spark.read.parquet(path).withColumn("t_only", col("t_only") + 1)
+    MergeSink.writeAtomic(df, path)
+    val out = spark.read.parquet(path)
+    assert(out.count() == 3)
+    assert(out.agg(sum("t_only")).as[Long].collect().head == 63)
+    // no temp/old dirs left behind
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSeq == Seq("t"))
+  }
+
+  test("mergeIntoParquet: unknown load type raises") {
+    val dir = Files.createTempDirectory("graft-unknown").toString
+    val path = s"$dir/t"
+    target.write.parquet(path)
+    intercept[IllegalArgumentException] {
+      MergeSink.mergeIntoParquet(spark, batch, path, "truncate")
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Unit coverage for the LLM-data-pipeline operators: crafted documents
+  * with hand-computable expected outputs. */
+class OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // -------------------------------------------------------------- dedup
+
+  test("exact dedup: smallest id survives per normalized text") {
+    val docs = Seq(
+      (3L, "Hello   World"),
+      (1L, "  hello world "),
+      (2L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "hello world", 2L),
+      (2L, "something else", 1L)))
+  }
+
+  test("shingles: distinct word k-grams; short docs collapse to one shingle") {
+    val df = Seq(
+      ("a b c d", 0), ("a b", 1)).toDF("text", "i")
+      .select(Dedup.shingles(col("text"), 3).as("sh"), col("i"))
+    val rows = df.collect().sortBy(_.getInt(1))
+    assert(rows(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](0) == Seq("a b"))
+  }
+
+  test("jaccardPairs finds near-identical docs and skips dissimilar ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with no shared phrases at all")
+      ).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH: identical docs always collide; jaccard is exact on the pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairs(docs, threshold = 0.9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: equal docs hash equal; token order is irrelevant; disjoint docs differ") {
+    val df = Seq(
+      ("w1", "alpha beta gamma"),
+      ("w2", "gamma alpha beta"),
+      ("w3", "totally different words here")).toDF("k", "text")
+      .select(col("k"), Dedup.simhash(col("text")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("w1") == m("w2")) // bag-of-words semantics
+    assert(m("w1") != m("w3"))
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  test("token and bpeish counts") {
+    val df = Seq("hello world 123 foo-bar").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeishCount(col("text")).as("b"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 4)
+    // hello|world|123|foo|-|bar
+    assert(r.getInt(1) == 6)
+  }
+
+  test("language id picks the marker-heavy language, 'und' when signal-free") {
+    val df = Seq(
+      (1L, "the cat is in the house and the dog"),
+      (2L, "el perro y el gato que en un parque"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(("ab", 1), ("ba", 2), ("ab", 3)).toDF("text", "i")
+      .select(col("i"), TextAnalysis.fingerprint(col("text")).as("f"))
+    val m = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m(1) == m(3))
+    assert(m(1) != m(2)) // anagrams fingerprint differently
+  }
+
+  test("quality score lands in [0,1] and rewards diverse text") {
+    val df = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "varied vocabulary produces measurably better quality scores overall"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.qualityScore(col("text")).as("q"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m(2L) > m(1L))
+  }
+
+  // --------------------------------------------------------- similarity
+
+  test("cosine: orthogonal→0, identical→1, anti-parallel→-1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), "orth"),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), "same"),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), "anti"))
+      .toDF("a", "b", "k")
+      .select(col("k"), round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("orth") == 0.0)
+    assert(m("same") == 1.0)
+    assert(m("anti") == -1.0)
+  }
+
+  test("bruteForceTopK returns k best neighbours, self excluded, rank ordered") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 1L), vecs, k = 2)
+      .orderBy("rank")
+      .select("cand_id", "rank").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((4L, 1), (2L, 2))) // nearest first, no self
+  }
+}

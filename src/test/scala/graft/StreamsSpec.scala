@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, SessionAgg}
+
+/** Streaming surface in batch mode: the transforms are identical for
+  * batch and streaming frames, so batch assertions pin the semantics. */
+class StreamsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def tsAt(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("sessionize splits on the inactivity gap and closes trailing sessions") {
+    val events = Seq(
+      Event(1L, ts(0), "a"), Event(1L, ts(10), "b"),   // session 1: 2 events
+      Event(1L, tsAt(11, 0), "c"),                     // gap 50min → session 2
+      Event(2L, ts(5), "a")).toDS()                    // user 2: 1 session
+    val out = Streams.sessionize(events, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(out.toSeq == Seq(
+      SessionAgg(1L, 2, ts(0), ts(10)),
+      SessionAgg(1L, 1, tsAt(11, 0), tsAt(11, 0)),
+      SessionAgg(2L, 1, ts(5), ts(5))))
+  }
+
+  test("sessionize: events exactly at the gap boundary stay in one session") {
+    val events = Seq(
+      Event(1L, ts(0), "a"), Event(1L, ts(30), "b")).toDS() // exactly 30min
+    val out = Streams.sessionize(events, gapMinutes = 30).collect()
+    assert(out.toSeq == Seq(SessionAgg(1L, 2, ts(0), ts(30))))
+  }
+
+  test("hourlyTypeCounts buckets by tumbling hour and type") {
+    val events = Seq(
+      (tsAt(10, 5), "click", 1.0),
+      (tsAt(10, 55), "click", 2.0),
+      (tsAt(11, 5), "click", 4.0),
+      (tsAt(10, 30), "view", 8.0))
+      .toDF("ts", "event_type", "value")
+    val out = Streams.hourlyTypeCounts(events)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1.getTime, t._2))
+    assert(out.toSeq == Seq(
+      (tsAt(10, 0), "click", 2L, 3.0),
+      (tsAt(10, 0), "view", 1L, 8.0),
+      (tsAt(11, 0), "click", 1L, 4.0)))
+  }
+
+  test("readEventStream produces a streaming frame with the fixed schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val sdf = Streams.readEventStream(spark, dir)
+    assert(sdf.isStreaming)
+    assert(sdf.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+}
