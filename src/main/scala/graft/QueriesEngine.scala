@@ -68,6 +68,38 @@ object QueriesEngine {
         Map("cutoff" -> "1996-01-01"), tmp)
       runner.run("demo")
       s.read.parquet(s"$tmp/q33_revenue").orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // -- non-parquet sources: stage-declared csv + json inputs registered
+    //    as views for the extract query (Layer B "Scans"; the reference
+    //    reads MySQL at Pype.py:33-36 — jdbc uses the identical SourceSpec
+    //    path, exercised in SourcesSpec since the container has no DB)
+    "q34_source_csv_json" -> ((s, dir) => {
+      // fixtures: csv/json copies of two dim tables, derived from the
+      // parquet testdata once per sf dir (deterministic content)
+      val fix = "/tmp/graft-fix-" + Integer.toHexString(dir.hashCode)
+      Tables.load(s, dir, "nation").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(s"$fix/nation_csv")
+      Tables.load(s, dir, "region").coalesce(1)
+        .write.mode("overwrite").json(s"$fix/region_json")
+      val yaml =
+        s"""pypes:
+           |  src_stage:
+           |    extract_query: "SELECT n.n_nationkey, n.n_name, r.r_name AS region_name FROM nation_src n JOIN region_src r ON n.n_regionkey = r.r_regionkey"
+           |    sources:
+           |      nation_src:
+           |        format: csv
+           |        path: $fix/nation_csv
+           |        schema: "n_nationkey INT, n_name STRING, n_regionkey INT"
+           |        options: {header: "true"}
+           |      region_src:
+           |        format: json
+           |        path: $fix/region_json
+           |        schema: "r_regionkey INT, r_name STRING"
+           |""".stripMargin
+      val spec = PipelineSpec.fromYaml(yaml)
+      new Runner(s, spec).extract(spec.stages("src_stage"), Map.empty)
+        .orderBy("n_nationkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +145,9 @@ object QueriesEngine {
         |QUALIFY row_number() OVER (
         |  PARTITION BY l_orderkey, l_linenumber
         |  ORDER BY l_quantity, l_extendedprice, l_discount, l_returnflag, revenue) = 1
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q34_source_csv_json" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)
 }

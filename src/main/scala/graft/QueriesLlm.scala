@@ -25,6 +25,15 @@ object QueriesLlm {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- near-dup clustering: connected components over the Jaccard pair
+    //    graph → doc_id → cluster-representative (what a dedup pipeline
+    //    actually consumes; pairs alone don't pick survivors)
+    "q50_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, threshold = 0.3)
+      Dedup.dedupClusters(docs, pairs).orderBy("doc_id")
+    }),
+
     // -- MinHash-LSH near-dup candidates, exact-verified (no SQL oracle:
     //    xxhash64 signatures are engine-specific; deterministic across runs)
     "q42_minhash_lsh" -> ((s, dir) => {
@@ -122,6 +131,39 @@ object QueriesLlm {
         |FROM inter
         |WHERE round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // connected components re-derived with a recursive CTE over the same
+    // pair graph as q41; isolated docs are their own cluster
+    "q50_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
+        |  FROM toks),
+        |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
+        |freq AS (SELECT shingle FROM posts GROUP BY shingle
+        |         HAVING count(*) >= 2 AND count(*) <= 10000),
+        |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i
+        |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  WHERE round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |ORDER BY doc_id""".stripMargin,
     "q44_text_stats" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,

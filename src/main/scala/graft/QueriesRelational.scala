@@ -288,6 +288,21 @@ object QueriesRelational {
         .orderBy("user_id")
     }),
 
+    // -- streaming surface driven in batch mode: the flatMapGroupsWithState
+    //    sessionizer from graft.streaming.Streams (identical semantics to a
+    //    readStream deployment; batch closes the trailing session). Emits
+    //    one row per session, unlike q20's per-user counts.
+    "q22_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.Streams.Event]
+      graft.streaming.Streams.sessionize(ev, gapMinutes = 30).toDF()
+        .select(col("user_id"), col("n_events"),
+          col("start").as("session_start"), col("end").as("session_end"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // -- as-of join: latest order at-or-before each event, per user
     "q21_asof_join" -> ((s, dir) => {
       val e = T(s, dir, "events").select("event_id", "user_id", "ts")
@@ -442,6 +457,21 @@ object QueriesRelational {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
     "q21_asof_join" ->
       """SELECT event_id, user_id, o_orderkey AS last_order, o_totalprice AS last_price FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,

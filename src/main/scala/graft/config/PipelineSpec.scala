@@ -19,6 +19,7 @@ import org.yaml.snakeyaml.constructor.SafeConstructor
 final case class StageSpec(
     name: String,
     extractQuery: String,
+    sources: Map[String, graft.sources.SourceSpec] = Map.empty, // view name → source
     transformers: Seq[String] = Nil,
     targetTable: String = "",
     loadType: String = "upsert", // upsert | update | delete (Pype.py:20,58,89)
@@ -84,6 +85,30 @@ object PipelineSpec {
     PipelineSpec(pipelines, stages)
   }
 
+  /** `sources: {viewName: {format: csv, path: ..., schema: ...,
+    * options: {k: v}}}` — per-stage declared inputs, registered as temp
+    * views before the extract query runs (SURVEY Layer B "Scans"). */
+  private def parseSources(c: Map[String, Object]): Map[String, graft.sources.SourceSpec] =
+    c.get("sources") match {
+      case Some(m: ju.Map[_, _]) =>
+        m.asScala.map { case (view, cfg) =>
+          val sc = cfg.asInstanceOf[ju.Map[String, Object]].asScala
+          val opts = sc.get("options") match {
+            case Some(om: ju.Map[_, _]) =>
+              om.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+            case _ => Map.empty[String, String]
+          }
+          view.toString -> graft.sources.SourceSpec(
+            format = sc.get("format").map(_.toString).getOrElse(
+              throw new IllegalArgumentException(
+                s"source '$view' is missing the required 'format' field")),
+            path = sc.get("path").map(_.toString).getOrElse(""),
+            schema = sc.get("schema").map(_.toString).getOrElse(""),
+            options = opts)
+        }.toMap
+      case _ => Map.empty
+    }
+
   private def parseStage(name: String, c: Map[String, Object]): StageSpec = {
     def str(k: String, d: String) = c.get(k).map(_.toString).getOrElse(d)
     def strs(k: String): Seq[String] = c.get(k) match {
@@ -94,6 +119,7 @@ object PipelineSpec {
     StageSpec(
       name = name,
       extractQuery = str("extract_query", ""),
+      sources = parseSources(c),
       transformers = strs("transformers"),
       targetTable = str("target_table", ""),
       loadType = str("type", "upsert"),

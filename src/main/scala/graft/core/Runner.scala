@@ -5,6 +5,7 @@ import org.slf4j.LoggerFactory
 
 import graft.config.{PipelineSpec, StageSpec}
 import graft.sink.MergeSink
+import graft.sources.Sources
 
 /** Per-stage metrics, the analogue of the reference's per-batch debug log
   * (rows, extract/transform/load wall-times, Pype.py:65-75). Spark's own
@@ -73,9 +74,16 @@ final class Runner(
 
   /** The extract is declarative SQL over registered views — the engine-side
     * replacement for the reference's pass-through extract_query
-    * (Pype.py:34-36), with `{key}` hydration (Pype.py:170-177). */
-  def extract(stage: StageSpec, ph: Map[String, String]): DataFrame =
+    * (Pype.py:34-36), with `{key}` hydration (Pype.py:170-177). Stage-local
+    * `sources` (csv/json/orc/parquet/jdbc, SURVEY Layer B "Scans") are
+    * registered as temp views first, so a stage can bring its own inputs
+    * instead of depending on pre-registered tables. */
+  def extract(stage: StageSpec, ph: Map[String, String]): DataFrame = {
+    stage.sources.foreach { case (view, src) =>
+      Sources.read(spark, src).createOrReplaceTempView(view)
+    }
     spark.sql(Hydrate(stage.extractQuery, ph))
+  }
 
   private def load(stage: StageSpec, df: DataFrame): Long = {
     if (stage.targetTable.isEmpty) return df.count()

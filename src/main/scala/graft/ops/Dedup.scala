@@ -210,4 +210,70 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------- cluster assignment
+
+  /** Connected components over an undirected edge list `(id_a, id_b)` →
+    * `(id, component)` where component = min id reachable (SURVEY §7
+    * "near-dup connected components").
+    *
+    * Min-label propagation: each node adopts the smallest label among
+    * itself and its neighbours, iterated to fixpoint. Iteration count is
+    * bounded by the component diameter — near-dup graphs are dense
+    * clique-ish clusters (diameter 2-3), not long chains, so a handful of
+    * rounds converge. Each round is one shuffle (join + groupBy on id);
+    * `localCheckpoint` truncates the lineage so round N's plan doesn't
+    * re-execute rounds 1..N-1 — the checkpointing SURVEY §7 calls out as
+    * the hard part of making this survive iteration at 100 TB.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("component").as("nc"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nc"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      // one job per round; the changed-count is the convergence test
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Doc → cluster-representative assignment over a whole corpus: docs
+    * joined in near-dup `pairs` share their component's min id as
+    * `cluster`; isolated docs are their own cluster. The output is what a
+    * dedup pipeline actually consumes (keep rows where
+    * doc_id == cluster), unlike the raw pair list. */
+  def dedupClusters(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    df.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+
+/** One declared input of a pipeline stage (SURVEY §2 Layer B "Scans /
+  * sources"; the reference's entire purpose is MySQL→Postgres movement —
+  * `Pype.py:1-2`, source connection used at `Pype.py:33-36` — so a real
+  * replacement must read more than parquet).
+  *
+  * `format`: parquet | orc | csv | json | jdbc.
+  * `path`: file-format location (dir or file); unused for jdbc.
+  * `schema`: optional DDL string ("id LONG, name STRING"). For csv/json
+  *   this should ALWAYS be set in production: schema inference reads the
+  *   data twice, which at 100 TB doubles the scan before the query runs.
+  * `options`: passed straight to the `DataFrameReader` — csv gets
+  *   `header`/`delimiter`/..., jdbc gets `url`/`dbtable`|`query`/`user`/
+  *   `password`/`driver` plus the parallel-read quartet
+  *   `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions` and
+  *   `fetchsize` (the Spark-side analogue of the reference's
+  *   `bulk_size`-batched cursor, Pype.py:38-47 — without
+  *   `partitionColumn` a JDBC read is ONE executor pulling the whole
+  *   table through one socket).
+  */
+final case class SourceSpec(
+    format: String,
+    path: String = "",
+    schema: String = "",
+    options: Map[String, String] = Map.empty)
+
+object Sources {
+
+  val fileFormats = Set("parquet", "orc", "csv", "json")
+
+  /** Build the DataFrame for a declared source. Validation is eager:
+    * unknown formats and missing jdbc/file requirements fail at config
+    * time with a clear message, not mid-run. */
+  def read(spark: SparkSession, spec: SourceSpec): DataFrame = {
+    val base: DataFrameReader = spark.read.options(spec.options)
+    val reader = if (spec.schema.nonEmpty) base.schema(spec.schema) else base
+    spec.format match {
+      case f if fileFormats(f) =>
+        require(spec.path.nonEmpty, s"source format '$f' requires a path")
+        reader.format(f).load(spec.path)
+      case "jdbc" =>
+        require(spec.options.contains("url"),
+          "jdbc source requires an 'url' option")
+        require(
+          spec.options.contains("dbtable") || spec.options.contains("query"),
+          "jdbc source requires a 'dbtable' or 'query' option")
+        reader.format("jdbc").load()
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown source format: '$other' (expected ${fileFormats.mkString("/")}/jdbc)")
+    }
+  }
+
+  /** JDBC sink — the write half of the reference's movement loop
+    * (bulk DML at Pype.py:145-148). Plain append/overwrite maps directly;
+    * MERGE semantics against a JDBC target are obtained by computing the
+    * merged frame first (MergeSink.upsert/update/delete against
+    * `spark.read.jdbc` of the target) and overwriting, or by a
+    * foreachPartition upsert for targets that support ON CONFLICT.
+    * `batchsize` (default 2000 = the reference's bulk_size, Pype.py:16)
+    * controls rows per executor-side INSERT round-trip. */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      mode: SaveMode = SaveMode.Append,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write
+      .mode(mode)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", options.getOrElse("batchsize", "2000"))
+      .options(options)
+      .save()
+}

@@ -41,6 +41,17 @@ object Streams {
   final case class SessionAgg(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
   private final case class SessionState(n: Long, start: Long, last: Long)
 
+  // state timestamps are kept in MICROseconds: Timestamp.getTime is
+  // millis-precision and would silently truncate the micro component of
+  // event times (TimestampType is micros)
+  private def toMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(((us - math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Session aggregation with a 30-minute inactivity gap, via
     * flatMapGroupsWithState — the custom-state escape hatch the engine
     * exposes for semantics windowed aggs can't express. Emits one row per
@@ -49,28 +60,28 @@ object Streams {
       events: Dataset[Event],
       gapMinutes: Int = 30): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           // batch-mode contract: all of a user's events arrive sorted here
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
           val closed = Seq.newBuilder[SessionAgg]
           var st = state.getOption.orNull
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = toMicros(e.ts)
             if (st == null) st = SessionState(1, t, t)
-            else if (t - st.last > gapMs) {
-              closed += SessionAgg(user, st.n, new Timestamp(st.start), new Timestamp(st.last))
+            else if (t - st.last > gapUs) {
+              closed += SessionAgg(user, st.n, fromMicros(st.start), fromMicros(st.last))
               st = SessionState(1, t, t)
             } else st = SessionState(st.n + 1, st.start, t)
           }
           if (st != null) {
             // close the trailing session too (batch semantics; a streaming
             // deployment would keep it open via timeout instead)
-            closed += SessionAgg(user, st.n, new Timestamp(st.start), new Timestamp(st.last))
+            closed += SessionAgg(user, st.n, fromMicros(st.start), fromMicros(st.last))
             state.remove()
           }
           closed.result().iterator
