@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread CPU-bound per-document derivation (shingling, signatures)
+    * across the cluster when the scan under-parallelizes: a small input —
+    * or a single-row-group parquet file, which is unsplittable no matter
+    * what `maxPartitionBytes` says — arrives as one partition and would
+    * pin the whole operator to one core. The repartition only fires when
+    * partitions < defaultParallelism, so at 100 TB (thousands of scan
+    * splits) it is a no-op; when it does fire the shuffled payload is by
+    * definition small. */
+  private[ops] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Lowercase, trim, collapse whitespace — canonical text form. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
@@ -49,24 +62,32 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDocFreq: Long = 10000L): DataFrame = {
-    val sizes = df.select(
+    val sizes = widen(df).select(
       col(idCol).as("id"),
       shingles(normalize(col(textCol)), k).as("sh"))
       .withColumn("setsize", size(col("sh")))
     val posts = sizes
       .select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
-    // drop shingles whose posting list is too hot: the self-join below is
-    // O(Σ df²) over posting-list sizes, so one shingle shared by 10⁶ docs
-    // would alone yield ~5×10¹¹ candidate pairs. Capping df at 10⁴ bounds
-    // any single shingle's contribution to ~5×10⁷ pairs — the skew guard
-    // that makes this survive 100 TB (near-universal shingles are
-    // boilerplate and carry no similarity signal anyway).
-    val freq = posts.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-    val filtered = posts.join(freq, "shingle")
-    val inter = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    // Pair generation is grouped, NOT a posting-list self-join: a
+    // self-join would re-run the whole text→shingle pipeline on both
+    // sides (plus once more for the df filter) — 3 scans of the corpus.
+    // Instead ONE shuffle groups each shingle's posting list, the df
+    // filter is a size() predicate on the grouped array, and pairs come
+    // from a double explode. Per-group memory is bounded by maxDocFreq
+    // (10⁴ postings ≈ 160 KB).
+    //
+    // maxDocFreq is the skew guard that makes this survive 100 TB: pair
+    // fan-out is O(Σ df²), so one shingle shared by 10⁶ docs would alone
+    // emit ~5×10¹¹ pairs; capping df at 10⁴ bounds any shingle's
+    // contribution to ~5×10⁷ (near-universal shingles are boilerplate
+    // and carry no similarity signal anyway).
+    val grouped = posts.groupBy("shingle")
+      .agg(collect_list(struct(col("id"), col("setsize"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxDocFreq))
+    val inter = grouped
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.setsize").as("size_a"), col("b.setsize").as("size_b"))
       .agg(count(lit(1)).as("inter"))
@@ -123,7 +144,8 @@ object Dedup {
     // un-inlined); only (id, band, bucket) enters the self-join — at
     // 100 TB the shuffle payload is 3 longs per (doc, band), never the
     // shingle arrays themselves.
-    val banded = df
+    val wide = widen(df)
+    val banded = wide
       .select(col(idCol).as("id"), shingles(normalize(col(textCol)), k).as("sh"))
       .select(col("id"), hashShingles(col("sh")).as("hashed"))
       .select(col("id"), minhashSignature(col("hashed"), numHashes).as("sig"))
@@ -135,19 +157,35 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // candidates via bucket grouping, not a self-join: a self-join would
+    // run the shingle→hash→signature pipeline TWICE. One shuffle groups
+    // ids per (band, bucket); pairs explode from the grouped list. A
+    // bucket with b ids emits b² pairs, so cap bucket size like
+    // jaccardPairs caps df (an over-full LSH bucket means the band hash
+    // carries no discriminating signal).
+    val cand = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, 10000))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verification: join the (deduped, much smaller) candidate list
-    // back to the shingle sets once per side
-    val sh = df.select(
+    // exact verification: explode each candidate pair into two (pair, id,
+    // side) rows and join the shingle sets ONCE (vs. one re-derivation of
+    // every document's shingles per side)
+    val sh = wide.select(
       col(idCol).as("id"), shingles(normalize(col(textCol)), k).as("sh"))
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val sides = cand.select(
+      explode(array(
+        struct(col("id_a"), col("id_b"), col("id_a").as("id"), lit("a").as("side")),
+        struct(col("id_a"), col("id_b"), col("id_b").as("id"), lit("b").as("side"))))
+        .as("s"))
+      .select(col("s.id_a"), col("s.id_b"), col("s.id"), col("s.side"))
+    sides.join(sh, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("side") === "a", col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("side") === "b", col("sh")), ignoreNulls = true).as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
@@ -193,7 +231,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for distance <= 3")
-    val hashed = df.select(col(idCol).as("id"), simhash(normalize(col(textCol))).as("sh"))
+    val hashed = widen(df).select(col(idCol).as("id"), simhash(normalize(col(textCol))).as("sh"))
     val banded = hashed.select(
       col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
@@ -201,10 +239,16 @@ object Dedup {
           .bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+    // bucket grouping instead of a self-join (which would compute every
+    // document's simhash twice). The 64-bit hash rides along in the
+    // grouped list, so verification is pure bit_count on the exploded
+    // pair — no re-join against the corpus at all.
+    banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ds"))
+      .filter(size(col("ds")).between(2, 10000))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
