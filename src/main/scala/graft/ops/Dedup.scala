@@ -27,6 +27,22 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Explicit hash-partitioned exchange on `key` that AQE will NOT
+    * coalesce. The grouped-pair operators below fan out AFTER their
+    * shuffle (posting lists explode into O(df²) pairs), but AQE sizes
+    * post-shuffle partitions by MAPPER output bytes — it cannot see the
+    * reduce-side expansion, so a few-MB shingle shuffle gets coalesced to
+    * 1-3 partitions and the pair explosion runs nearly single-threaded.
+    * A user repartition with an explicit count pins the exchange; the
+    * per-group size caps (maxDocFreq / bucket caps) bound skew, which is
+    * the risk AQE would otherwise handle. */
+  private[ops] def byKey(df: DataFrame, key: Column*): DataFrame = {
+    val sc = df.sparkSession
+    val n = math.max(sc.sparkContext.defaultParallelism,
+      sc.sessionState.conf.numShufflePartitions)
+    df.repartition(n, key: _*)
+  }
+
   /** Lowercase, trim, collapse whitespace — canonical text form. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
@@ -66,8 +82,15 @@ object Dedup {
       col(idCol).as("id"),
       shingles(normalize(col(textCol)), k).as("sh"))
       .withColumn("setsize", size(col("sh")))
+    // explode_OUTER, then drop nulls: plain explode makes Catalyst infer a
+    // `size(sh)>0 AND isnotnull(sh)` filter (InferFiltersFromGenerate)
+    // which alias-substitutes into the FULL shingle expression and pushes
+    // below the widen() exchange — re-evaluating the expensive derivation
+    // twice on the unsplit scan partition. Outer generate infers nothing;
+    // the null filter on the generate output cannot be pushed below it.
     val posts = sizes
-      .select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
+      .select(col("id"), col("setsize"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
     // Pair generation is grouped, NOT a posting-list self-join: a
     // self-join would re-run the whole text→shingle pipeline on both
     // sides (plus once more for the df filter) — 3 scans of the corpus.
@@ -81,7 +104,7 @@ object Dedup {
     // emit ~5×10¹¹ pairs; capping df at 10⁴ bounds any shingle's
     // contribution to ~5×10⁷ (near-universal shingles are boilerplate
     // and carry no similarity signal anyway).
-    val grouped = posts.groupBy("shingle")
+    val grouped = byKey(posts, col("shingle")).groupBy("shingle")
       .agg(collect_list(struct(col("id"), col("setsize"))).as("docs"))
       .filter(size(col("docs")).between(2, maxDocFreq))
     val inter = grouped
@@ -151,19 +174,23 @@ object Dedup {
       .select(col("id"), minhashSignature(col("hashed"), numHashes).as("sig"))
       .select(
         col("id"),
-        posexplode(transform(
+        // outer generate: plain posexplode would infer a size>0 filter
+        // over the whole sig expression and push it below the widen
+        // exchange (see jaccardPairs) — re-running minhash on one core
+        posexplode_outer(transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .filter(col("bucket").isNotNull)
     // candidates via bucket grouping, not a self-join: a self-join would
     // run the shingle→hash→signature pipeline TWICE. One shuffle groups
     // ids per (band, bucket); pairs explode from the grouped list. A
     // bucket with b ids emits b² pairs, so cap bucket size like
     // jaccardPairs caps df (an over-full LSH bucket means the band hash
     // carries no discriminating signal).
-    val cand = banded.groupBy("band", "bucket")
+    val cand = byKey(banded, col("band"), col("bucket")).groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, 10000))
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -234,16 +261,19 @@ object Dedup {
     val hashed = widen(df).select(col(idCol).as("id"), simhash(normalize(col(textCol))).as("sh"))
     val banded = hashed.select(
       col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(3)), b =>
+      // outer: avoid the inferred size>0 filter re-running simhash below
+      // the widen exchange (see jaccardPairs)
+      posexplode_outer(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sh"), (b * 16).cast("int"))
           .bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .filter(col("bucket").isNotNull)
     // bucket grouping instead of a self-join (which would compute every
     // document's simhash twice). The 64-bit hash rides along in the
     // grouped list, so verification is pure bit_count on the exploded
     // pair — no re-join against the corpus at all.
-    banded.groupBy("band", "bucket")
+    byKey(banded, col("band"), col("bucket")).groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sh"))).as("ds"))
       .filter(size(col("ds")).between(2, 10000))
       .select(explode(col("ds")).as("a"), col("ds"))
@@ -286,19 +316,16 @@ object Dedup {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("component").as("nc"))
+      // carry the old label through the round so convergence is a filter
+      // on the checkpointed result — not a second join + count job
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
+        .select(labels("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nc"), col("component")))
             .as("component"))
         .localCheckpoint()
-      // one job per round; the changed-count is the convergence test
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      labels = next.select("id", "component")
       iter += 1
     }
     sym.unpersist()

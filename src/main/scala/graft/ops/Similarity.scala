@@ -52,7 +52,7 @@ object Similarity {
     import spark.implicits._
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val c = Dedup.widen(corpus).select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val scored = c
       .join(q, col("query_id") =!= col("cand_id")) // broadcast NLJ: corpus scanned once
       .select(
@@ -115,8 +115,14 @@ object Similarity {
       val sigs = (0 until tables).map { t =>
         struct(lit(t).as("table"), signature(col(vecCol), ps(t)).as("sig"))
       }
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          explode(array(sigs: _*)).as("b"))
+      // outer generate + widen: plain explode would make Catalyst infer a
+      // size>0 filter that re-evaluates the whole tables×bits×dim
+      // signature array a second time at the (possibly unsplittable)
+      // scan — see Dedup.jaccardPairs for the full pathology.
+      Dedup.widen(df)
+        .select(col(idCol).as(id), col(vecCol).as(vec),
+          explode_outer(array(sigs: _*)).as("b"))
+        .filter(col("b").isNotNull)
         .select(col(id), col(vec), col("b.table"), col("b.sig"))
     }
     val qb = bucketed(queries, "query_id", "qv")
