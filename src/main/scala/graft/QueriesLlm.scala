@@ -101,6 +101,30 @@ object QueriesLlm {
       val e = Tables.load(s, dir, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // -- exact embedding-cosine near-dup pairs (broadcast NLJ; the
+    //    oracle-checkable form — cosineDupPairsLsh is the 100 TB path)
+    "q51_embed_dup_exact" -> ((s, dir) => {
+      Similarity.cosineDupPairs(Tables.load(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- embedding near-dup at scale: LSH bucket candidates + exact
+    //    verify (no oracle: probabilistic recall by design; 6-bit
+    //    signatures keep recall usable at the 0.4 threshold)
+    "q52_embed_dup_lsh" -> ((s, dir) => {
+      Similarity.cosineDupPairsLsh(
+        Tables.load(s, dir, "embeddings"), threshold = 0.4, bits = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- IVF approximate top-k: spherical k-means cells + nprobe probing
+    //    (no oracle: approximate by design; deterministic init/iters)
+    "q53_ann_ivf" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy("query_id", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -208,6 +232,16 @@ object QueriesLlm {
             f" / CAST(length(text) AS DOUBLE) AS f$b%02d")
           .mkString("", ",\n", "\n") +
         "FROM documents ORDER BY asset_id"),
+    "q51_embed_dup_exact" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q48_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -303,6 +303,18 @@ object QueriesRelational {
         .orderBy("user_id", "session_start")
     }),
 
+    // -- streaming windowed aggregation driven in batch mode: the
+    //    watermarked tumbling-window agg from graft.streaming.Streams
+    //    (window() + watermark are the same expressions either way; value
+    //    is pre-cast to decimal so the sum is order-independent and
+    //    oracle-hashable)
+    "q23_stream_hourly" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("value", dec(col("value")))
+      graft.streaming.Streams.hourlyTypeCounts(ev)
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy("hour", "event_type")
+    }),
+
     // -- as-of join: latest order at-or-before each event, per user
     "q21_asof_join" -> ((s, dir) => {
       val e = T(s, dir, "events").select("event_id", "user_id", "ts")
@@ -472,6 +484,11 @@ object QueriesRelational {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+    "q23_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q21_asof_join" ->
       """SELECT event_id, user_id, o_orderkey AS last_order, o_totalprice AS last_price FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,

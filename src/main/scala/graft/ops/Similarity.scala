@@ -28,13 +28,12 @@ import graft.functions.{ScoredId, TopKAggregator}
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double.
-    * Sequential left-fold (HOF `aggregate`) ⇒ deterministic bits. */
+    * Dot products are the codegen'd [[graft.functions.VecDot]] native
+    * expression (a primitive for-loop inside whole-stage codegen) rather
+    * than interpreted `zip_with`+`aggregate` HOFs; summation order is the
+    * same sequential left-fold, so values are bit-identical. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0),
-        (acc, v) => acc + v)
+    val dot = graft.functions.VecDot.dot _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -88,14 +87,77 @@ object Similarity {
     * task binaries past 1 MiB. */
   private def signature(vec: Column, tablePlanes: Array[Array[Double]]): Column = {
     val bits = tablePlanes.zipWithIndex.map { case (p, i) =>
-      val w = typedLit(p.toSeq)
-      val d = aggregate(
-        zip_with(vec, w, (x, y) => x.cast("double") * y),
-        lit(0.0),
-        (acc, v) => acc + v)
+      val d = graft.functions.VecDot.dot(vec, typedLit(p.toSeq))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact embedding near-dup pairs: every (id_a < id_b) pair with
+    * cosine >= threshold. O(n²) by definition — correct only when one
+    * side fits in a broadcast (the corpus is scanned once against it).
+    * At 100 TB use [[cosineDupPairsLsh]]; this is the oracle-checkable
+    * exact form and the right plan for corpora up to broadcast size. */
+  def cosineDupPairs(
+      df: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VecDot.dot _
+    // norms are precomputed per ROW (n of them), not per PAIR (n²): the
+    // divisor is the same value bit-for-bit, only hoisted
+    val a = Dedup.widen(df)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", sqrt(dot(col("va"), col("va"))))
+    val b = broadcast(df
+      .select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", sqrt(dot(col("vb"), col("vb")))))
+    a.join(b, col("id_a") < col("id_b")) // broadcast NLJ: corpus scanned once
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding near-dup pairs at scale: LSH-bucket the corpus (L tables
+    * of H-bit hyperplane signatures), generate candidate pairs per
+    * bucket by grouped explode (bounded by the bucket-size cap, never a
+    * self-join), then verify with exact cosine. Probabilistic recall —
+    * the standard web-scale tradeoff; precision is exact. */
+  def cosineDupPairsLsh(
+      df: DataFrame,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucket: Int = 10000): DataFrame = {
+    val ps = planes(tables, bits, dim)
+    val sigs = (0 until tables).map { t =>
+      struct(lit(t).as("table"), signature(col(vecCol), ps(t)).as("sig"))
+    }
+    // outer generate — see Dedup.jaccardPairs for why plain explode
+    // would re-run the signature computation below the widen exchange
+    val bucketed = Dedup.widen(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode_outer(array(sigs: _*)).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("id"), col("v"), col("b.table"), col("b.sig"))
+    val cand = Dedup.byKey(bucketed, col("table"), col("sig"))
+      .groupBy("table", "sig")
+      .agg(collect_list(struct(col("id"), col("v"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 
   /** Approximate top-k via LSH bucketing: join on (table, signature),
@@ -135,6 +197,86 @@ object Similarity {
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     cand
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** dot(vec, literal weights) — one array literal, codegen'd VecDot. */
+  private def dotLit(v: Column, w: Array[Double]): Column =
+    graft.functions.VecDot.dot(v, typedLit(w.toSeq))
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** `(cell, -dot)` structs sorted best-first against unit-norm centroids;
+    * ranking by dot against unit centroids == ranking by cosine (the
+    * query's own norm is a common factor). Ties break on cell id via the
+    * struct's second field. */
+  private def cellsRanked(v: Column, cents: Array[Array[Double]]): Column =
+    array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-dotLit(v, c)).as("negdot"), lit(i).as("cell"))
+    }: _*))
+
+  /** IVF (inverted-file) approximate top-k: k-means the corpus into
+    * `nlist` Voronoi cells (spherical — unit-norm centroids, cosine
+    * assignment), then score each query against only its `nprobe`
+    * nearest cells' posting lists.
+    *
+    * Scale design: the coarse quantizer (nlist × dim doubles) is tiny BY
+    * CONSTRUCTION — only per-cell dimension means ever reach the driver
+    * (nlist·dim rows per Lloyd round, from a distributed partial-agg
+    * groupBy); the corpus itself is never collected, shuffled once per
+    * round for the mean and once at the end for cell assignment. Probing
+    * reads ~nprobe/nlist of the corpus per query — the fraction a 100 TB
+    * deployment tunes with nlist. Deterministic: seeded init (lowest ids),
+    * fixed iteration count, sequential HOF folds, ties on cell id. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = Dedup.widen(corpus)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // deterministic init: the nlist lowest-id vectors, unit-normalized
+    var cents: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
+      .collect()
+      .map(r => normalized(r.getSeq[Float](1).map(_.toDouble).toArray))
+    var it = 0
+    while (it < iters) {
+      val means = c
+        .withColumn("cell", element_at(cellsRanked(col("cv"), cents), 1).getField("cell"))
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next.map(normalized) // empty cells keep their old centroid
+      it += 1
+    }
+    val assigned = c.withColumn("cell",
+      element_at(cellsRanked(col("cv"), cents), 1).getField("cell"))
+    val probes = Dedup.widen(queries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode_outer(slice(cellsRanked(col("qv"), cents), 1, nprobe)).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    probes.join(assigned, "cell") // each corpus vec lives in exactly 1 cell: no dup pairs
+      .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

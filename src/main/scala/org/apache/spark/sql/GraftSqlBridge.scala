@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression converters,
+  * needed to expose a custom Catalyst `Expression` (graft.functions
+  * .VecDot) through the public Column API. Spark 4 wraps Column around
+  * ColumnNode; `classic.ExpressionUtils` is the blessed converter for
+  * the classic execution backend but is sql-private, hence this shim
+  * package. No Spark internals are modified — this only re-exports two
+  * pure conversion functions. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

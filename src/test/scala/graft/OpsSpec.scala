@@ -136,4 +136,42 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .select("cand_id", "rank").as[(Long, Int)].collect()
     assert(out.toSeq == Seq((4L, 1), (2L, 2))) // nearest first, no self
   }
+
+  test("cosineDupPairs: exact pairs above threshold, ordered ids, none below") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),   // cos(1,2) ≈ 0.9939
+      (3L, Array(0.0f, 1.0f)),   // orthogonal to 1
+      (4L, Array(-1.0f, 0.0f))). // anti-parallel to 1
+      toDF("vec_id", "embedding")
+    val out = Similarity.cosineDupPairs(vecs, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L))) // only the near-parallel pair; id_a < id_b
+  }
+
+  test("cosineDupPairsLsh: identical vectors always collide and verify exactly") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(0.5f)),          // exact dup of 1 → sig-equal in every table
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineDupPairsLsh(vecs, threshold = 0.99)
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("ivfTopK: exact dup ranks first; results are per-query top-k shaped") {
+    val base = (1 to 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 37 + d * 11).toFloat))
+    }
+    val vecs = (base :+ (100L, base.head._2.clone())).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      vecs.filter($"vec_id" === 100L), vecs, k = 3, nlist = 4, nprobe = 2)
+      .orderBy("rank")
+      .select("cand_id", "cos", "rank").as[(Long, Double, Int)].collect()
+    assert(out.length == 3)
+    assert(out.head._1 == 1L && out.head._2 == 1.0 && out.head._3 == 1) // its clone, same cell
+  }
 }
