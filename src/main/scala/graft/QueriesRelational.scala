@@ -315,18 +315,20 @@ object QueriesRelational {
         .orderBy("hour", "event_type")
     }),
 
-    // -- as-of join: latest order at-or-before each event, per user
+    // -- as-of join: latest order at-or-before each event, per user.
+    //    union+window (graft.ops.AsOf), NOT join-then-rank: the fan-out
+    //    join materializes every (event, earlier order) pair first —
+    //    O(events × orders/user) rows at 100 TB; this is one shuffle and
+    //    exactly |events| output rows.
     "q21_asof_join" -> ((s, dir) => {
       val e = T(s, dir, "events").select("event_id", "user_id", "ts")
       val o = T(s, dir, "orders")
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
-      e.join(o, col("user_id") === col("o_custkey") &&
-          col("o_orderdate") <= col("ts"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"),
-          col("o_orderkey").as("last_order"), col("o_totalprice").as("last_price"))
+      graft.ops.AsOf.asof(e, o,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "o_custkey", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey" -> "last_order", "o_totalprice" -> "last_price"),
+        tieBreak = Seq("o_orderkey"))
+        .select("event_id", "user_id", "last_order", "last_price")
         .orderBy("event_id")
     }))
 

@@ -104,15 +104,19 @@ object Dedup {
     // emit ~5×10¹¹ pairs; capping df at 10⁴ bounds any shingle's
     // contribution to ~5×10⁷ (near-universal shingles are boilerplate
     // and carry no similarity signal anyway).
+    // CappedCollect (not collect_list + filter): bounds every aggregation
+    // buffer at maxDocFreq+1 elements so a pathological hot shingle can't
+    // assemble a multi-GB list before the size filter discards it
+    val capped = udaf(new graft.functions.CappedCollect(maxDocFreq.toInt))
     val grouped = byKey(posts, col("shingle")).groupBy("shingle")
-      .agg(collect_list(struct(col("id"), col("setsize"))).as("docs"))
+      .agg(capped(col("id"), col("setsize").cast("long")).as("docs"))
       .filter(size(col("docs")).between(2, maxDocFreq))
     val inter = grouped
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.setsize").as("size_a"), col("b.setsize").as("size_b"))
+        col("a.v").as("size_a"), col("b.v").as("size_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .withColumn("jaccard",
@@ -190,12 +194,14 @@ object Dedup {
     // bucket with b ids emits b² pairs, so cap bucket size like
     // jaccardPairs caps df (an over-full LSH bucket means the band hash
     // carries no discriminating signal).
+    val capped = udaf(new graft.functions.CappedCollect(10000))
     val cand = byKey(banded, col("band"), col("bucket")).groupBy("band", "bucket")
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(capped(col("id"), lit(0L)).as("ids")) // bounded buffer, see CappedCollect
       .filter(size(col("ids")).between(2, 10000))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // exact verification: explode each candidate pair into two (pair, id,
     // side) rows and join the shingle sets ONCE (vs. one re-derivation of
@@ -273,14 +279,15 @@ object Dedup {
     // document's simhash twice). The 64-bit hash rides along in the
     // grouped list, so verification is pure bit_count on the exploded
     // pair — no re-join against the corpus at all.
+    val capped = udaf(new graft.functions.CappedCollect(10000))
     byKey(banded, col("band"), col("bucket")).groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("ds"))
+      .agg(capped(col("id"), col("sh")).as("ds")) // bounded buffer, see CappedCollect
       .filter(size(col("ds")).between(2, 10000))
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        bit_count(col("a.v").bitwiseXOR(col("b.v"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }

@@ -138,23 +138,39 @@ object Similarity {
       struct(lit(t).as("table"), signature(col(vecCol), ps(t)).as("sig"))
     }
     // outer generate — see Dedup.jaccardPairs for why plain explode
-    // would re-run the signature computation below the widen exchange
+    // would re-run the signature computation below the widen exchange.
+    // Only (id, table, sig) enters the bucket grouping: shipping the
+    // vectors through every bucket would multiply the shuffle payload by
+    // `tables`, and an over-full bucket would assemble them all in one
+    // buffer. Ids are collected with a bounded CappedCollect; vectors
+    // re-join once, post-dedup, for exact verification.
     val bucketed = Dedup.widen(df)
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
+      .select(col(idCol).as("id"),
         explode_outer(array(sigs: _*)).as("b"))
       .filter(col("b").isNotNull)
-      .select(col("id"), col("v"), col("b.table"), col("b.sig"))
+      .select(col("id"), col("b.table"), col("b.sig"))
+    val capped = udaf(new graft.functions.CappedCollect(maxBucket))
     val cand = Dedup.byKey(bucketed, col("table"), col("sig"))
       .groupBy("table", "sig")
-      .agg(collect_list(struct(col("id"), col("v"))).as("ds"))
+      .agg(capped(col("id"), lit(0L)).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val sides = cand.select(
+      explode(array(
+        struct(col("id_a"), col("id_b"), col("id_a").as("id"), lit("a").as("side")),
+        struct(col("id_a"), col("id_b"), col("id_b").as("id"), lit("b").as("side"))))
+        .as("s"))
+      .select(col("s.id_a"), col("s.id_b"), col("s.id"), col("s.side"))
+    val vecs = Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    sides.join(vecs, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("side") === "a", col("v")), ignoreNulls = true).as("va"),
+        first(when(col("side") === "b", col("v")), ignoreNulls = true).as("vb"))
       .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Similarity, TextAnalysis}
 
 /** Unit coverage for the LLM-data-pipeline operators: crafted documents
   * with hand-computable expected outputs. */
@@ -173,5 +173,47 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .select("cand_id", "cos", "rank").as[(Long, Double, Int)].collect()
     assert(out.length == 3)
     assert(out.head._1 == 1L && out.head._2 == 1.0 && out.head._3 == 1) // its clone, same cell
+  }
+
+  test("CappedCollect: under-cap groups complete; over-cap park at cap+1") {
+    val capped = udaf(new graft.functions.CappedCollect(3))
+    val df = (1 to 10).map(i => (if (i <= 2) "small" else "big", i.toLong))
+      .toDF("k", "id")
+    val out = df.groupBy("k").agg(capped(col("id"), lit(0L)).as("ds"))
+      .select(col("k"), size(col("ds")).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(out("small") == 2) // complete
+    assert(out("big") == 4)   // 8 elements capped at cap+1 = 4 → size filter rejects
+  }
+
+  // -------------------------------------------------------------- as-of
+
+  test("asof: latest at-or-before match, tie-break last wins, no-match is null") {
+    val l = Seq(
+      (1L, 10L, 100L), // after both right rows for key 10
+      (2L, 10L, 5L),   // equal-time tie with right t=5 → inclusive
+      (3L, 10L, 1L),   // before every right row → null
+      (4L, 99L, 50L))  // key with no right rows → null
+      .toDF("event_id", "k", "t")
+    val r = Seq(
+      (10L, Some(5L), 201L, "a"),
+      (10L, Some(5L), 202L, "b"), // same time as 201 → higher id wins
+      (10L, Some(7L), 203L, "c"),
+      (10L, None, 999L, "x")) // null time: never matches
+      .toDF("k", "t", "rid", "v")
+    val out = AsOf.asof(l, r,
+      leftKey = "k", leftTime = "t", rightKey = "k", rightTime = "t",
+      payload = Seq("rid" -> "last_rid", "v" -> "last_v"),
+      tieBreak = Seq("rid"))
+      .orderBy("event_id")
+      .select("event_id", "last_rid", "last_v")
+      .collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) "" else x.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 203L, "c"),  // latest at-or-before t=100
+      (2L, 202L, "b"),  // inclusive tie; rid 202 beats 201
+      (3L, -1L, ""),    // nothing at-or-before
+      (4L, -1L, "")))   // key absent on the right
   }
 }
