@@ -125,6 +125,19 @@ object QueriesLlm {
       val e = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // -- multimodal frame sampling: binary assets → (asset, frame_no,
+    //    frame) child rows via partition-local mapPartitions (the video
+    //    frame-extraction shape). Frames emitted as strings — the
+    //    payloads here are text bytes — so the comparator can hash them.
+    "q54_multimodal_frames" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+      Multimodal.explodeFrames(assets, n = 4, width = 32)
+        .select(col("asset_id"), col("frame_no"),
+          col("frame").cast("string").as("frame_str"))
+        .orderBy("asset_id", "frame_no")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -232,6 +245,17 @@ object QueriesLlm {
             f" / CAST(length(text) AS DOUBLE) AS f$b%02d")
           .mkString("", ",\n", "\n") +
         "FROM documents ORDER BY asset_id"),
+    // mirrors sampleFrames: step = max(1, len div 4), min(4, len) frames,
+    // 32-byte slices (text is single-byte chars, so substr == byte slice)
+    "q54_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    greatest(length(text) // 4, 1) AS step FROM documents),
+        |f AS (SELECT doc_id, text, step,
+        |    CAST(unnest(range(0, least(4, len))) AS INT) AS frame_no
+        |  FROM d)
+        |SELECT doc_id AS asset_id, frame_no,
+        |  substr(text, frame_no * step + 1, 32) AS frame_str
+        |FROM f ORDER BY asset_id, frame_no""".stripMargin,
     "q51_embed_dup_exact" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{AsOf, Dedup, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Unit coverage for the LLM-data-pipeline operators: crafted documents
   * with hand-computable expected outputs. */
@@ -184,6 +184,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Int)].collect().toMap
     assert(out("small") == 2) // complete
     assert(out("big") == 4)   // 8 elements capped at cap+1 = 4 → size filter rejects
+  }
+
+  test("explodeFrames: evenly spaced fixed-width slices, short assets truncate") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "abcdefgh", "t"), (2L, "xy", "t")).toDF("id", "payload", "tag"),
+      "id", "payload", "tag")
+    val out = Multimodal.explodeFrames(assets, n = 4, width = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, "abc"), (1L, 1, "cde"), (1L, 2, "efg"), (1L, 3, "gh"), // step=2
+      (2L, 0, "xy"), (2L, 1, "y")))                                  // step=1, 2 frames
   }
 
   // -------------------------------------------------------------- as-of

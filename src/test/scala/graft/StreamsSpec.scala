@@ -62,4 +62,33 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(sdf.schema.fieldNames.toSeq ==
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
+
+  test("end-to-end streaming run: file source → windowed agg → memory sink " +
+    "matches the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-e2e").toString
+    val batch = Seq(
+      (1L, tsAt(10, 5), 7L, "click", 1.5, "{}"),
+      (2L, tsAt(10, 45), 7L, "click", 2.5, "{}"),
+      (3L, tsAt(11, 10), 8L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.write.mode("overwrite").parquet(dir)
+    val q = Streams.hourlyTypeCounts(Streams.readEventStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName("hourly_e2e")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_e2e")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1.getTime, t._2))
+      val expected = Streams.hourlyTypeCounts(batch)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1.getTime, t._2))
+      assert(streamed.toSeq == expected.toSeq && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
