@@ -205,9 +205,17 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     // exact verification: explode each candidate pair into two (pair, id,
     // side) rows and join the shingle sets ONCE (vs. one re-derivation of
-    // every document's shingles per side)
-    val sh = wide.select(
-      col(idCol).as("id"), shingles(normalize(col(textCol)), k).as("sh"))
+    // every document's shingles per side). The corpus is semi-joined down
+    // to candidate ids BEFORE shingling — otherwise the expensive
+    // derivation runs again over every document just to feed a join that
+    // keeps a tiny fraction. Candidate ids are broadcastable by
+    // construction: post-dedup LSH candidates, bounded by bucket caps.
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = wide
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"), shingles(normalize(col("__txt")), k).as("sh"))
     val sides = cand.select(
       explode(array(
         struct(col("id_a"), col("id_b"), col("id_a").as("id"), lit("a").as("side")),

@@ -165,7 +165,12 @@ object Similarity {
         struct(col("id_a"), col("id_b"), col("id_b").as("id"), lit("b").as("side"))))
         .as("s"))
       .select(col("s.id_a"), col("s.id_b"), col("s.id"), col("s.side"))
+    // semi-join the corpus down to candidate ids before shipping vectors
+    // into the verification join (see Dedup.minhashLshPairs)
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val vecs = Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
     sides.join(vecs, "id")
       .groupBy("id_a", "id_b")
       .agg(

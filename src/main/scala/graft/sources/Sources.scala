@@ -76,4 +76,23 @@ object Sources {
       .option("batchsize", options.getOrElse("batchsize", "2000"))
       .options(options)
       .save()
+
+  /** Bucketed catalog write: pre-shuffles once at write time so every
+    * future equi-join / aggregation on `key` between tables bucketed
+    * with the SAME key and bucket count runs WITHOUT an exchange — the
+    * co-located-join half of the engine's scale toolkit (the other half
+    * is `broadcast()` for dims). `sortBy(key)` additionally removes the
+    * sort from future sort-merge joins. Bucket metadata lives in the
+    * session catalog, hence `saveAsTable` rather than a path write. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

@@ -115,4 +115,36 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("format"))
   }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    import spark.implicits._
+    // the in-memory catalog is fresh per JVM but the warehouse dir is
+    // not: clear both name and location from any previous run
+    Seq("bkt_left", "bkt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    val l = (1 to 100).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val r = (1 to 100).map(i => (i.toLong, i * 10)).toDF("k", "rv")
+    Sources.writeBucketed(l, "bkt_left", "k", 4)
+    Sources.writeBucketed(r, "bkt_right", "k", 4)
+    val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+    assert(joined.count() == 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
+  test("saltedJoin matches the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 1000 rows of one hot key + a tail; small side has 10 keys
+    val big = ((1 to 1000).map(_ => 1L) ++ (2L to 10L)).toDF("k")
+    val small = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    val salted = graft.ops.Skew.saltedJoin(big, small, "k", salts = 8)
+    val plain = big.join(small, "k")
+    assert(canon(salted) == canon(plain))
+    assert(salted.count() == 1009)
+  }
 }
