@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the properties that make the battery
+  * scale — pushdown reaching the scan, dims broadcast, top-k as
+  * TakeOrderedAndProject, pair generation without self-joins, as-of
+  * without a join — pinned as assertions on the physical plan so a
+  * regression fails the suite instead of only showing up in BENCH. */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("In(p_size"),
+      s"expected p_size IN pushdown:\n$p")
+    // column pruning: the scan must not read unreferenced wide columns
+    assert(!p.contains("p_comment"), s"p_comment should be pruned:\n$p")
+  }
+
+  test("q03: dimension tables join via broadcast, not shuffle") {
+    val p = plan("q03_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims should broadcast:\n$p")
+  }
+
+  test("q04/q05: semi and anti joins stay semi/anti (no join+distinct)") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+  }
+
+  test("q18: global top-k runs as TakeOrderedAndProject, not global sort") {
+    val p = plan("q18_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan:\n$p")
+  }
+
+  test("q41: pair generation has no join and no cartesian product") {
+    val p = plan("q41_jaccard_pairs")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"jaccard must be grouped-explode, not a self-join:\n$p")
+  }
+
+  test("q21: as-of is union+window — no join node in the plan") {
+    val p = plan("q21_asof_join")
+    assert(!p.contains("Join"), s"as-of must not join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected a window operator:\n$p")
+  }
+
+  test("q48: corpus side of brute-force top-k is never shuffled before scoring") {
+    val p = plan("q48_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side should broadcast into a NLJ:\n$p")
+  }
+
+  test("q30: upsert decomposition broadcasts the batch on both legs") {
+    val p = plan("q30_merge_upsert")
+    assert(!p.contains("SortMergeJoin"),
+      s"upsert must not sort-merge the full target:\n$p")
+  }
+}
