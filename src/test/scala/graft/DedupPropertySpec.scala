@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Properties of the near-dup family against in-memory reference
+  * implementations: exact Jaccard pairs match a brute-force computation,
+  * LSH candidates are a subset of the exact pairs (verification admits
+  * no false positives), and connected components agree with union-find.
+  * Corpora are scalacheck-generated from a tiny vocabulary so near-dups
+  * genuinely occur; cases are few because each pays Spark jobs. */
+class DedupPropertySpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 6): Seq[A] = {
+    val p = Gen.Parameters.default.withSize(10)
+    Iterator.from(0)
+      .map(i => gen.apply(p, Seed(7L + 1000L * i)))
+      .collect { case Some(a) => a }
+      .take(n).toSeq
+  }
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(3, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+  private val corpusGen: Gen[List[String]] =
+    Gen.chooseNum(4, 9).flatMap(n => Gen.listOfN(n, docGen))
+
+  private def df(docs: List[String]): DataFrame =
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  /** Reference shingle set — mirrors Dedup.shingles semantics. */
+  private def shingleSet(text: String, k: Int = 3): Set[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    if (toks.size < k) Set(toks.mkString(" "))
+    else toks.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  private def refJaccard(a: String, b: String): Double = {
+    val (sa, sb) = (shingleSet(a), shingleSet(b))
+    val inter = (sa & sb).size
+    inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+
+  test("property: jaccardPairs equals the brute-force pair set") {
+    samples(corpusGen).foreach { docs =>
+      val threshold = 0.3
+      val expected = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        jac = refJaccard(docs(i), docs(j))
+        if math.BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= threshold
+      } yield (i.toLong, j.toLong)).toSet
+      val got = Dedup.jaccardPairs(df(docs), threshold)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      withClue(s"docs=$docs: ") { assert(got == expected) }
+    }
+  }
+
+  test("property: minhash-LSH pairs are a subset of exact Jaccard pairs " +
+    "and identical docs always pair") {
+    samples(corpusGen).foreach { docs =>
+      val threshold = 0.3
+      val exact = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        if refJaccard(docs(i), docs(j)) >= threshold - 1e-9
+      } yield (i.toLong, j.toLong)).toSet
+      val lsh = Dedup.minhashLshPairs(df(docs), threshold)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      withClue(s"docs=$docs: ") {
+        assert(lsh.subsetOf(exact)) // exact verification: no false positives
+        val identical = (for {
+          i <- docs.indices; j <- docs.indices
+          if i < j && shingleSet(docs(i)) == shingleSet(docs(j))
+        } yield (i.toLong, j.toLong)).toSet
+        assert(identical.subsetOf(lsh)) // equal sigs collide in every band
+      }
+    }
+  }
+
+  test("property: connectedComponents matches union-find") {
+    val edgesGen: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+        .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
+        .suchThat(_.nonEmpty)
+    samples(edgesGen).foreach { edges =>
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      withClue(s"edges=$edges: ") {
+        assert(got.keySet == expected.keySet)
+        // same partition into components, labelled by the component min
+        assert(got == expected.map { case (k, r) =>
+          k -> expected.filter(_._2 == r).keys.min })
+      }
+    }
+  }
+}
