@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass sketch expressions (same rationale as [[VecDot]]:
+  * the HOF formulations are interpreted and re-traverse their input once
+  * per hash/bit; these generate one tight loop inside whole-stage
+  * codegen).
+  */
+object SketchExprs {
+
+  /** xxhash64 with Spark's SQL-function seed — bit-identical to the
+    * `xxhash64(col)` expression the HOF versions used. */
+  def tokenHash(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, 42L)
+
+  def minhashSig(hashed: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(hashed), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+}
+
+/** MinHash signature: `numHashes` minima of affine permutations
+  * `(h·(2j+1) + 12345j+7) mod P` over a column of already-hashed
+  * shingles (`array<long>`). One traversal computes every minimum —
+  * the `aggregate`/`transform` HOF equivalent traverses the array
+  * 2×numHashes times and allocates an intermediate array per hash.
+  * Arithmetic (long wrap-around, pmod) replicates the HOF expression
+  * exactly, so signatures are bit-identical. Empty input yields
+  * Long.MaxValue sentinels (the HOF yielded nulls; shingle sets are
+  * never empty by construction). */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  private val P = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        var v = (h * (2L * j + 1) + (12345L * j + 7)) % P
+        if (v < 0) v += P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = ($h * (2L * $j + 1L) + (12345L * $j + 7L)) % ${P}L;
+         |    if ($v < 0) $v += ${P}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array: bit i is set when the sum over token
+  * occurrences of ±1 (sign = bit i of xxhash64(token)) is positive.
+  * One pass with 64 on-stack counters — the HOF fold allocated a fresh
+  * 64-long array plus an index array per TOKEN. Hashing matches the SQL
+  * `xxhash64` (seed 42), so hashes are bit-identical to the HOF form. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = SketchExprs.tokenHash(arr.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $counts = new int[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = graft.functions.SketchExprs.tokenHash($a.getUTF8String($i));
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -136,14 +136,11 @@ object Dedup {
     * hashing inside) matters for the plan: the xxhash64 pass runs once in
     * its own projection instead of being re-expanded inside each of the
     * `numHashes` HOF trees (HOFs defeat common-subexpression elimination). */
-  def minhashSignature(hashedCol: Column, numHashes: Int = 32): Column = {
-    val sigs = (0 until numHashes).map { j =>
-      val a = 2L * j + 1
-      val b = 12345L * j + 7
-      array_min(transform(hashedCol, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignature(hashedCol: Column, numHashes: Int = 32): Column =
+    // native single-pass expression — the HOF formulation
+    // (numHashes × array_min(transform(...))) traversed the hashed array
+    // 2×numHashes times, interpreted; see graft.functions.MinHashSig
+    graft.functions.SketchExprs.minhashSig(hashedCol, numHashes)
 
   /** xxhash64 of every shingle, mod P (the minhash base domain). */
   def hashShingles(shingleCol: Column): Column =
@@ -242,26 +239,11 @@ object Dedup {
     * is positive. Pure higher-order-function fold — no UDF, no explode.
     * Each occurrence contributes ±1 directly, so the fold is O(64·n) per
     * document (no distinct-token recount, which would be O(distinct·n)). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => xxhash64(t))
-    // accumulate per-bit counterweights in an array[64] of longs
-    val zeros = array_repeat(lit(0L), 64)
-    val sums = aggregate(
-      hashes,
-      zeros,
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(
-          call_function("shiftright", h, i.cast("int"))
-            .bitwiseAND(1) === 1,
-          lit(1L)).otherwise(lit(-1L))))
-    // fold bits back into one long
-    aggregate(
-      zip_with(sums, sequence(lit(0), lit(63)), (s, i) =>
-        when(s > 0, call_function("shiftleft", lit(1L), i.cast("int")))
-          .otherwise(lit(0L))),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    // native one-pass expression with 64 on-stack counters — the HOF
+    // fold allocated a 64-long array + index array per TOKEN, interpreted
+    // (graft.functions.SimHash64; hashes bit-identical to xxhash64)
+    graft.functions.SketchExprs.simhash64(split(text, " "))
 
   /** Near-dup pairs with SimHash hamming distance <= maxHamming, found by
     * 4×16-bit band blocking (pigeonhole: distance <= 3 guarantees at least
