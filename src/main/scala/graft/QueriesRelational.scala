@@ -144,6 +144,34 @@ object QueriesRelational {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // -- cube: all grouping-set combinations (rollup's sibling, q09)
+    "q24_cube_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // -- map functions over parsed JSON: from_json to map, keys/values,
+    //    element_at, transform_values (map HOF)
+    "q25_map_funcs" -> ((s, dir) => {
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+      T(s, dir, "events")
+        .select(col("event_id"), m.as("m"))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_str"),
+          element_at(transform_values(col("m"), (_, v) => v * 2), "k").as("k_doubled"),
+          aggregate(map_values(col("m")), lit(0), (a, v) => a + v).as("vals_sum"))
+        .orderBy("event_id")
+        .limit(2000)
+    }),
+
     // -- distinct aggregates
     "q10_distinct_agg" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -391,6 +419,19 @@ object QueriesRelational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q24_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q25_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_val,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_str,
+        |  CAST(json_extract(props, '$.k') AS INT) * 2 AS k_doubled,
+        |  CAST(json_extract(props, '$.k') AS INT) AS vals_sum
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin,
     "q10_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_suppkey) AS n_supp,
