@@ -210,7 +210,8 @@ object QueriesLlm {
         |    least(len(toks) / 100.0, 1.0) * 0.3
         |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3
         |    + (1.0 - CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2
-        |    + least(((length(text) - (CAST(len(toks) AS DOUBLE) - 1.0)) / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) * 0.2,
+        |    + least(((length(text) - (CAST(len(toks) AS DOUBLE) - 1.0)) / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) * 0.2
+        |    + 0.000000001,
         |    4) AS quality
         |FROM d ORDER BY doc_id""".stripMargin,
     "q45_lang_id" ->

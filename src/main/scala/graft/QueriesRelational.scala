@@ -35,8 +35,13 @@ object QueriesRelational {
         .agg(
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          // reduce the scale-8 product sum to DECIMAL(30,4) BEFORE the
+          // double cast: a scale-8 sum needs >15 significant digits at
+          // sf>=0.1 and engines then disagree by 1 ulp on the decimal->
+          // double conversion; at scale 4 the scaled integer stays under
+          // 2^53 and every engine converts it exactly
           sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+            .cast("decimal(30,4)").cast("double").as("sum_disc_price"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -365,7 +370,7 @@ object QueriesRelational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order
@@ -380,7 +385,7 @@ object QueriesRelational {
         |ORDER BY p_partkey""".stripMargin,
     "q03_star_join_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

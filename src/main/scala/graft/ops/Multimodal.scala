@@ -84,6 +84,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: deterministic fixed-size byte downsample (`target`
+    * evenly spaced bytes) — stands in for image resize exactly like
+    * `decodeStub` stands in for decode. Assets already at or below
+    * `target` pass through unchanged. */
+  private[ops] def resizeStub(bytes: Array[Byte], target: Int): Array[Byte] = {
+    if (bytes == null || bytes.length <= target) return bytes
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) {
+      out(i) = bytes(i * bytes.length / target)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize every asset payload to at most `target` bytes, updating
+    * `meta.n_bytes` to match. Narrow map, no shuffle — the same
+    * plumbing a real image-resize kernel plugs into. */
+  def resize(assets: DataFrame, target: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(assetSchema)
+    assets.select("asset_id", "modality", "bytes", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val resized = resizeStub(r.getAs[Array[Byte]](2), target)
+        val meta = r.getStruct(3)
+        Row(r.getLong(0), r.getString(1), resized,
+          Row(if (resized == null) null else resized.length.toLong,
+            if (meta == null) null else meta.getString(1)))
+      }
+    }(enc)
+  }
+
   /** Frame-sample each asset into child rows (asset_id, frame_no, frame). */
   def explodeFrames(assets: DataFrame, n: Int = 4, width: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(

@@ -68,11 +68,16 @@ object TextAnalysis {
     val fillerRatio =
       size(filter(toks, t => t.isin(lit("a"), lit("the")))).cast("double") / n
     val meanLen = (length(text) - (n - lit(1.0))) / n // single-space separated
+    // the 1e-9 bias nudges scores off exact .xxxx5 rounding boundaries:
+    // nice rational inputs land there exactly, and engines then disagree
+    // (Spark rounds via the double's shortest decimal repr, DuckDB via
+    // scaled multiply) — off-boundary, every engine rounds the same way
     round(
       least(n / lit(100.0), lit(1.0)) * 0.3 +
         distinctRatio * 0.3 +
         (lit(1.0) - fillerRatio) * 0.2 +
-        least(meanLen / lit(8.0), lit(1.0)) * 0.2,
+        least(meanLen / lit(8.0), lit(1.0)) * 0.2 +
+        lit(1e-9),
       4)
   }
 

@@ -199,6 +199,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, 0, "xy"), (2L, 1, "y")))                                  // step=1, 2 frames
   }
 
+  test("resize: long payloads downsample to target, short pass through, meta tracks") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "a" * 100, "t"), (2L, "xy", "t")).toDF("id", "payload", "tag"),
+      "id", "payload", "tag")
+    val out = Multimodal.resize(assets, target = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](2).length,
+        r.getStruct(3).getLong(0)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 8, 8L), (2L, 2, 2L)))
+  }
+
   // -------------------------------------------------------------- as-of
 
   test("asof: latest at-or-before match, tie-break last wins, no-match is null") {
