@@ -21,19 +21,26 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write: computes and consumes every output column (a count()
-      // would let Catalyst prune projections/sorts and under-measure the
-      // scalar-function queries)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop write: computes and consumes every output column (a count()
+        // would let Catalyst prune projections/sorts and under-measure the
+        // scalar-function queries)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    // best-of-2: identical plans vary up to ~2x run-to-run on a shared
+    // box; the per-query minimum is the standard noise-resistant estimate
+    val runs = Seq(onePass(), onePass())
+    val results = runs.head.map(_._1).map { name =>
+      name -> runs.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}""")
     spark.stop()
   }
 }
