@@ -273,6 +273,7 @@ object Similarity {
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
       .collect()
       .map(r => normalized(r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(cents.nonEmpty, "ivfTopK: corpus is empty — nothing to index")
     var it = 0
     while (it < iters) {
       val means = c

@@ -211,6 +211,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 8, 8L), (2L, 2, 2L)))
   }
 
+  test("dedup and similarity operators are empty-input safe") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(noDocs).count() == 0)
+    assert(Dedup.jaccardPairs(noDocs, 0.3).count() == 0)
+    assert(Dedup.minhashLshPairs(noDocs, 0.3).count() == 0)
+    assert(Dedup.simhashPairs(noDocs).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosineDupPairs(noVecs, 0.5).count() == 0)
+    assert(Similarity.cosineDupPairsLsh(noVecs, 0.5).count() == 0)
+    intercept[IllegalArgumentException] { // explicit, not undefined behavior
+      Similarity.ivfTopK(noVecs, noVecs, k = 1)
+    }
+  }
+
+  test("asof with an empty right side keeps all left rows, null payloads") {
+    val l = Seq((1L, 10L, 5L)).toDF("event_id", "k", "t")
+    val r = Seq.empty[(Long, Long, String)].toDF("k", "t", "v")
+    val out = AsOf.asof(l, r, "k", "t", "k", "t", payload = Seq("v" -> "last_v"))
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("last_v")))
+  }
+
   // -------------------------------------------------------------- as-of
 
   test("asof: latest at-or-before match, tie-break last wins, no-match is null") {
