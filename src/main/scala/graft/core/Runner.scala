@@ -45,12 +45,30 @@ final class Runner(
 
   /** Run every stage of `pipeline` in order; placeholder overrides follow
     * the reference rule (run-time placeholders replace ctor ones when
-    * non-empty, Pypeline.py:27-28). Returns per-stage metrics. */
+    * non-empty, Pypeline.py:27-28). Returns per-stage metrics.
+    *
+    * `parallel = true` runs the stages as CONCURRENT Spark jobs (SURVEY
+    * A12: "independent pypes can run as parallel Spark jobs") — opt-in
+    * because it is only sound when no stage reads another stage's target;
+    * the reference's strictly sequential semantics (Pypeline.py:32-35)
+    * stay the default. Metrics return in declared stage order. */
   def run(
       pipeline: String,
-      runPlaceholders: Map[String, String] = Map.empty): Seq[StageMetrics] = {
+      runPlaceholders: Map[String, String] = Map.empty,
+      parallel: Boolean = false): Seq[StageMetrics] = {
     val ph = if (runPlaceholders.nonEmpty) runPlaceholders else placeholders
-    spec.resolve(pipeline).map(runStage(_, ph))
+    val stages = spec.resolve(pipeline)
+    if (!parallel || stages.sizeIs <= 1) stages.map(runStage(_, ph))
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(stages.size, 4))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(stages.map(s => Future(runStage(s, ph)))), Duration.Inf)
+      finally pool.shutdown()
+    }
   }
 
   def runStage(stage: StageSpec, ph: Map[String, String]): StageMetrics = {

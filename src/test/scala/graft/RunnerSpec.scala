@@ -87,6 +87,31 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(m.extractSec >= 0 && m.transformSec >= 0 && m.loadSec > 0)
   }
 
+  test("parallel pipeline: independent stages run concurrently, same results (A12)") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("src2")
+    val root = Files.createTempDirectory("graft-runner-par").toString
+    val spec = PipelineSpec.fromYaml(
+      """pypelines:
+        |  p2: [sa, sb]
+        |pypes:
+        |  sa:
+        |    extract_query: "SELECT id, v FROM src2 WHERE id <= 2"
+        |    target_table: par_a
+        |    key: [id]
+        |  sb:
+        |    extract_query: "SELECT id, upper(v) AS v FROM src2"
+        |    target_table: par_b
+        |    key: [id]
+        |""".stripMargin)
+    val metrics = new Runner(spark, spec, targetRoot = root).run("p2", parallel = true)
+    assert(metrics.map(_.stage) == Seq("sa", "sb")) // declared order
+    assert(metrics.map(_.rows) == Seq(2L, 3L))
+    assert(spark.table("par_a").count() == 2)
+    assert(spark.table("par_b").select("v").as[String].collect().sorted.toSeq
+      == Seq("A", "B", "C"))
+  }
+
   test("unknown transformer class fails eagerly with a clear message") {
     val e = intercept[IllegalArgumentException] {
       TransformerRegistry.load("graft.DoesNotExist")
