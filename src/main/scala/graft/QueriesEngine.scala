@@ -62,6 +62,7 @@ object QueriesEngine {
           |    target_table: q33_revenue
           |    type: upsert
           |    key: [l_orderkey, l_linenumber]
+          |    post_query: "CREATE OR REPLACE TEMP VIEW q33_post AS SELECT count(*) AS n FROM q33_revenue"
           |""".stripMargin
       val tmp = "/tmp/graft-run-" + java.util.UUID.randomUUID().toString
       val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
