@@ -177,6 +177,25 @@ object QueriesRelational {
         .limit(2000)
     }),
 
+    // -- percentile aggregates: exact interpolated quantiles (the
+    //    approx_percentile sketch is the 100 TB path; the exact form is
+    //    the oracle-checkable one, like q48 vs q49). The 1e-6 bias is
+    //    above double ulp at this magnitude and far below the rounding
+    //    grain — it moves interpolated values off exact .xx5 boundaries
+    //    identically in both engines (see TextAnalysis.qualityScore).
+    "q26_percentiles" -> ((s, dir) => {
+      def pct(p: Double) = round(
+        call_function("percentile", col("o_totalprice"), lit(p)) + lit(1e-6), 2)
+      T(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          pct(0.5).as("p50"),
+          pct(0.9).as("p90"),
+          pct(0.99).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // -- distinct aggregates
     "q10_distinct_agg" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -424,6 +443,13 @@ object QueriesRelational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q26_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5) + 0.000001, 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9) + 0.000001, 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99) + 0.000001, 2) AS p99,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q24_cube_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
