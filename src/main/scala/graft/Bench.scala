@@ -27,9 +27,15 @@ object Bench {
         // noop write: computes and consumes every output column (a count()
         // would let Catalyst prune projections/sorts and under-measure the
         // scalar-function queries)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          // visible sentinel: a swallowed failure must not masquerade as
+          // the fastest query in the report
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+        }
       }
     // best-of-2: identical plans vary up to ~2x run-to-run on a shared
     // box; the per-query minimum is the standard noise-resistant estimate
@@ -39,7 +45,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum // -1 = failed sentinel
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}""")
     spark.stop()
   }

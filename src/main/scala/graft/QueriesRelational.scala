@@ -544,10 +544,13 @@ object QueriesRelational {
         |SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q22_stream_sessionize" ->
+      // gap compares MICROSECONDS like Streams.sessionize (toMicros):
+      // date_diff('second') floors, so a fractional gap in (1800s,1801s)
+      // would split sessions on the Spark side but not in the oracle
       """WITH e AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (
         |  SELECT user_id, ts,

@@ -60,6 +60,12 @@ final class Runner(
     val stages = spec.resolve(pipeline)
     if (!parallel || stages.sizeIs <= 1) stages.map(runStage(_, ph))
     else {
+      // temp views are session-global: two concurrent stages declaring
+      // the same source view name would race and read each other's data
+      val viewNames = stages.flatMap(_.sources.keys)
+      require(viewNames.distinct.size == viewNames.size,
+        s"parallel pipeline '$pipeline' has stages declaring the same " +
+          s"source view name: ${viewNames.diff(viewNames.distinct).distinct.mkString(", ")}")
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -71,7 +77,7 @@ final class Runner(
     }
   }
 
-  def runStage(stage: StageSpec, ph: Map[String, String]): StageMetrics = {
+  def runStage(stage: StageSpec, ph: Map[String, String]): StageMetrics = try {
     val t0 = System.nanoTime()
     val extracted = extract(stage, ph)
     val t1 = System.nanoTime()
@@ -88,6 +94,13 @@ final class Runner(
       log.info(s"Pype: ${m.stage}, ${m.rows} items; ETL: " +
         f"${m.extractSec}%.3fs/${m.transformSec}%.3fs/${m.loadSec}%.3fs")
     m
+  } finally {
+    // sources are STAGE-LOCAL: dropping them here keeps a stage's csv
+    // view named like a warehouse table from permanently shadowing that
+    // table for every later stage (temp views are session-global).
+    // NOTE the load is an action inside this stage, so the views have
+    // already served their purpose when we get here.
+    stage.sources.keys.foreach(spark.catalog.dropTempView)
   }
 
   /** The extract is declarative SQL over registered views — the engine-side

@@ -38,8 +38,12 @@ object AsOf {
       payload: Seq[(String, String)],
       tieBreak: Seq[String] = Nil): DataFrame = {
     val carried = (tieBreak ++ payload.map(_._1)).distinct
+    // null-KEY right rows are dropped too: the window's partitionBy
+    // groups nulls together, but the equi-join semantics this operator
+    // replaces (`left.key = right.key AND right.time <= left.time`)
+    // never match on null — a null-key left row keeps a null payload
     val rSel = right
-      .filter(col(rightTime).isNotNull)
+      .filter(col(rightTime).isNotNull && col(rightKey).isNotNull)
       .select(
         col(rightKey).as("_k"), col(rightTime).as("_t"),
         struct(carried.map(col): _*).as("_r"))

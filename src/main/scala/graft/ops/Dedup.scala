@@ -43,6 +43,36 @@ object Dedup {
     df.repartition(n, key: _*)
   }
 
+  /** Semi-join a per-id table down to the ids appearing in a candidate
+    * pair list. The candidate side broadcasts: candidates are post-dedup
+    * and bounded by the LSH bucket caps, while the per-id table is the
+    * corpus — filtering BEFORE any expensive per-doc derivation keeps
+    * that derivation off the non-candidate 99.99% at 100 TB. */
+  private[ops] def restrictToCandidates(perId: DataFrame, cand: DataFrame): DataFrame = {
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    perId.join(broadcast(candIds), Seq("id"), "left_semi")
+  }
+
+  /** Re-attach a per-id payload column `p` to candidate pairs
+    * `(id_a, id_b)` → `(id_a, id_b, p_a, p_b)`. Each pair explodes into
+    * two (pair, id, side) rows so the payload joins ONCE (a plain
+    * two-sided join would ship the payload table through two joins).
+    * Shared by the MinHash-LSH and embedding-LSH verification stages. */
+  private[ops] def rehydratePairs(cand: DataFrame, perId: DataFrame): DataFrame = {
+    val sides = cand.select(
+      explode(array(
+        struct(col("id_a"), col("id_b"), col("id_a").as("id"), lit("a").as("side")),
+        struct(col("id_a"), col("id_b"), col("id_b").as("id"), lit("b").as("side"))))
+        .as("s"))
+      .select(col("s.id_a"), col("s.id_b"), col("s.id"), col("s.side"))
+    sides.join(perId, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("side") === "a", col("p")), ignoreNulls = true).as("p_a"),
+        first(when(col("side") === "b", col("p")), ignoreNulls = true).as("p_b"))
+  }
+
   /** Lowercase, trim, collapse whitespace — canonical text form. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
@@ -107,7 +137,10 @@ object Dedup {
     // CappedCollect (not collect_list + filter): bounds every aggregation
     // buffer at maxDocFreq+1 elements so a pathological hot shingle can't
     // assemble a multi-GB list before the size filter discards it
-    val capped = udaf(new graft.functions.CappedCollect(maxDocFreq.toInt))
+    // clamp, don't toInt: a Long cap above Int.MaxValue would wrap
+    // negative and silently collect nothing
+    val capped = udaf(new graft.functions.CappedCollect(
+      math.min(maxDocFreq, Int.MaxValue - 1L).toInt))
     val grouped = byKey(posts, col("shingle")).groupBy("shingle")
       .agg(capped(col("id"), col("setsize").cast("long")).as("docs"))
       .filter(size(col("docs")).between(2, maxDocFreq))
@@ -200,30 +233,14 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verification: explode each candidate pair into two (pair, id,
-    // side) rows and join the shingle sets ONCE (vs. one re-derivation of
-    // every document's shingles per side). The corpus is semi-joined down
-    // to candidate ids BEFORE shingling — otherwise the expensive
-    // derivation runs again over every document just to feed a join that
-    // keeps a tiny fraction. Candidate ids are broadcastable by
-    // construction: post-dedup LSH candidates, bounded by bucket caps.
-    val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val sh = wide
-      .select(col(idCol).as("id"), col(textCol).as("__txt"))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
-      .select(col("id"), shingles(normalize(col("__txt")), k).as("sh"))
-    val sides = cand.select(
-      explode(array(
-        struct(col("id_a"), col("id_b"), col("id_a").as("id"), lit("a").as("side")),
-        struct(col("id_a"), col("id_b"), col("id_b").as("id"), lit("b").as("side"))))
-        .as("s"))
-      .select(col("s.id_a"), col("s.id_b"), col("s.id"), col("s.side"))
-    sides.join(sh, "id")
-      .groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("side") === "a", col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("side") === "b", col("sh")), ignoreNulls = true).as("sh_b"))
+    // exact verification: rehydrate the (deduped, small) candidate list
+    // with shingle sets derived ONLY for candidate docs — see
+    // rehydratePairs for the shape
+    val candDocs = restrictToCandidates(
+      wide.select(col(idCol).as("id"), col(textCol).as("__txt")), cand)
+      .select(col("id"), shingles(normalize(col("__txt")), k).as("p"))
+    rehydratePairs(cand, candDocs)
+      .withColumnRenamed("p_a", "sh_a").withColumnRenamed("p_b", "sh_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
@@ -326,6 +343,11 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // fail loud: silently returning split components would diverge from
+    // any exact reference (q50's recursive-CTE oracle) with no signal
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds — " +
+        "a component's diameter exceeds maxIter; raise maxIter")
     labels
   }
 

@@ -159,24 +159,13 @@ object Similarity {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sides = cand.select(
-      explode(array(
-        struct(col("id_a"), col("id_b"), col("id_a").as("id"), lit("a").as("side")),
-        struct(col("id_a"), col("id_b"), col("id_b").as("id"), lit("b").as("side"))))
-        .as("s"))
-      .select(col("s.id_a"), col("s.id_b"), col("s.id"), col("s.side"))
-    // semi-join the corpus down to candidate ids before shipping vectors
-    // into the verification join (see Dedup.minhashLshPairs)
-    val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val vecs = Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
-    sides.join(vecs, "id")
-      .groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("side") === "a", col("v")), ignoreNulls = true).as("va"),
-        first(when(col("side") === "b", col("v")), ignoreNulls = true).as("vb"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+    // exact verification via the shared candidate-rehydration helpers
+    // (Dedup.restrictToCandidates / rehydratePairs): vectors ship only
+    // for candidate ids, and each pair's payloads join once
+    val candVecs = Dedup.restrictToCandidates(
+      Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("p")), cand)
+    Dedup.rehydratePairs(cand, candVecs)
+      .withColumn("cos", round(cosine(col("p_a"), col("p_b")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

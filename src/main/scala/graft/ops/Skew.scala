@@ -33,6 +33,11 @@ object Skew {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full_outer would emit `salts` null-extended copies of every
+    // unmatched small-side row (each replica fails to match independently)
+    require(Set("inner", "left", "left_outer", "cross")(joinType),
+      s"saltedJoin supports inner/left joins only, got '$joinType' — " +
+        "outer-preserving the replicated side would duplicate unmatched rows")
     val saltedBig = big.withColumn("_salt",
       (rand(42) * salts).cast("int"))
     val replicated = small.withColumn("_salt",

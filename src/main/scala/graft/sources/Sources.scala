@@ -42,6 +42,9 @@ object Sources {
         require(spec.path.nonEmpty, s"source format '$f' requires a path")
         reader.format(f).load(spec.path)
       case "jdbc" =>
+        require(spec.schema.isEmpty,
+          "jdbc sources take their schema from the database — " +
+            "remove the 'schema' field (Spark rejects user schemas on jdbc)")
         require(spec.options.contains("url"),
           "jdbc source requires an 'url' option")
         require(

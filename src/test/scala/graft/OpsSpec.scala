@@ -225,6 +225,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asof: null keys never match (equi-join semantics)") {
+    val l = Seq((1L, Some(10L), 5L), (2L, None, 5L)).toDF("event_id", "k", "t")
+    val r = Seq((Option.empty[Long], 1L, 201L), (Some(10L), 1L, 202L))
+      .toDF("k", "t", "rid")
+    val out = AsOf.asof(l, r, "k", "t", "k", "t", payload = Seq("rid" -> "last_rid"))
+      .orderBy("event_id")
+      .collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(x.fieldIndex("last_rid"))) -1L
+        else x.getLong(x.fieldIndex("last_rid"))))
+    // key 10 matches the non-null-key right row; the null-key left row
+    // matches nothing (a window partition would have grouped the nulls)
+    assert(out.toSeq == Seq((1L, 202L), (2L, -1L)))
+  }
+
+  test("saltedJoin rejects outer-preserving join types on the replicated side") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Skew.saltedJoin(df, df, "k", salts = 4, joinType = "right")
+    }
+  }
+
   test("asof with an empty right side keeps all left rows, null payloads") {
     val l = Seq((1L, 10L, 5L)).toDF("event_id", "k", "t")
     val r = Seq.empty[(Long, Long, String)].toDF("k", "t", "v")
