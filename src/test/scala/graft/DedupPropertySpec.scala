@@ -83,6 +83,25 @@ class DedupPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: simhashPairs equals brute-force hamming pairs (4-band " +
+    "blocking is lossless for distance <= 3)") {
+    samples(corpusGen).foreach { docs =>
+      // per-doc simhash computed through the same engine expression...
+      val hashes = df(docs)
+        .select($"doc_id", Dedup.simhash(Dedup.normalize($"text")).as("h"))
+        .as[(Long, Long)].collect().toMap
+      // ...then pairs brute-forced in memory
+      val expected = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        d = java.lang.Long.bitCount(hashes(i.toLong) ^ hashes(j.toLong))
+        if d <= 3
+      } yield (i.toLong, j.toLong)).toSet
+      val got = Dedup.simhashPairs(df(docs), maxHamming = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      withClue(s"docs=$docs: ") { assert(got == expected) }
+    }
+  }
+
   test("property: connectedComponents matches union-find") {
     val edgesGen: Gen[List[(Long, Long)]] =
       Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
