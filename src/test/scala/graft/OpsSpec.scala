@@ -175,6 +175,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head._1 == 1L && out.head._2 == 1.0 && out.head._3 == 1) // its clone, same cell
   }
 
+  test("hot-key guard: universal boilerplate shingles don't explode pair generation") {
+    // 400 docs all sharing a 5-word boilerplate prefix (every boilerplate
+    // shingle has df=400) plus a unique tail; 2 real near-dup docs.
+    // With maxDocFreq=50 the boilerplate posting lists (df=400 > 50) are
+    // dropped, so pair fan-out comes only from genuine overlap — without
+    // the guard this corpus alone would emit ~400²/2 × 3 candidate pairs.
+    val boiler = "terms of service apply here"
+    val docs = ((1 to 398).map(i => (i.toLong, s"$boiler unique tail $i xx$i yy$i"))
+      ++ Seq((998L, s"$boiler the same interesting document body"),
+             (999L, s"$boiler the same interesting document body")))
+      .toDF("doc_id", "text")
+    // note the guard also REMOVES boilerplate shingles from the observed
+    // intersection (another reason they carry no similarity signal): the
+    // dup pair's jaccard reads 5/11 ≈ 0.45 here, not 1.0
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.4, maxDocFreq = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((998L, 999L)))
+  }
+
   test("CappedCollect: under-cap groups complete; over-cap park at cap+1") {
     val capped = udaf(new graft.functions.CappedCollect(3))
     val df = (1 to 10).map(i => (if (i <= 2) "small" else "big", i.toLong))
