@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param payload  (right column → output alias) carried from the match
-    * @param tieBreak right columns, ascending — last wins at equal time */
+    * @param tieBreak right columns, ascending — last wins at equal time
+    * @param direction "backward" (latest right row at-or-before, the
+    *   default) or "forward" (earliest right row at-or-after) — forward
+    *   is the same machinery with the time sort flipped, so the running
+    *   last_value carries the nearest following row instead */
   def asof(
       left: DataFrame,
       right: DataFrame,
@@ -36,7 +40,10 @@ object AsOf {
       rightKey: String,
       rightTime: String,
       payload: Seq[(String, String)],
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
     val carried = (tieBreak ++ payload.map(_._1)).distinct
     // null-KEY right rows are dropped too: the window's partitionBy
     // groups nulls together, but the equi-join semantics this operator
@@ -58,8 +65,9 @@ object AsOf {
         rSel.select(
           lit(null).cast(lType).as("_l"), col("_k"), col("_t"), col("_r"))
           .withColumn("_side", lit(0)))
+    val tOrd = if (direction == "backward") col("_t").asc else col("_t").desc
     val ord: Seq[Column] =
-      col("_t").asc +: col("_side").asc +: tieBreak.map(c => col("_r").getField(c).asc)
+      tOrd +: col("_side").asc +: tieBreak.map(c => col("_r").getField(c).asc)
     val w = Window.partitionBy("_k").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned

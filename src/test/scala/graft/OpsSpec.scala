@@ -265,6 +265,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asof forward: earliest at-or-after match; none after → null") {
+    val l = Seq((1L, 10L, 6L), (2L, 10L, 8L)).toDF("event_id", "k", "t")
+    val r = Seq((10L, 5L, 201L), (10L, 7L, 202L)).toDF("k", "t", "rid")
+    val out = AsOf.asof(l, r, "k", "t", "k", "t",
+      payload = Seq("rid" -> "next_rid"), direction = "forward")
+      .orderBy("event_id")
+      .collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(x.fieldIndex("next_rid"))) -1L
+        else x.getLong(x.fieldIndex("next_rid"))))
+    assert(out.toSeq == Seq((1L, 202L), (2L, -1L))) // t=6 → rid at t=7; t=8 → none
+  }
+
   test("asof with an empty right side keeps all left rows, null payloads") {
     val l = Seq((1L, 10L, 5L)).toDF("event_id", "k", "t")
     val r = Seq.empty[(Long, Long, String)].toDF("k", "t", "v")
