@@ -31,6 +31,14 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     assert(comps.values.toSet == Set(1L))
   }
 
+  test("non-convergence within maxIter fails loud, not with split components") {
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("dedupClusters assigns isolated docs to themselves") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 3L), (3L, 5L)).toDF("id_a", "id_b")
