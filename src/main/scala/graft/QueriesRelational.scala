@@ -341,9 +341,11 @@ object QueriesRelational {
     }),
 
     // -- streaming surface driven in batch mode: the flatMapGroupsWithState
-    //    sessionizer from graft.streaming.Streams (identical semantics to a
-    //    readStream deployment; batch closes the trailing session). Emits
-    //    one row per session, unlike q20's per-user counts.
+    //    sessionizer from graft.streaming.Streams (batch contract — the
+    //    trailing session closes at end of input; the streaming deployment
+    //    uses Streams.sessionizeStreaming, which closes sessions by
+    //    event-time timeout instead). Emits one row per session, unlike
+    //    q20's per-user counts.
     "q22_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       val ev = T(s, dir, "events")

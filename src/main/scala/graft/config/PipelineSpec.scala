@@ -77,6 +77,7 @@ object PipelineSpec {
       case Some(m: ju.Map[_, _]) =>
         m.asScala.map { case (k, v) =>
           val name = k.toString
+          require(v != null, s"pype '$name' has an empty body")
           name -> parseStage(name, v.asInstanceOf[ju.Map[String, Object]].asScala.toMap)
         }.toMap
       case _ => Map.empty
@@ -110,11 +111,15 @@ object PipelineSpec {
     }
 
   private def parseStage(name: String, c: Map[String, Object]): StageSpec = {
-    def str(k: String, d: String) = c.get(k).map(_.toString).getOrElse(d)
-    def strs(k: String): Seq[String] = c.get(k) match {
-      case Some(l: ju.List[_]) => l.asScala.toSeq.map(_.toString)
-      case Some(s)             => Seq(s.toString)
-      case None                => Nil
+    // flatMap(Option(_)): a YAML key with an EMPTY value parses to null —
+    // treat it as absent instead of NPE-ing with no stage context
+    def str(k: String, d: String) =
+      c.get(k).flatMap(Option(_)).map(_.toString).getOrElse(d)
+    def strs(k: String): Seq[String] = c.get(k).flatMap(Option(_)) match {
+      case Some(l: ju.List[_]) =>
+        l.asScala.toSeq.flatMap(x => Option(x)).map(_.toString)
+      case Some(s) => Seq(s.toString)
+      case None    => Nil
     }
     StageSpec(
       name = name,

@@ -60,12 +60,21 @@ final class Runner(
     val stages = spec.resolve(pipeline)
     if (!parallel || stages.sizeIs <= 1) stages.map(runStage(_, ph))
     else {
-      // temp views are session-global: two concurrent stages declaring
-      // the same source view name would race and read each other's data
+      // temp views are session-global: concurrent stages sharing a source
+      // view name, a target table, or crossing one's source with
+      // another's target would race and read/write each other's data
       val viewNames = stages.flatMap(_.sources.keys)
       require(viewNames.distinct.size == viewNames.size,
         s"parallel pipeline '$pipeline' has stages declaring the same " +
           s"source view name: ${viewNames.diff(viewNames.distinct).distinct.mkString(", ")}")
+      val targets = stages.map(_.targetTable).filter(_.nonEmpty)
+      require(targets.distinct.size == targets.size,
+        s"parallel pipeline '$pipeline' has stages writing the same " +
+          s"target table: ${targets.diff(targets.distinct).distinct.mkString(", ")}")
+      val cross = viewNames.toSet.intersect(targets.toSet)
+      require(cross.isEmpty,
+        s"parallel pipeline '$pipeline' uses the same name as a source " +
+          s"view and a target table: ${cross.mkString(", ")}")
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -78,6 +87,17 @@ final class Runner(
   }
 
   def runStage(stage: StageSpec, ph: Map[String, String]): StageMetrics = try {
+    // reject collisions up front: createOrReplaceTempView would overwrite
+    // an existing warehouse/target view and the stage-local drop below
+    // would then DELETE it (temp views don't layer — a drop can't
+    // un-shadow). Also a source view named like this stage's own target
+    // would drop the target view registered during load.
+    stage.sources.keys.foreach { v =>
+      require(v != stage.targetTable,
+        s"stage '${stage.name}': source view '$v' collides with its target table")
+      require(!spark.catalog.tableExists(v),
+        s"stage '${stage.name}': source view '$v' collides with an existing table/view")
+    }
     val t0 = System.nanoTime()
     val extracted = extract(stage, ph)
     val t1 = System.nanoTime()

@@ -22,8 +22,15 @@ final case class ScoredId(score: Double, id: Long)
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
 
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // Double.compare, not > / ==: primitive NaN comparisons are all-false,
+  // which breaks strict-weak ordering (sortWith may throw "Comparison
+  // method violates its general contract!" nondeterministically).
+  // Double.compare is a total order; NaN sorts above +Infinity (Java
+  // semantics), deterministically.
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
     s.sortWith(better).take(k)

@@ -83,6 +83,11 @@ object MergeSink {
       broadcastBatch: Boolean = false): DataFrame = {
     val cleanBatch = dedupeBatch(batch, key)
     val batchCols = cleanBatch.columns.toSet
+    // the TARGET schema is authoritative (json_populate_recordset
+    // coercion, Pype.py:107,126): batch values are cast to the target
+    // column type in EVERY leg — otherwise a wider batch type (e.g.
+    // double vs long) would silently widen the persisted target schema
+    val tType = target.schema.fields.map(f => f.name -> f.dataType).toMap
     if (broadcastBatch) {
       // leg 1: all target rows, batch values where the key matches
       val t = target.alias("t")
@@ -92,7 +97,8 @@ object MergeSink {
           if (key.contains(c) || excluded.contains(c) || !batchCols.contains(c))
             col(s"t.$c").as(c)
           else
-            when(col("__b").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)
+            when(col("__b").isNotNull, col(s"b.$c").cast(tType(c)))
+              .otherwise(col(s"t.$c")).as(c)
         }: _*)
       // leg 2: insert rows (batch keys absent from the target); excluded
       // columns take the batch value on insert, exactly like the
@@ -115,14 +121,16 @@ object MergeSink {
       val joined = t.join(b, keyCond(key), "full_outer")
       val out = target.columns.toSeq.map { c =>
         if (key.contains(c))
-          coalesce(col(s"t.$c"), col(s"b.$c")).as(c)
+          coalesce(col(s"t.$c"), col(s"b.$c").cast(tType(c))).as(c)
         else if (!batchCols.contains(c))
           col(s"t.$c").as(c) // not shipped by batch: keep target / null on insert
         else if (excluded.contains(c))
           // excluded from update: target value wins on match, batch on insert
-          when(col("__t").isNotNull, col(s"t.$c")).otherwise(col(s"b.$c")).as(c)
+          when(col("__t").isNotNull, col(s"t.$c"))
+            .otherwise(col(s"b.$c").cast(tType(c))).as(c)
         else
-          when(col("__b").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)
+          when(col("__b").isNotNull, col(s"b.$c").cast(tType(c)))
+            .otherwise(col(s"t.$c")).as(c)
       }
       joined.select(out: _*)
     }
@@ -142,11 +150,13 @@ object MergeSink {
     val b = b0.withColumn("__b", lit(true)).alias("b")
     val joined = t.join(b, keyCond(key), "left")
     val batchCols = b0.columns.toSet
+    val tType = target.schema.fields.map(f => f.name -> f.dataType).toMap
     val out = target.columns.toSeq.map { c =>
       if (key.contains(c) || excluded.contains(c) || !batchCols.contains(c))
         col(s"t.$c").as(c)
       else
-        when(col("__b").isNotNull, col(s"b.$c")).otherwise(col(s"t.$c")).as(c)
+        when(col("__b").isNotNull, col(s"b.$c").cast(tType(c)))
+          .otherwise(col(s"t.$c")).as(c)
     }
     joined.select(out: _*)
   }
@@ -163,7 +173,9 @@ object MergeSink {
     val idCol = if (ids.columns.contains(identifier)) identifier else ids.columns.head
     val dk = ids.select(col(idCol).as("__del_id")).distinct()
     val d = if (broadcastIds) broadcast(dk) else dk
-    target.join(d, col(identifier) === col("__del_id"), "left_anti")
+    // null-safe like upsert/update's keyCond: a null-keyed row CAN exist
+    // in the target (upsert merges on <=>), so it must be deletable too
+    target.join(d, col(identifier) <=> col("__del_id"), "left_anti")
   }
 
   /** Atomically replace the parquet dir at `path` with `df`: write to a
@@ -177,11 +189,20 @@ object MergeSink {
     val dst = new Path(path)
     val fs = dst.getFileSystem(hconf)
     val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    try df.write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable =>
+      fs.delete(tmp, true) // don't leak a partial .tmp dir beside the target
+      throw e
+    }
     if (fs.exists(dst)) {
       val old = new Path(path + ".old-" + UUID.randomUUID().toString)
       require(fs.rename(dst, old), s"could not stage out old $path")
-      require(fs.rename(tmp, dst), s"could not commit $path")
+      if (!fs.rename(tmp, dst)) {
+        // best-effort rollback: put the previous data back before failing
+        // so the target never ends up simply missing
+        fs.rename(old, dst)
+        throw new IllegalStateException(s"could not commit $path (rolled back)")
+      }
       fs.delete(old, true)
     } else {
       require(fs.rename(tmp, dst), s"could not commit $path")
@@ -198,20 +219,23 @@ object MergeSink {
       key: Seq[String] = Seq("id"),
       identifier: String = "id",
       excluded: Seq[String] = Nil): Unit = {
+    require(Set("upsert", "update", "delete")(loadType),
+      s"unknown load type: $loadType") // validated BEFORE any write, even on a fresh path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(path))
     val result =
-      if (!exists) {
-        if (loadType == "delete") return
-        dedupeBatch(batch, key)
+      if (!exists) loadType match {
+        case "delete" => return // nothing to delete from
+        case "upsert" => dedupeBatch(batch, key)
+        // update-only against an absent target affects zero rows (same as
+        // an existing-but-empty target) — it must NOT degrade to insert
+        case "update" => dedupeBatch(batch, key).limit(0)
       } else {
         val target = spark.read.parquet(path)
         loadType match {
           case "upsert" => upsert(target, batch, key, excluded, broadcastBatch = true)
           case "update" => update(target, batch, key, excluded, broadcastBatch = true)
           case "delete" => delete(target, batch, identifier)
-          case other =>
-            throw new IllegalArgumentException(s"unknown load type: $other")
         }
       }
     writeAtomic(result, path)

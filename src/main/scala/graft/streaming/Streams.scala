@@ -39,7 +39,10 @@ object Streams {
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionAgg(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
-  private final case class SessionState(n: Long, start: Long, last: Long)
+  // public: the streaming state-store encoder constructs this from
+  // GENERATED code (batch mode never serializes state, so a private
+  // constructor only breaks the streaming path)
+  final case class SessionState(n: Long, start: Long, last: Long)
 
   // state timestamps are kept in MICROseconds: Timestamp.getTime is
   // millis-precision and would silently truncate the micro component of
@@ -55,7 +58,13 @@ object Streams {
   /** Session aggregation with a 30-minute inactivity gap, via
     * flatMapGroupsWithState — the custom-state escape hatch the engine
     * exposes for semantics windowed aggs can't express. Emits one row per
-    * closed session; state is per-user and O(1). */
+    * closed session; state is per-user and O(1).
+    *
+    * BATCH contract: each user's complete history arrives in one pass,
+    * so the trailing session is closed at the end. Deployed on a stream
+    * this would fragment sessions at every micro-batch boundary — use
+    * [[sessionizeStreaming]] there, which keeps state across batches and
+    * closes sessions by event-time timeout instead. */
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Int = 30): Dataset[SessionAgg] = {
@@ -85,6 +94,53 @@ object Streams {
             state.remove()
           }
           closed.result().iterator
+      }
+  }
+
+  /** TRUE streaming sessionization: per-user state persists across
+    * micro-batches, sessions close only when the event-time watermark
+    * passes `last event + gap` (GroupStateTimeout.EventTimeTimeout), so
+    * a session spanning many micro-batches is emitted exactly once as
+    * one row. The open tail is held in state until the watermark proves
+    * no more events can join it — the semantics [[sessionize]]'s batch
+    * contract cannot provide on a stream. */
+  def sessionizeStreaming(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final now
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionAgg(user, st.n, fromMicros(st.start), fromMicros(st.last)))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
+            val closed = Seq.newBuilder[SessionAgg]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              if (st == null) st = SessionState(1, t, t)
+              else if (t - st.last > gapUs) {
+                closed += SessionAgg(user, st.n, fromMicros(st.start), fromMicros(st.last))
+                st = SessionState(1, t, t)
+              } else st = SessionState(st.n + 1, st.start, t)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.floorDiv(st.last, 1000L) + gapMinutes * 60000L)
+            }
+            closed.result().iterator
+          }
       }
   }
 }

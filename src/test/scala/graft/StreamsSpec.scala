@@ -63,6 +63,45 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
 
+  test("sessionizeStreaming: one session survives micro-batch boundaries and " +
+    "closes only by event-time timeout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-stream").toString
+    // four single-file micro-batches (maxFilesPerTrigger=1):
+    //   b1: user 7 @10:00,@10:05   b2: user 7 @10:10 (same session)
+    //   b3: user 8 @14:00 (advances max event time)
+    //   b4: user 8 @14:05 (batch runs with watermark 13:50 > 10:40 →
+    //       user 7's open session times out and emits ONCE, n=3)
+    val batches = Seq(
+      Seq((7L, tsAt(10, 0), "a"), (7L, tsAt(10, 5), "b")),
+      Seq((7L, tsAt(10, 10), "c")),
+      Seq((8L, tsAt(14, 0), "x")),
+      Seq((8L, tsAt(14, 5), "y")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-w").toString
+      rows.toDF("user_id", "ts", "event_type").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .as[Event]
+    val q = Streams.sessionizeStreaming(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess_stream").as[SessionAgg].collect().toSeq
+      // user 7's events spanned batches 1-2 but emit as ONE session;
+      // user 8's session is still open (watermark hasn't passed it)
+      assert(out == Seq(SessionAgg(7L, 3, tsAt(10, 0), tsAt(10, 10))))
+    } finally q.stop()
+  }
+
   test("end-to-end streaming run: file source → windowed agg → memory sink " +
     "matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-e2e").toString
