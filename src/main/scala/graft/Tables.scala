@@ -23,9 +23,11 @@ object Tables {
     df.schema.fields.find(f =>
       f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
+        // floor division, not `div` (which truncates toward zero and
+        // would round PRE-epoch nanos to the wrong microsecond)
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
       case None => df
     }
   }

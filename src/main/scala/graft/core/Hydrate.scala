@@ -12,7 +12,11 @@ package graft.core
   */
 object Hydrate {
   def apply(query: String, placeholders: Map[String, String]): String =
-    placeholders.foldLeft(query) { case (q, (k, v)) =>
+    // sorted key order makes cascades deterministic: if one placeholder's
+    // VALUE contains another's {token}, the result no longer depends on
+    // hash-map iteration order (braced tokens can't nest, so sorting is
+    // only about cascade determinism, not match ambiguity)
+    placeholders.toSeq.sortBy(_._1).foldLeft(query) { case (q, (k, v)) =>
       q.replace("{" + k + "}", v)
     }
 }
