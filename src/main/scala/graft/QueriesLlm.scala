@@ -231,19 +231,30 @@ object QueriesLlm {
         |    WHEN score_fr > 0 AND score_fr > score_en AND score_fr > score_es AND score_fr > score_de THEN 'fr'
         |    ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    // LEFT JOIN + coalesce keeps empty-text docs in the output (unnest of
+    // an empty range yields no rows, which would silently DROP the doc
+    // from a bare GROUP BY; the Spark side emits fp=0 for empty text)
     "q46_fingerprint" ->
-      """SELECT doc_id,
-        |  CAST(sum(ascii(substr(text, i, 1)) * ((i * 2654435761) % 1000003)) AS BIGINT) AS fp
-        |FROM (SELECT doc_id, text, CAST(unnest(range(1, length(text) + 1)) AS INT) AS i
-        |      FROM documents)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(sum(ascii(substr(text, i, 1)) * ((i * 2654435761) % 1000003)) AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, text, CAST(unnest(range(1, length(text) + 1)) AS INT) AS i
+        |        FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(f.fp, 0) END AS fp
+        |FROM documents d LEFT JOIN f USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // the CASE guard mirrors decodeStub's empty-input contract (all-zero
+    // features) instead of dividing by length(text) = 0
     "q47_multimodal_features" ->
       ("""SELECT doc_id AS asset_id,
         |  CAST(length(text) AS BIGINT) AS n_bytes,
         |""".stripMargin +
         (0 until 16).map(b =>
-          s"  CAST(len(list_filter(string_split(text, ''), c -> (ascii(c) // 16) = $b)) AS DOUBLE)" +
-            f" / CAST(length(text) AS DOUBLE) AS f$b%02d")
+          s"  CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+            s"CAST(len(list_filter(string_split(text, ''), c -> (ascii(c) // 16) = $b)) AS DOUBLE)" +
+            f" / CAST(length(text) AS DOUBLE) END AS f$b%02d")
           .mkString("", ",\n", "\n") +
         "FROM documents ORDER BY asset_id"),
     // mirrors sampleFrames: step = max(1, len div 4), min(4, len) frames,

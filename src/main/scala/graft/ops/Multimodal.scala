@@ -71,7 +71,6 @@ object Multimodal {
   /** Batched executor-side featurization: assets → (asset_id, features).
     * One pass, no shuffle; the stub is the only non-production line. */
   def featurize(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("features", ArrayType(DoubleType), nullable = false)))
@@ -93,7 +92,8 @@ object Multimodal {
     val out = new Array[Byte](target)
     var i = 0
     while (i < target) {
-      out(i) = bytes(i * bytes.length / target)
+      // Long arithmetic: i * length overflows Int for blobs > ~34 MB
+      out(i) = bytes((i.toLong * bytes.length / target).toInt)
       i += 1
     }
     out
@@ -103,7 +103,6 @@ object Multimodal {
     * `meta.n_bytes` to match. Narrow map, no shuffle — the same
     * plumbing a real image-resize kernel plugs into. */
   def resize(assets: DataFrame, target: Int = 64): DataFrame = {
-    val spark = assets.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(assetSchema)
     assets.select("asset_id", "modality", "bytes", "meta").mapPartitions { rows =>
       rows.map { r =>
