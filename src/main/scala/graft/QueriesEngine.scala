@@ -64,12 +64,12 @@ object QueriesEngine {
           |    key: [l_orderkey, l_linenumber]
           |    post_query: "CREATE OR REPLACE TEMP VIEW q33_post AS SELECT count(*) AS n FROM q33_revenue"
           |""".stripMargin
-      // deterministic per-sf path, NOT a fresh uuid dir per invocation:
-      // repeated verify/bench rounds would otherwise accumulate unbounded
-      // /tmp parquet. Re-running upserts the same batch into the existing
-      // target — a no-op by upsert idempotence (property-tested), so the
-      // result is identical on every run.
+      // deterministic per-sf path, NOT a fresh uuid dir per invocation
+      // (repeated verify/bench rounds would accumulate unbounded /tmp
+      // parquet) — but cleared up front so a target left by a PREVIOUS
+      // round can never leak stale rows into this run's merge
       val tmp = "/tmp/graft-run-" + Integer.toHexString(dir.hashCode)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
         Map("cutoff" -> "1996-01-01"), tmp)
       runner.run("demo")
@@ -83,7 +83,11 @@ object QueriesEngine {
     "q34_source_csv_json" -> ((s, dir) => {
       // fixtures: csv/json copies of two dim tables, derived from the
       // parquet testdata once per sf dir (deterministic content)
-      val fix = "/tmp/graft-fix-" + Integer.toHexString(dir.hashCode)
+      // fixture path keyed on the source parquet's identity (len+mtime),
+      // not just the dir name: regenerated testdata gets fresh fixtures
+      val nsrc = new java.io.File(s"$dir/nation.parquet")
+      val fix = "/tmp/graft-fix-" + java.lang.Long.toHexString(
+        dir.hashCode.toLong ^ nsrc.length() ^ nsrc.lastModified())
       // existence-guarded so the fixtures really are written once per sf
       // dir (deterministic content; bench invokes every query twice)
       if (!new java.io.File(s"$fix/nation_csv/_SUCCESS").exists()) {
