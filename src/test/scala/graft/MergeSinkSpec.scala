@@ -161,4 +161,20 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
       MergeSink.mergeIntoParquet(spark, batch, path, "truncate")
     }
   }
+
+  test("mergeIntoParquet: unknown load type raises even on a fresh path") {
+    val path = Files.createTempDirectory("graft-unknown2").toString + "/t"
+    intercept[IllegalArgumentException] {
+      MergeSink.mergeIntoParquet(spark, batch, path, "truncate")
+    }
+    assert(!new java.io.File(path).exists()) // nothing was written
+  }
+
+  test("mergeIntoParquet: update against an absent target affects zero rows, not insert") {
+    val path = Files.createTempDirectory("graft-upd-absent").toString + "/t"
+    MergeSink.mergeIntoParquet(spark, batch, path, "update")
+    // target created with the batch schema but EMPTY — same result as an
+    // existing-but-empty target; first run must not degrade to insert
+    assert(spark.read.parquet(path).count() == 0)
+  }
 }
