@@ -170,6 +170,21 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(path).exists()) // nothing was written
   }
 
+  test("upsert/update: batch values cast to the TARGET column type (schema authority)") {
+    import spark.implicits._
+    val t = Seq((1L, 10L), (2L, 20L)).toDF("id", "v") // v: LONG
+    val b = Seq((1L, 99.9), (3L, 33.3)).toDF("id", "v") // v: DOUBLE
+    for (bc <- Seq(true, false)) {
+      val up = MergeSink.upsert(t, b, broadcastBatch = bc)
+      assert(up.schema("v").dataType == org.apache.spark.sql.types.LongType,
+        s"broadcastBatch=$bc: batch double must cast to target long, " +
+          s"got ${up.schema("v").dataType}")
+      assert(canon(up) == canon(Seq((1L, 99L), (2L, 20L), (3L, 33L)).toDF("id", "v")))
+    }
+    val upd = MergeSink.update(t, b)
+    assert(upd.schema("v").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("mergeIntoParquet: update against an absent target affects zero rows, not insert") {
     val path = Files.createTempDirectory("graft-upd-absent").toString + "/t"
     MergeSink.mergeIntoParquet(spark, batch, path, "update")
