@@ -38,10 +38,14 @@ object Bench {
         }
       }
     // best-of-2: identical plans vary up to ~2x run-to-run on a shared
-    // box; the per-query minimum is the standard noise-resistant estimate
+    // box; the per-query minimum is the standard noise-resistant estimate.
+    // A -1 failure sentinel only survives when EVERY pass failed — a
+    // transient failure must not override a valid timing (min(-1, t)
+    // would report the query as failed AND shrink the total).
     val runs = Seq(onePass(), onePass())
     val results = runs.head.map(_._1).map { name =>
-      name -> runs.map(_.toMap.apply(name)).min
+      val ts = runs.map(_.toMap.apply(name)).filter(_ >= 0)
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -44,6 +44,10 @@ object AsOf {
       direction: String = "backward"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
+    val internal = Set("_k", "_t", "_l", "_r", "_side", "_match")
+    val clash = left.columns.toSet.intersect(internal)
+    require(clash.isEmpty,
+      s"asof: left columns collide with internal names: ${clash.mkString(", ")}")
     val carried = (tieBreak ++ payload.map(_._1)).distinct
     // null-KEY right rows are dropped too: the window's partitionBy
     // groups nulls together, but the equi-join semantics this operator
@@ -65,7 +69,12 @@ object AsOf {
         rSel.select(
           lit(null).cast(lType).as("_l"), col("_k"), col("_t"), col("_r"))
           .withColumn("_side", lit(0)))
-    val tOrd = if (direction == "backward") col("_t").asc else col("_t").desc
+    // nulls FIRST in both directions: a null-time left row must precede
+    // every right row so the running last() hands it a null payload —
+    // plain .desc defaults to nulls LAST, which would hand a null-time
+    // left row the earliest right row in forward mode
+    val tOrd = if (direction == "backward") col("_t").asc_nulls_first
+      else col("_t").desc_nulls_first
     val ord: Seq[Column] =
       tOrd +: col("_side").asc +: tieBreak.map(c => col("_r").getField(c).asc)
     val w = Window.partitionBy("_k").orderBy(ord: _*)

@@ -310,9 +310,12 @@ object Dedup {
     * bounded by the component diameter — near-dup graphs are dense
     * clique-ish clusters (diameter 2-3), not long chains, so a handful of
     * rounds converge. Each round is one shuffle (join + groupBy on id);
-    * `localCheckpoint` truncates the lineage so round N's plan doesn't
-    * re-execute rounds 1..N-1 — the checkpointing SURVEY §7 calls out as
-    * the hard part of making this survive iteration at 100 TB.
+    * an eager `localCheckpoint` truncates the logical plan (unbounded
+    * lineage would blow up Catalyst analysis exponentially) and the
+    * superseded round's checkpoint blocks are freed explicitly, so
+    * iteration storage is exactly two label snapshots — the
+    * lineage-vs-storage management SURVEY §7 calls out as the hard part
+    * of surviving iteration at 100 TB.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -321,17 +324,24 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = sym.select(col("src").as("id")).distinct()
+    var checkpointed = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    var labels: DataFrame = checkpointed
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("component").as("nc"))
-      // carry the old label through the round so convergence is a filter
-      // on the checkpointed result — not a second join + count job
+      // localCheckpoint is load-bearing here: it truncates the LOGICAL
+      // plan each round — with plain persist the round-N plan embeds the
+      // whole round-1..N-1 tree and Catalyst work grows exponentially
+      // (a 10-round chain OOMs the driver on plan analysis alone). The
+      // eager checkpoint also materializes the snapshot, so the PREVIOUS
+      // round's blocks can be freed immediately below (the Dataset API
+      // alone can't unpersist checkpoint storage — GraftSqlBridge reaches
+      // the backing RDD): exactly two label snapshots are ever resident.
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"), col("component").as("prev"),
@@ -339,6 +349,9 @@ object Dedup {
             .as("component"))
         .localCheckpoint()
       converged = next.filter(col("component") =!= col("prev")).isEmpty
+      org.apache.spark.sql.GraftSqlBridge.checkpointRdd(checkpointed)
+        .foreach(_.unpersist(blocking = false))
+      checkpointed = next
       labels = next.select("id", "component")
       iter += 1
     }

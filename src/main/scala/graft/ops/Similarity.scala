@@ -77,6 +77,9 @@ object Similarity {
   /** Deterministic random hyperplanes: L tables × H planes × dim weights,
     * seeded once — identical on every run and every executor. */
   private[ops] def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    require(bits >= 1 && bits <= 64,
+      s"signature bits must be in 1..64, got $bits — 1L << i wraps mod 64, " +
+        "so higher bit counts would silently collide planes")
     val rnd = new Random(42)
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
@@ -199,7 +202,14 @@ object Similarity {
     }
     val qb = bucketed(queries, "query_id", "qv")
     val cb = bucketed(corpus, "cand_id", "cv")
-    val cand = qb.join(cb, Seq("table", "sig"))
+    // cap corpus bucket sizes like every sibling LSH path: a degenerate
+    // signature bucket would otherwise fan out |q_bucket|×|c_bucket| rows
+    // unbounded (an over-full bucket means the signature carries no
+    // discriminating signal there anyway)
+    val okBuckets = cb.groupBy("table", "sig").count()
+      .filter(col("count") <= 10000).select("table", "sig")
+    val cbCapped = cb.join(okBuckets, Seq("table", "sig"), "left_semi")
+    val cand = qb.join(cbCapped, Seq("table", "sig"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "qv", "cand_id", "cv")
       .dropDuplicates("query_id", "cand_id")
@@ -265,13 +275,19 @@ object Similarity {
     require(cents.nonEmpty, "ivfTopK: corpus is empty — nothing to index")
     var it = 0
     while (it < iters) {
+      // the mean goes through DECIMAL like every order-sensitive sum in
+      // the battery: a double avg() sums in shuffle-arrival order, so a
+      // centroid coordinate could differ by ulps between runs and flip
+      // near-tied cell assignments — breaking the documented determinism
       val means = c
         .withColumn("cell", element_at(cellsRanked(col("cv"), cents), 1).getField("cell"))
         .select(col("cell"), posexplode(col("cv")))
-        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cell", "pos")
+        .agg(avg(col("col").cast("decimal(28,10)")).as("m"))
         .collect()
       val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      means.foreach(r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue())
       cents = next.map(normalized) // empty cells keep their old centroid
       it += 1
     }

@@ -12,4 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The RDD backing a `localCheckpoint()`ed Dataset, so iterative
+    * algorithms can free a superseded checkpoint's blocks explicitly —
+    * the Dataset API offers no way to unpersist checkpoint storage. */
+  def checkpointRdd(df: Dataset[Row]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }
