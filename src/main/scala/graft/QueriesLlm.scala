@@ -25,6 +25,13 @@ object QueriesLlm {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- exact CHARACTER-n-gram Jaccard pairs (the boundary-less-script /
+    //    short-text variant of q41; same grouped-explode machinery)
+    "q55_jaccard_char" -> ((s, dir) => {
+      Dedup.jaccardPairsChar(Tables.load(s, dir, "documents"), threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // -- near-dup clustering: connected components over the Jaccard pair
     //    graph → doc_id → cluster-representative (what a dedup pipeline
     //    actually consumes; pairs alone don't pick survivors)
@@ -167,6 +174,28 @@ object QueriesLlm {
         |  round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) AS jaccard
         |FROM inter
         |WHERE round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q55_jaccard_char" ->
+      """WITH n AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN length(t) < 5 THEN [t]
+        |    ELSE [substr(t, i, 5) for i in range(1, length(t) - 3)] END) AS sh
+        |  FROM n),
+        |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
+        |freq AS (SELECT shingle FROM posts GROUP BY shingle
+        |         HAVING count(*) >= 2 AND count(*) <= 10000),
+        |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i
+        |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |WHERE round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     // connected components re-derived with a recursive CTE over the same
     // pair graph as q41; isolated docs are their own cluster

@@ -94,7 +94,18 @@ object Dedup {
           (_, i) => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
-  /** Exact n-gram Jaccard similarity pairs >= threshold.
+  /** Character k-gram shingles of a document (distinct) — the standard
+    * alternative to word shingles for scripts without word boundaries
+    * and for short texts where word grams are too sparse. */
+  def charShingles(text: Column, k: Int = 5): Column =
+    array_distinct(
+      when(length(text) < k, array(text))
+        .otherwise(transform(
+          sequence(lit(1), length(text) - (k - 1)),
+          i => text.substr(i, lit(k)))))
+
+  /** Exact n-gram Jaccard similarity pairs >= threshold over WORD
+    * k-grams; [[jaccardPairsChar]] is the character-gram form.
     *
     * Implementation: explode distinct shingles, self-join on shingle
     * (bounded by shingle posting-list sizes — at web scale you'd first
@@ -107,11 +118,31 @@ object Dedup {
       k: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxDocFreq: Long = 10000L): DataFrame = {
-    val sizes = widen(df).select(
-      col(idCol).as("id"),
-      shingles(normalize(col(textCol)), k).as("sh"))
-      .withColumn("setsize", size(col("sh")))
+      maxDocFreq: Long = 10000L): DataFrame =
+    jaccardFromShingles(
+      widen(df).select(col(idCol).as("id"),
+        shingles(normalize(col(textCol)), k).as("sh")),
+      threshold, maxDocFreq)
+
+  /** Exact character-n-gram Jaccard pairs (same machinery, char grams). */
+  def jaccardPairsChar(
+      df: DataFrame,
+      threshold: Double,
+      k: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Long = 10000L): DataFrame =
+    jaccardFromShingles(
+      widen(df).select(col(idCol).as("id"),
+        charShingles(normalize(col(textCol)), k).as("sh")),
+      threshold, maxDocFreq)
+
+  /** Shared pair-generation core over a pre-shingled `(id, sh)` frame. */
+  private def jaccardFromShingles(
+      shingled: DataFrame,
+      threshold: Double,
+      maxDocFreq: Long): DataFrame = {
+    val sizes = shingled.withColumn("setsize", size(col("sh")))
     // explode_OUTER, then drop nulls: plain explode makes Catalyst infer a
     // `size(sh)>0 AND isnotnull(sh)` filter (InferFiltersFromGenerate)
     // which alias-substitutes into the FULL shingle expression and pushes

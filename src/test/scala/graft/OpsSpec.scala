@@ -175,6 +175,24 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head._1 == 1L && out.head._2 == 1.0 && out.head._3 == 1) // its clone, same cell
   }
 
+  test("charShingles: sliding char grams, short text collapses to itself") {
+    val df = Seq(("abcdef", 0), ("ab", 1)).toDF("text", "i")
+    val out = df.select(Dedup.charShingles(col("text"), 4).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("abcd", "bcde", "cdef"))
+    assert(out(1) == Seq("ab"))
+  }
+
+  test("jaccardPairsChar finds character-level near-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"), // char-level near-dup of 1
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairsChar(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
   test("hot-key guard: universal boilerplate shingles don't explode pair generation") {
     // 400 docs all sharing a 5-word boilerplate prefix (every boilerplate
     // shingle has df=400) plus a unique tail; 2 real near-dup docs.
