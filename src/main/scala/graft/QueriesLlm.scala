@@ -26,9 +26,23 @@ object QueriesLlm {
     }),
 
     // -- exact CHARACTER-n-gram Jaccard pairs (the boundary-less-script /
-    //    short-text variant of q41; same grouped-explode machinery)
+    //    short-text variant of q41; same grouped-explode machinery).
+    //    Runs on the SHORT-document slice — char grams' actual use case
+    //    (word shingles are too sparse there): exact char-gram Jaccard is
+    //    O(Σ df²) and natural language shares so many char grams that
+    //    nearly every doc pair co-occurs — at corpus scale use q56's
+    //    banded form.
     "q55_jaccard_char" -> ((s, dir) => {
-      Dedup.jaccardPairsChar(Tables.load(s, dir, "documents"), threshold = 0.5)
+      Dedup.jaccardPairsChar(
+        Tables.load(s, dir, "documents").filter(length(col("text")) < 200),
+        threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- char-gram near-dup at scale: MinHash-LSH over charShingles
+    //    (no oracle: banded approximation by design, deterministic)
+    "q56_minhash_char" -> ((s, dir) => {
+      Dedup.minhashLshPairsChar(Tables.load(s, dir, "documents"), threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
@@ -179,7 +193,7 @@ object QueriesLlm {
       """WITH n AS (
         |  SELECT doc_id AS id,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |  FROM documents),
+        |  FROM documents WHERE length(text) < 200),
         |sh AS (
         |  SELECT id, list_distinct(CASE WHEN length(t) < 5 THEN [t]
         |    ELSE [substr(t, i, 5) for i in range(1, length(t) - 3)] END) AS sh

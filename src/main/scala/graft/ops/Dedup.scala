@@ -225,7 +225,34 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    minhashLshFromShingler(df, threshold,
+      t => shingles(normalize(t), k), bands, rowsPerBand, idCol, textCol)
+
+  /** MinHash-LSH over CHARACTER k-grams — the scale path for char-level
+    * near-dup detection: exact char-gram Jaccard ([[jaccardPairsChar]])
+    * is O(Σ df²) and natural-language corpora share so many char grams
+    * that nearly every doc pair co-occurs somewhere; banding keeps the
+    * candidate set proportional to true near-dups instead. */
+  def minhashLshPairsChar(
+      df: DataFrame,
+      threshold: Double,
+      k: Int = 5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    minhashLshFromShingler(df, threshold,
+      t => charShingles(normalize(t), k), bands, rowsPerBand, idCol, textCol)
+
+  private def minhashLshFromShingler(
+      df: DataFrame,
+      threshold: Double,
+      shingler: Column => Column,
+      bands: Int,
+      rowsPerBand: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
     val numHashes = bands * rowsPerBand
     // shingle → hash → signature in three separate projections so each
     // pass is computed once (CollapseProject keeps non-cheap expressions
@@ -234,7 +261,7 @@ object Dedup {
     // shingle arrays themselves.
     val wide = widen(df)
     val banded = wide
-      .select(col(idCol).as("id"), shingles(normalize(col(textCol)), k).as("sh"))
+      .select(col(idCol).as("id"), shingler(col(textCol)).as("sh"))
       .select(col("id"), hashShingles(col("sh")).as("hashed"))
       .select(col("id"), minhashSignature(col("hashed"), numHashes).as("sig"))
       .select(
@@ -269,7 +296,7 @@ object Dedup {
     // rehydratePairs for the shape
     val candDocs = restrictToCandidates(
       wide.select(col(idCol).as("id"), col(textCol).as("__txt")), cand)
-      .select(col("id"), shingles(normalize(col("__txt")), k).as("p"))
+      .select(col("id"), shingler(col("__txt")).as("p"))
     rehydratePairs(cand, candDocs)
       .withColumnRenamed("p_a", "sh_a").withColumnRenamed("p_b", "sh_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
