@@ -31,6 +31,19 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     assert(comps.values.toSet == Set(1L))
   }
 
+  test("dedupClusters: every cluster representative maps to itself") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa"), (2L, "bbb"), (3L, "ccc"), (4L, "ddd"), (5L, "eee"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b") // {2,4,5} cluster
+    val out = Dedup.dedupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+    // the assignment is a projection: applying it to representatives is id
+    out.values.foreach(rep => assert(out(rep) == rep))
+  }
+
   test("non-convergence within maxIter fails loud, not with split components") {
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
