@@ -44,14 +44,17 @@ object Dedup {
   }
 
   /** Semi-join a per-id table down to the ids appearing in a candidate
-    * pair list. The candidate side broadcasts: candidates are post-dedup
-    * and bounded by the LSH bucket caps, while the per-id table is the
-    * corpus — filtering BEFORE any expensive per-doc derivation keeps
-    * that derivation off the non-candidate 99.99% at 100 TB. */
+    * pair list — filtering BEFORE any expensive per-doc derivation keeps
+    * that derivation off the non-candidate 99.99% at 100 TB. No broadcast
+    * hint: per-bucket caps bound each bucket, not the UNION of buckets,
+    * so the distinct candidate-id set can approach corpus cardinality on
+    * a near-dup-heavy corpus — a forced broadcast would blow the driver
+    * there. AQE picks broadcast at runtime when the set is actually small
+    * (the common case) and a shuffled semi-join when it isn't. */
   private[ops] def restrictToCandidates(perId: DataFrame, cand: DataFrame): DataFrame = {
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    perId.join(broadcast(candIds), Seq("id"), "left_semi")
+    perId.join(candIds, Seq("id"), "left_semi")
   }
 
   /** Re-attach a per-id payload column `p` to candidate pairs

@@ -175,7 +175,15 @@ object Similarity {
 
   /** Approximate top-k via LSH bucketing: join on (table, signature),
     * exact-score candidates, keep per-query top-k. Recall grows with
-    * `tables`; bucket size shrinks with `bits`. */
+    * `tables`; bucket size shrinks with `bits`.
+    *
+    * Shuffle discipline (same shape as [[cosineDupPairsLsh]]): ONLY
+    * `(id, table, sig)` rides the band exchange — a vector attached here
+    * would cross the wire once per table (×8 the embedding table). The
+    * deduped `(query_id, cand_id)` candidate list rehydrates each side's
+    * vector exactly once, so a pair costs one vector shipment no matter
+    * how many tables it collided in. Pinned by PlanSpec ("q49: no array
+    * payload below the band exchange"). */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -186,7 +194,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val ps = planes(tables, bits, dim)
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+    def bucketedIds(df: DataFrame, id: String): DataFrame = {
       val sigs = (0 until tables).map { t =>
         struct(lit(t).as("table"), signature(col(vecCol), ps(t)).as("sig"))
       }
@@ -195,13 +203,12 @@ object Similarity {
       // signature array a second time at the (possibly unsplittable)
       // scan — see Dedup.jaccardPairs for the full pathology.
       Dedup.widen(df)
-        .select(col(idCol).as(id), col(vecCol).as(vec),
-          explode_outer(array(sigs: _*)).as("b"))
+        .select(col(idCol).as(id), explode_outer(array(sigs: _*)).as("b"))
         .filter(col("b").isNotNull)
-        .select(col(id), col(vec), col("b.table"), col("b.sig"))
+        .select(col(id), col("b.table"), col("b.sig"))
     }
-    val qb = bucketed(queries, "query_id", "qv")
-    val cb = bucketed(corpus, "cand_id", "cv")
+    val qb = bucketedIds(queries, "query_id")
+    val cb = bucketedIds(corpus, "cand_id")
     // cap corpus bucket sizes like every sibling LSH path: a degenerate
     // signature bucket would otherwise fan out |q_bucket|×|c_bucket| rows
     // unbounded (an over-full bucket means the signature carries no
@@ -211,12 +218,20 @@ object Similarity {
     val cbCapped = cb.join(okBuckets, Seq("table", "sig"), "left_semi")
     val cand = qb.join(cbCapped, Seq("table", "sig"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "qv", "cand_id", "cv")
+      .select("query_id", "cand_id")
       .dropDuplicates("query_id", "cand_id")
+    // rehydrate post-dedup — no broadcast hint on either side: the
+    // candidate id set is NOT bounded by per-bucket caps (it's a union
+    // across buckets), so AQE decides at runtime — broadcast when small,
+    // shuffled join when not.
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cVecs = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     cand
+      .join(cVecs, "cand_id")
+      .join(qVecs, "query_id")
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -255,7 +270,14 @@ object Similarity {
     * round for the mean and once at the end for cell assignment. Probing
     * reads ~nprobe/nlist of the corpus per query — the fraction a 100 TB
     * deployment tunes with nlist. Deterministic: seeded init (lowest ids),
-    * fixed iteration count, sequential HOF folds, ties on cell id. */
+    * fixed iteration count, sequential HOF folds, ties on cell id.
+    *
+    * The quantizer TRAINS on a bounded sample (~`trainPerCell` vectors
+    * per centroid, selected by a deterministic id-hash so the subset is
+    * partition-layout-independent): k-means quality needs only a few
+    * hundred points per cell, so at 100 TB the Lloyd rounds touch a
+    * fixed-size slice instead of scanning the corpus `iters` times; the
+    * full corpus is read once, for the final cell assignment. */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -263,23 +285,36 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       iters: Int = 3,
+      trainPerCell: Int = 256,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = Dedup.widen(corpus)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-    // deterministic init: the nlist lowest-id vectors, unit-normalized
+    // deterministic init: the nlist lowest-id vectors, unit-normalized.
+    // getSeq[Number]: the embedding column may be array<float> OR
+    // array<double> (VecDot/cosine accept both), so read boxed numerics
     var cents: Array[Array[Double]] = corpus
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
       .collect()
-      .map(r => normalized(r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map(r => normalized(r.getSeq[Number](1).map(_.doubleValue()).toArray))
     require(cents.nonEmpty, "ivfTopK: corpus is empty — nothing to index")
+    // bounded, deterministic training sample: keep ids whose hash falls in
+    // 1/denom of the space. A count() sizes denom (cheap: parquet footer
+    // metadata — `corpus`, not the widened/projected `c`); the id-hash
+    // filter (unlike df.sample) picks the same subset regardless of
+    // partition count or row order, so centroids are reproducible.
+    val corpusN = corpus.count()
+    val denom = math.max(1L, corpusN / (nlist.toLong * trainPerCell))
+    val train =
+      if (denom <= 1L) c
+      else c.filter(pmod(xxhash64(col("cand_id")), lit(denom)) === 0)
     var it = 0
     while (it < iters) {
       // the mean goes through DECIMAL like every order-sensitive sum in
       // the battery: a double avg() sums in shuffle-arrival order, so a
       // centroid coordinate could differ by ulps between runs and flip
       // near-tied cell assignments — breaking the documented determinism
-      val means = c
+      val means = train
         .withColumn("cell", element_at(cellsRanked(col("cv"), cents), 1).getField("cell"))
         .select(col("cell"), posexplode(col("cv")))
         .groupBy("cell", "pos")

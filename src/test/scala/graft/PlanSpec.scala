@@ -56,6 +56,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"query side should broadcast into a NLJ:\n$p")
   }
 
+  test("q49: band exchange carries ids only — no vector payload below it") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val exec = SparkEntry.queries("q49_ann_lsh")(spark, dir)
+      .queryExecution.sparkPlan
+    val bandExchanges = exec.collect {
+      case e: ShuffleExchangeExec if (e.outputPartitioning match {
+            case h: HashPartitioning =>
+              h.expressions.flatMap(_.references.map(_.name).toSeq).contains("sig")
+            case _ => false
+          }) => e
+    }
+    assert(bandExchanges.nonEmpty, s"expected a (table, sig) exchange:\n$exec")
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"an array column rides the band exchange (×tables shuffle payload):\n$e")
+    }
+  }
+
   test("q30: upsert decomposition broadcasts the batch on both legs") {
     val p = plan("q30_merge_upsert")
     assert(!p.contains("SortMergeJoin"),
