@@ -21,8 +21,13 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     }
+    // Optional comma-separated query-name filter for local iteration
+    // (unset = full battery; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop write: computes and consumes every output column (a count()
         // would let Catalyst prune projections/sorts and under-measure the

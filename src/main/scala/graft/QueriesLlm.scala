@@ -13,6 +13,29 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object QueriesLlm {
 
+  /** Shared ANN-vs-exact audit (q60/q61): emits rank-dominance and
+    * score-recomputation violations — both empty for a correct index. */
+  private def annAudit(
+      ann: DataFrame, brute: DataFrame, emb: DataFrame): DataFrame = {
+    val dom = ann
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos").as("a_cos"))
+      .join(brute.select(col("query_id"), col("rank"), col("cos").as("b_cos")),
+        Seq("query_id", "rank"))
+      .filter(col("a_cos") > col("b_cos"))
+      .select(col("query_id"), col("cand_id"),
+        lit("rank_dominance").as("violation"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val rescored = ann
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id")
+      .join(vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        "cand_id")
+      .filter(round(Similarity.cosine(col("qv"), col("cv")), 4) =!= col("cos"))
+      .select(col("query_id"), col("cand_id"),
+        lit("score_mismatch").as("violation"))
+    dom.union(rescored).orderBy("query_id", "cand_id", "violation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: hash-groupBy on normalized text (one shuffle)
     "q40_exact_dedup" -> ((s, dir) => {
@@ -148,6 +171,105 @@ object QueriesLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // ---------------------------------------------------------- audits
+    // Self-verifying entries for the sketch operators: each approximate
+    // query (no SQL oracle possible — engine-specific hashes) is checked
+    // against its exact sibling ON THE SAME INPUT, emitting VIOLATIONS of
+    // invariants the implementation guarantees (exact verification ⇒ no
+    // false positives; shared scoring ⇒ identical scores). The oracle is
+    // `WHERE false`: a non-empty result is a red hash-mismatch in the
+    // driver's gate instead of a silent rows-only pass. Recall misses are
+    // NOT violations (LSH is allowed to miss near-threshold pairs).
+
+    // q42 (MinHash-LSH word grams) vs q41 (exact Jaccard): every LSH pair
+    // must appear in the exact output with the same jaccard.
+    "q57_minhash_audit" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lsh = Dedup.minhashLshPairs(docs, threshold = 0.3)
+        .withColumnRenamed("jaccard", "j_lsh")
+      val exact = Dedup.jaccardPairs(docs, threshold = 0.3)
+        .withColumnRenamed("jaccard", "j_exact")
+      lsh.join(exact, Seq("id_a", "id_b"), "left")
+        .filter(col("j_exact").isNull || col("j_lsh") =!= col("j_exact"))
+        .select(col("id_a"), col("id_b"),
+          when(col("j_exact").isNull, lit("false_positive"))
+            .otherwise(lit("score_mismatch")).as("violation"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // q56's operator (MinHash-LSH char grams) vs q55's (exact char-gram
+    // Jaccard), both on the short-doc slice so the subset property is
+    // input-for-input exact.
+    "q58_minhash_char_audit" -> ((s, dir) => {
+      val short = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) < 200)
+      val lsh = Dedup.minhashLshPairsChar(short, threshold = 0.5)
+        .withColumnRenamed("jaccard", "j_lsh")
+      val exact = Dedup.jaccardPairsChar(short, threshold = 0.5)
+        .withColumnRenamed("jaccard", "j_exact")
+      lsh.join(exact, Seq("id_a", "id_b"), "left")
+        .filter(col("j_exact").isNull || col("j_lsh") =!= col("j_exact"))
+        .select(col("id_a"), col("id_b"),
+          when(col("j_exact").isNull, lit("false_positive"))
+            .otherwise(lit("score_mismatch")).as("violation"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // q52 (embedding LSH near-dup) vs q51 (exact broadcast NLJ): LSH
+    // output must be a subset with identical rounded cosines.
+    "q59_embed_lsh_audit" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val lsh = Similarity.cosineDupPairsLsh(e, threshold = 0.4, bits = 6)
+        .withColumnRenamed("cos", "c_lsh")
+      val exact = Similarity.cosineDupPairs(e, threshold = 0.4)
+        .withColumnRenamed("cos", "c_exact")
+      lsh.join(exact, Seq("id_a", "id_b"), "left")
+        .filter(col("c_exact").isNull || col("c_lsh") =!= col("c_exact"))
+        .select(col("id_a"), col("id_b"),
+          when(col("c_exact").isNull, lit("false_positive"))
+            .otherwise(lit("score_mismatch")).as("violation"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // q49 (LSH ANN top-k) vs q48 (exact top-k): (a) at every rank the ANN
+    // cosine cannot EXCEED the exact one (exact top-k dominates any
+    // candidate subset); (b) every reported ANN score must equal the
+    // recomputed true cosine (pins the rehydration join — a wrong vector
+    // attached to a candidate would surface here).
+    "q60_ann_lsh_audit" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      annAudit(Similarity.lshTopK(q, e, k = 5),
+        Similarity.bruteForceTopK(q, e, k = 5), e)
+    }),
+
+    // q53 (IVF ANN top-k) vs q48: same two invariants.
+    "q61_ann_ivf_audit" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      annAudit(Similarity.ivfTopK(q, e, k = 5),
+        Similarity.bruteForceTopK(q, e, k = 5), e)
+    }),
+
+    // q43 (SimHash banded pairs): recompute each side's simhash FROM THE
+    // TEXT and re-derive the hamming distance — pins the
+    // hash-rides-in-the-grouped-list optimization (a wrong hash paired
+    // with an id inside the bucket lists would surface here).
+    "q62_simhash_audit" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      val h = docs.select(col("doc_id"),
+        Dedup.simhash(Dedup.normalize(col("text"))).as("h"))
+      pairs
+        .join(h.select(col("doc_id").as("id_a"), col("h").as("h_a")), "id_a")
+        .join(h.select(col("doc_id").as("id_b"), col("h").as("h_b")), "id_b")
+        .filter(
+          bit_count(col("h_a").bitwiseXOR(col("h_b"))) =!= col("hamming") ||
+            col("hamming") > 3)
+        .select(col("id_a"), col("id_b"), lit("hamming_mismatch").as("violation"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // -- multimodal frame sampling: binary assets → (asset, frame_no,
     //    frame) child rows via partition-local mapPartitions (the video
     //    frame-extraction shape). Frames emitted as strings — the
@@ -161,7 +283,22 @@ object QueriesLlm {
         .orderBy("asset_id", "frame_no")
     }))
 
+  /** Empty-result oracle for the audit entries: the invariant is "no
+    * violations", so the oracle is the empty relation with the audit's
+    * schema — any violation row becomes a hard hash/row mismatch in the
+    * driver's gate. */
+  private def noViolations(idA: String, idB: String): String =
+    s"""SELECT CAST(NULL AS BIGINT) AS $idA, CAST(NULL AS BIGINT) AS $idB,
+       |  CAST(NULL AS VARCHAR) AS violation
+       |WHERE false""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q57_minhash_audit" -> noViolations("id_a", "id_b"),
+    "q58_minhash_char_audit" -> noViolations("id_a", "id_b"),
+    "q59_embed_lsh_audit" -> noViolations("id_a", "id_b"),
+    "q60_ann_lsh_audit" -> noViolations("query_id", "cand_id"),
+    "q61_ann_ivf_audit" -> noViolations("query_id", "cand_id"),
+    "q62_simhash_audit" -> noViolations("id_a", "id_b"),
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id,
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,

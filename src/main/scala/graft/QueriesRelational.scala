@@ -384,9 +384,87 @@ object QueriesRelational {
         tieBreak = Seq("o_orderkey"))
         .select("event_id", "user_id", "last_order", "last_price")
         .orderBy("event_id")
+    }),
+
+    // -- salted skewed join (graft.ops.Skew): lineitem keyed by
+    //    l_returnflag is a deliberately pathological distribution — 3
+    //    distinct keys over the whole table, so an unsalted shuffled join
+    //    would land ~1/3 of the table on each of THREE reducers no matter
+    //    how many executors exist. saltedJoin spreads each key over 8
+    //    sub-keys. Results are provably salt-invariant; the oracle is the
+    //    plain join.
+    "q27_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val rates = Seq(("A", 0.05), ("N", 0.10), ("R", 0.15))
+        .toDF("flag", "rate")
+      val big = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), dec(col("l_quantity")).as("qty"))
+      graft.ops.Skew.saltedJoin(big, rates, "flag", salts = 8)
+        .groupBy("flag", "rate")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+        .select(col("flag"), col("rate"), col("n"),
+          round(col("sq").cast("double") * col("rate"), 2).as("weighted_qty"))
+        .orderBy("flag")
+    }),
+
+    // -- bucketed co-located join (graft.sources.writeBucketed): both
+    //    sides pre-shuffled into 8 buckets on the join key at WRITE time,
+    //    so the join (and the groupBy on the same key) runs with ZERO
+    //    exchanges — the pay-once-shuffle-at-ingest half of the 100 TB
+    //    toolkit (PlanSpec pins the exchange-free plan). Table names are
+    //    per-SF so scale factors don't cross-contaminate; Overwrite makes
+    //    re-runs idempotent.
+    "q28_bucketed_join" -> ((s, dir) => {
+      val tag = math.abs(dir.hashCode).toString
+      val oT = s"graft_bk_orders_$tag"
+      val cT = s"graft_bk_customer_$tag"
+      graft.sources.Sources.writeBucketed(
+        T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        oT, "o_custkey", buckets = 8)
+      graft.sources.Sources.writeBucketed(
+        T(s, dir, "customer").select("c_custkey", "c_name"),
+        cT, "c_custkey", buckets = 8)
+      s.table(oT).join(s.table(cT), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- HLL audit: q11's approx_count_distinct checked against the exact
+    //    count in one pass; emits groups whose relative error exceeds 3×
+    //    the default 5% rsd (violations — empty for a healthy sketch, and
+    //    deterministic because Spark's HLL++ is). Converts q11's
+    //    rows-only check into a hash-verified invariant.
+    "q29_hll_audit" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .filter(abs(col("approx_orders") - col("exact_orders")) >
+          col("exact_orders") * lit(0.15))
+        .orderBy("l_returnflag")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q27_salted_join" ->
+      """WITH m(flag, rate) AS (VALUES ('A', 0.05), ('N', 0.10), ('R', 0.15))
+        |SELECT l.l_returnflag AS flag, CAST(m.rate AS DOUBLE) AS rate,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    * CAST(m.rate AS DOUBLE), 2) AS weighted_qty
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.flag
+        |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
+    "q28_bucketed_join" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q29_hll_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+        |  CAST(NULL AS BIGINT) AS approx_orders,
+        |  CAST(NULL AS BIGINT) AS exact_orders
+        |WHERE false""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

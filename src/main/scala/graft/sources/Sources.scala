@@ -91,11 +91,23 @@ object Sources {
       df: DataFrame,
       table: String,
       key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // Overwrite alone is NOT idempotent across sessions: the in-memory
+    // catalog starts empty, so a managed-table location left by a
+    // previous session (crash, or just a different JVM) makes
+    // saveAsTable fail with LOCATION_ALREADY_EXISTS. Drop the catalog
+    // entry if present, then remove any orphaned location.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 }

@@ -60,20 +60,51 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
-    val exec = SparkEntry.queries("q49_ann_lsh")(spark, dir)
-      .queryExecution.sparkPlan
-    val bandExchanges = exec.collect {
-      case e: ShuffleExchangeExec if (e.outputPartitioning match {
-            case h: HashPartitioning =>
-              h.expressions.flatMap(_.references.map(_.name).toSeq).contains("sig")
-            case _ => false
-          }) => e
+    // Force the shuffled-join path the assertion is about: at test SF
+    // everything fits in a broadcast, which would hide the band exchange
+    // entirely (and the plan must come from executedPlan — sparkPlan is
+    // pre-EnsureRequirements, so join/agg exchanges don't exist yet).
+    // AQE off so executedPlan is the materialized EnsureRequirements
+    // output, not an AdaptiveSparkPlanExec wrapper.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" ->
+        spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = SparkEntry.queries("q49_ann_lsh")(spark, dir)
+        .queryExecution.executedPlan
+      val bandExchanges = exec.collect {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+              case h: HashPartitioning =>
+                h.expressions.flatMap(_.references.map(_.name).toSeq).contains("sig")
+              case _ => false
+            }) => e
+      }
+      assert(bandExchanges.nonEmpty, s"expected a (table, sig) exchange:\n$exec")
+      bandExchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"an array column rides the band exchange (×tables shuffle payload):\n$e")
+      }
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("q28: bucketed co-located join plans with zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // materialize the bucketed tables (the query writes them itself),
+    // then pin the join+agg plan: bucket metadata must satisfy both the
+    // join and the same-key aggregation with NO hash exchange (the only
+    // allowed shuffle is the final orderBy's range exchange)
+    val df = SparkEntry.queries("q28_bucketed_join")(spark, dir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
     }
-    assert(bandExchanges.nonEmpty, s"expected a (table, sig) exchange:\n$exec")
-    bandExchanges.foreach { e =>
-      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
-        s"an array column rides the band exchange (×tables shuffle payload):\n$e")
-    }
+    assert(exchanges.isEmpty,
+      s"bucketed join/agg must be exchange-free:\n${df.queryExecution.executedPlan}")
   }
 
   test("q30: upsert decomposition broadcasts the batch on both legs") {
