@@ -89,8 +89,12 @@ object QueriesEngine {
       val fix = "/tmp/graft-fix-" + java.lang.Long.toHexString(
         dir.hashCode.toLong ^ nsrc.length() ^ nsrc.lastModified())
       // existence-guarded so the fixtures really are written once per sf
-      // dir (deterministic content; bench invokes every query twice)
-      if (!new java.io.File(s"$fix/nation_csv/_SUCCESS").exists()) {
+      // dir (deterministic content; bench invokes every query twice).
+      // The guard keys on the LAST artifact written: guarding on the
+      // first (nation_csv) would make a crash between the two writes
+      // persistent — the half-built dir's key never changes, so every
+      // later run would skip regeneration and fail on the missing json
+      if (!new java.io.File(s"$fix/region_json/_SUCCESS").exists()) {
         Tables.load(s, dir, "nation").coalesce(1)
           .write.mode("overwrite").option("header", "true").csv(s"$fix/nation_csv")
         Tables.load(s, dir, "region").coalesce(1)

@@ -8,15 +8,33 @@ import graft.sink.MergeSink
 import graft.sources.Sources
 
 /** Per-stage metrics, the analogue of the reference's per-batch debug log
-  * (rows, extract/transform/load wall-times, Pype.py:65-75). Spark's own
-  * UI/listeners add executor-level detail for free; this is the compact
-  * driver-side summary. */
+  * (rows + wall-times at Pype.py:65-75, process RSS at Pype.py:73).
+  * Spark's own UI/listeners add executor-level detail for free; this is
+  * the compact driver-side summary.
+  *
+  * `rows` is the STAGE RESULT row count: the post-merge target for load
+  * stages (a parquet-footer count — counting the batch would re-run the
+  * whole lazy extract+transform plan a second time), the extracted batch
+  * for target-less stages. This intentionally diverges from the
+  * reference's per-batch "N items" log, which counts each 2000-row
+  * cursor batch — a unit that does not exist in Spark's one-plan-per-
+  * stage model.
+  *
+  * Memory gauges (the RSS-log analogue):
+  *   - `peakTaskMemoryBytes`: max single-task peak execution memory
+  *     (shuffle/agg/sort buffers) observed during the stage, from
+  *     SparkListener task metrics. 0 for stages whose plan never
+  *     allocates execution memory (pure scan→write).
+  *   - `driverUsedHeapBytes`: driver JVM used heap at stage end — the
+  *     closest analogue of the reference's single-process RSS. */
 final case class StageMetrics(
     stage: String,
     rows: Long,
     extractSec: Double,
     transformSec: Double,
-    loadSec: Double)
+    loadSec: Double,
+    peakTaskMemoryBytes: Long,
+    driverUsedHeapBytes: Long)
 
 /** Executes a named pipeline from a PipelineSpec — the analogue of
   * `Pypeline.run` (Pypeline.py:26-35) + the `Pype.run` ETL loop
@@ -86,7 +104,39 @@ final class Runner(
     }
   }
 
-  def runStage(stage: StageSpec, ph: Map[String, String]): StageMetrics = try {
+  def runStage(stage: StageSpec, ph: Map[String, String]): StageMetrics = {
+    // Stage-scoped memory gauge: a listener tracks the max per-task peak
+    // execution memory while this stage's jobs run. The gauge is
+    // JVM-global — under `parallel = true` concurrent stages observe each
+    // other's tasks, so the value is an upper bound per stage there.
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gauge = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val v = m.peakExecutionMemory
+          peakTaskMem.getAndUpdate(p => math.max(p, v))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(gauge)
+    try runStageInner(stage, ph, peakTaskMem)
+    finally {
+      spark.sparkContext.removeSparkListener(gauge)
+      // sources are STAGE-LOCAL: dropping them here keeps a stage's csv
+      // view named like a warehouse table from permanently shadowing that
+      // table for every later stage (temp views are session-global).
+      // NOTE the load is an action inside this stage, so the views have
+      // already served their purpose when we get here.
+      stage.sources.keys.foreach(spark.catalog.dropTempView)
+    }
+  }
+
+  private def runStageInner(
+      stage: StageSpec,
+      ph: Map[String, String],
+      peakTaskMem: java.util.concurrent.atomic.AtomicLong): StageMetrics = {
     // reject collisions up front: createOrReplaceTempView would overwrite
     // an existing warehouse/target view and the stage-local drop below
     // would then DELETE it (temp views don't layer — a drop can't
@@ -106,21 +156,23 @@ final class Runner(
     val t2 = System.nanoTime()
     val rows = load(stage, transformed)
     if (stage.postQuery.nonEmpty)
-      spark.sql(Hydrate(stage.postQuery, ph)).collect() // Pype.py:80,164-168
+      // count(), NOT collect(): the reference's post-hook is side-effect
+      // SQL (Pype.py:80,164-168) whose result is discarded — a user
+      // post_query of `SELECT * FROM big_target` must still execute with
+      // CONSTANT driver memory, not materialize the target on the driver
+      spark.sql(Hydrate(stage.postQuery, ph)).count()
     val t3 = System.nanoTime()
+    // drain the async listener bus so the gauge has seen the final task
+    org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark)
+    val rt = Runtime.getRuntime
     val m = StageMetrics(stage.name, rows,
-      (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
+      peakTaskMem.get(), rt.totalMemory() - rt.freeMemory())
     if (stage.debug)
       log.info(s"Pype: ${m.stage}, ${m.rows} items; ETL: " +
-        f"${m.extractSec}%.3fs/${m.transformSec}%.3fs/${m.loadSec}%.3fs")
+        f"${m.extractSec}%.3fs/${m.transformSec}%.3fs/${m.loadSec}%.3fs; " +
+        s"peakTaskMem: ${m.peakTaskMemoryBytes}B, driverHeap: ${m.driverUsedHeapBytes}B")
     m
-  } finally {
-    // sources are STAGE-LOCAL: dropping them here keeps a stage's csv
-    // view named like a warehouse table from permanently shadowing that
-    // table for every later stage (temp views are session-global).
-    // NOTE the load is an action inside this stage, so the views have
-    // already served their purpose when we get here.
-    stage.sources.keys.foreach(spark.catalog.dropTempView)
   }
 
   /** The extract is declarative SQL over registered views — the engine-side

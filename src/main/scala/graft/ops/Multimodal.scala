@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
   * Scale notes: assets are processed as a narrow map over the scan (no
   * shuffle); binary columns should be written with a small
   * `maxPartitionBytes` so one task never holds too many blobs; metadata
-  * filters (e.g. `meta.width > 0`) are struct-field pushdown-able.
+  * filters (e.g. `meta.n_bytes > 0`, or a `width` field if a real codec
+  * adds one to the meta struct) are struct-field pushdown-able.
   */
 object Multimodal {
 

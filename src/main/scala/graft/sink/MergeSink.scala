@@ -164,18 +164,27 @@ object MergeSink {
   /** Delete target rows whose `identifier` appears in `ids` (any column
     * layout: the first column of `ids` is used if `identifier` is absent).
     * Ids are deduped (Pype.py:184) — and left_anti is insensitive to
-    * duplicates anyway. */
+    * duplicates anyway.
+    *
+    * NULL ids are dropped from the delete set, mirroring the reference's
+    * `identifier = ANY(...)` SQL semantics (Pype.py:179-186), where NULL
+    * never matches anything: a NULL in the batch deletes nothing, and a
+    * null-keyed target row (which upsert CAN create — its key join is
+    * null-safe `<=>`) is only removable by an explicit filter, exactly as
+    * it would be in the reference's Postgres target. */
   def delete(
       target: DataFrame,
       ids: DataFrame,
       identifier: String = "id",
       broadcastIds: Boolean = true): DataFrame = {
     val idCol = if (ids.columns.contains(identifier)) identifier else ids.columns.head
-    val dk = ids.select(col(idCol).as("__del_id")).distinct()
+    val dk = ids.select(col(idCol).as("__del_id"))
+      .filter(col("__del_id").isNotNull).distinct()
     val d = if (broadcastIds) broadcast(dk) else dk
-    // null-safe like upsert/update's keyCond: a null-keyed row CAN exist
-    // in the target (upsert merges on <=>), so it must be deletable too
-    target.join(d, col(identifier) <=> col("__del_id"), "left_anti")
+    // plain equality: with NULLs filtered from the delete set, `=` and
+    // `<=>` agree on every non-null id, and a NULL-identifier target row
+    // never matches — SQL IN-list parity
+    target.join(d, col(identifier) === col("__del_id"), "left_anti")
   }
 
   /** Atomically replace the parquet dir at `path` with `df`: write to a

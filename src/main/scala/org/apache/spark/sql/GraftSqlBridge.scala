@@ -21,4 +21,11 @@ object GraftSqlBridge {
       case lr: execution.LogicalRDD => Some(lr.rdd)
       case _ => None
     }
+
+  /** Block until the listener bus has delivered all queued events.
+    * Task-metric gauges read by listeners (Runner's memory gauge) are
+    * delivered asynchronously; without a drain a metrics read races the
+    * last task's event. `waitUntilEmpty` is `private[spark]`, hence here. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -103,6 +103,17 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("delete: NULL ids delete nothing and null-keyed rows survive (SQL IN parity)") {
+    val t = Seq((Some(1L), "a"), (None, "nullkey"), (Some(2L), "b"))
+      .toDF("id", "v")
+    val ids = Seq(Some(1L), None).toDF("id")
+    val out = MergeSink.delete(t, ids, "id")
+    // id=1 deleted; the NULL batch id matches nothing (id = ANY(...)
+    // semantics, Pype.py:179-186), so the null-keyed target row stays
+    assert(out.select("v").as[String].collect().sorted.toSeq
+      == Seq("b", "nullkey"))
+  }
+
   test("delete: falls back to the first ids column when identifier is absent") {
     val ids = Seq(3L).toDF("whatever")
     val out = MergeSink.delete(target, ids, "id")

@@ -87,6 +87,46 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(m.extractSec >= 0 && m.transformSec >= 0 && m.loadSec > 0)
   }
 
+  test("metrics expose memory gauges (A14 RSS-log parity)") {
+    // a shuffle-bearing extract so tasks allocate execution memory
+    Seq.tabulate(2000)(i => (i.toLong % 50, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("gauge_src")
+    val root = Files.createTempDirectory("graft-runner-mem").toString
+    val spec = PipelineSpec.fromYaml(
+      """pypes:
+        |  g1:
+        |    extract_query: "SELECT id, count(*) AS n, max(v) AS mv FROM gauge_src GROUP BY id"
+        |    target_table: gauge_t
+        |    key: [id]
+        |""".stripMargin)
+    val m = new Runner(spark, spec, targetRoot = root)
+      .runStage(spec.stages("g1"), Map.empty)
+    assert(m.driverUsedHeapBytes > 0)
+    assert(m.peakTaskMemoryBytes > 0,
+      "aggregation tasks should report peak execution memory")
+  }
+
+  test("post_query executes without materializing its result on the driver") {
+    // a SELECT post_query over the whole target must run (for its side
+    // effects / validation value) but never collect() — pinned here by a
+    // wide cross-joined SELECT that would be large if materialized; the
+    // stage succeeding and metrics returning is the contract
+    Seq.tabulate(200)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("pq_src")
+    val root = Files.createTempDirectory("graft-runner-pq").toString
+    val spec = PipelineSpec.fromYaml(
+      """pypes:
+        |  pq1:
+        |    extract_query: "SELECT id, v FROM pq_src"
+        |    target_table: pq_t
+        |    key: [id]
+        |    post_query: "SELECT a.id, b.id AS id2, a.v, b.v AS v2 FROM pq_t a CROSS JOIN pq_t b"
+        |""".stripMargin)
+    val m = new Runner(spark, spec, targetRoot = root)
+      .runStage(spec.stages("pq1"), Map.empty)
+    assert(m.rows == 200)
+  }
+
   test("parallel pipeline: independent stages run concurrently, same results (A12)") {
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
       .createOrReplaceTempView("src2")
