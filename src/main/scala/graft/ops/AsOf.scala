@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   * time never match, mirroring the SQL `time <= t` predicate. The whole
   * right payload rides in one struct so all emitted columns come from
   * the SAME matched row, never mixed across rows per-column.
+  *
+  * HOT-KEY BOUND: the default plan windows by key alone, so one
+  * pathological key (a single user with 10⁹ events+orders) serializes
+  * its whole timeline through one task — inherent to any ordered
+  * per-key scan. `timeBucketSeconds` bounds that: rows are windowed by
+  * `(key, time-bucket)` instead, with a per-bucket carry-in state (the
+  * latest right row from all earlier buckets) computed over the tiny
+  * per-(key, bucket) summary table and injected as a synthetic row at
+  * each bucket's start. Task size becomes O(rows per key per bucket);
+  * the extra cost is one summary window + one join, so leave it unset
+  * unless key skew is real.
   */
 object AsOf {
 
@@ -31,7 +42,11 @@ object AsOf {
     * @param direction "backward" (latest right row at-or-before, the
     *   default) or "forward" (earliest right row at-or-after) — forward
     *   is the same machinery with the time sort flipped, so the running
-    *   last_value carries the nearest following row instead */
+    *   last_value carries the nearest following row instead
+    * @param timeBucketSeconds optional hot-key guard: window by
+    *   (key, floor(time/width)) with cross-bucket carry-in instead of by
+    *   key alone — identical results, bounded task size. Requires a
+    *   numeric or timestamp time column. */
   def asof(
       left: DataFrame,
       right: DataFrame,
@@ -41,10 +56,12 @@ object AsOf {
       rightTime: String,
       payload: Seq[(String, String)],
       tieBreak: Seq[String] = Nil,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      timeBucketSeconds: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
-    val internal = Set("_k", "_t", "_l", "_r", "_side", "_match")
+    val internal = Set("_k", "_t", "_l", "_r", "_side", "_match",
+      "_b", "_s", "_c", "_rn")
     val clash = left.columns.toSet.intersect(internal)
     require(clash.isEmpty,
       s"asof: left columns collide with internal names: ${clash.mkString(", ")}")
@@ -77,13 +94,66 @@ object AsOf {
       else col("_t").desc_nulls_first
     val ord: Seq[Column] =
       tOrd +: col("_side").asc +: tieBreak.map(c => col("_r").getField(c).asc)
-    val w = Window.partitionBy("_k").orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+    def finalize(withMatch: DataFrame): DataFrame = withMatch
       .filter(col("_side") === 1)
       .select(
         col("_l.*") +:
           payload.map { case (c, alias) => col("_match").getField(c).as(alias) }: _*)
+    timeBucketSeconds match {
+      case None =>
+        val w = Window.partitionBy("_k").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        finalize(unioned
+          .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w)))
+
+      case Some(width) =>
+        require(width > 0, s"timeBucketSeconds must be positive, got $width")
+        val tType = unioned.schema("_t").dataType
+        require(tType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            || tType == org.apache.spark.sql.types.TimestampType,
+          s"asof time-bucketing needs a numeric or timestamp time column, got $tType")
+        // bucket index in SORT order: monotone coarsening of the time
+        // sort, negated for forward so "earlier in sort" = lower bucket
+        // either way. A null-time left row gets a null bucket — its
+        // (key, null) partition holds no right rows and no carry-in, so
+        // it keeps the null payload the unbucketed plan gives it.
+        val bRaw = floor(col("_t").cast("long") / lit(width.toDouble))
+        val withB = unioned.withColumn("_b",
+          if (direction == "backward") bRaw else -bRaw)
+        // per-(key, bucket) final right state: the right row a later
+        // bucket's running last() would be carrying at this bucket's end
+        // (reverse the in-bucket sort, take row 1 — partition size is
+        // bucket occupancy, never a whole key)
+        val revOrd: Seq[Column] =
+          (if (direction == "backward") col("_t").desc else col("_t").asc) +:
+            tieBreak.map(c => col("_r").getField(c).desc)
+        val bstate = withB.filter(col("_side") === 0)
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("_k", "_b").orderBy(revOrd: _*)))
+          .filter(col("_rn") === 1)
+          .select(col("_k"), col("_b"), col("_r").as("_s"))
+        // carry-in per (key, bucket): the nearest earlier bucket's state.
+        // This window IS per-key, but over one summary row per occupied
+        // bucket — O(time range / width), not O(rows) — so the hot key
+        // costs a few hundred tiny rows in one task, not its timeline.
+        val cw = Window.partitionBy("_k").orderBy(col("_b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val synth = withB.filter(col("_b").isNotNull)
+          .select("_k", "_b").distinct()
+          .join(bstate, Seq("_k", "_b"), "left")
+          .withColumn("_c", last(col("_s"), ignoreNulls = true).over(cw))
+          .filter(col("_c").isNotNull)
+          .select(
+            lit(null).cast(lType).as("_l"),
+            col("_k"),
+            lit(null).cast(tType).as("_t"),
+            col("_c").as("_r"),
+            lit(-1).as("_side"), // sorts before both sides at its null time
+            col("_b"))
+        val w2 = Window.partitionBy("_k", "_b").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        finalize(withB.unionByName(synth)
+          .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w2)))
+    }
   }
 }

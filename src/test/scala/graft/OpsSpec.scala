@@ -295,6 +295,54 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 202L), (2L, -1L))) // t=6 → rid at t=7; t=8 → none
   }
 
+  test("asof: time-bucketed plan matches per-key plan under one dominant key") {
+    // one key owns ~90% of the timeline (the hot-key shape the bucketed
+    // plan exists for); right rows are sparse so carry-in must cross
+    // many empty buckets
+    val l = (1 to 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) 2L else 1L, i.toLong))
+      .toDF("event_id", "k", "t")
+    val r = (1 to 2000 by 97).map(i => (1L, i.toLong, 1000L + i))
+      .toDF("k", "t", "rid")
+    val plain = AsOf.asof(l, r, "k", "t", "k", "t",
+      payload = Seq("rid" -> "last_rid"), tieBreak = Seq("rid"))
+    val chunked = AsOf.asof(l, r, "k", "t", "k", "t",
+      payload = Seq("rid" -> "last_rid"), tieBreak = Seq("rid"),
+      timeBucketSeconds = Some(50))
+    assertSameRows(plain.orderBy("event_id"), chunked.orderBy("event_id"))
+  }
+
+  test("asof forward: time-bucketed plan matches per-key plan") {
+    val l = (1 to 500).map(i => (i.toLong, 1L, i.toLong))
+      .toDF("event_id", "k", "t")
+    val r = (1 to 500 by 37).map(i => (1L, i.toLong, 2000L + i))
+      .toDF("k", "t", "rid")
+    val plain = AsOf.asof(l, r, "k", "t", "k", "t",
+      payload = Seq("rid" -> "next_rid"), direction = "forward")
+    val chunked = AsOf.asof(l, r, "k", "t", "k", "t",
+      payload = Seq("rid" -> "next_rid"), direction = "forward",
+      timeBucketSeconds = Some(64))
+    assertSameRows(plain.orderBy("event_id"), chunked.orderBy("event_id"))
+  }
+
+  test("asof time-bucketed: ties, tie-breaks, null times and absent keys intact") {
+    val l = Seq((1L, 10L, Some(100L)), (2L, 10L, Some(5L)), (3L, 10L, Some(1L)),
+      (4L, 99L, Some(50L)), (5L, 10L, Option.empty[Long]))
+      .toDF("event_id", "k", "t")
+    val r = Seq(
+      (10L, Some(5L), 201L), (10L, Some(5L), 202L),
+      (10L, Some(7L), 203L), (10L, None, 999L))
+      .toDF("k", "t", "rid")
+    // width 2 splits the right rows across buckets; semantics must not move
+    val out = AsOf.asof(l, r, "k", "t", "k", "t",
+      payload = Seq("rid" -> "last_rid"), tieBreak = Seq("rid"),
+      timeBucketSeconds = Some(2))
+      .orderBy("event_id").select("event_id", "last_rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+    assert(out.toSeq == Seq(
+      (1L, 203L), (2L, 202L), (3L, -1L), (4L, -1L), (5L, -1L)))
+  }
+
   test("asof with an empty right side keeps all left rows, null payloads") {
     val l = Seq((1L, 10L, 5L)).toDF("event_id", "k", "t")
     val r = Seq.empty[(Long, Long, String)].toDF("k", "t", "v")
