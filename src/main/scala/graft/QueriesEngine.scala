@@ -76,6 +76,32 @@ object QueriesEngine {
       s.read.parquet(s"$tmp/q33_revenue").orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // -- LIVE jdbc round-trip (A2 + Layer B jdbc scan/sink): parquet →
+    //    Derby (embedded, in-process — the only live DB this container
+    //    has; same Spark jdbc codepath as MySQL/Postgres) via writeJdbc,
+    //    read back through the jdbc SourceSpec with the parallel-read
+    //    quartet (partitionColumn splits the read across 4 tasks — the
+    //    shape that matters at scale; without it a JDBC read is one
+    //    executor on one socket). Oracle = the original parquet table.
+    "q35_jdbc_roundtrip" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:graft${math.abs(dir.hashCode)};create=true"
+      val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      graft.sources.Sources.writeJdbc(
+        Tables.load(s, dir, "nation"), url, "nation_rt",
+        org.apache.spark.sql.SaveMode.Overwrite, drv)
+      val back = graft.sources.Sources.read(s, graft.sources.SourceSpec("jdbc",
+        options = drv ++ Map(
+          "url" -> url, "dbtable" -> "nation_rt",
+          "partitionColumn" -> "n_nationkey",
+          "lowerBound" -> "0", "upperBound" -> "25",
+          "numPartitions" -> "4")))
+      // Derby (like Oracle/DB2) uppercases unquoted identifiers, and
+      // Spark takes jdbc column names from ResultSet metadata — fold
+      // them back so the oracle compare sees the parquet names
+      back.toDF(back.columns.map(_.toLowerCase): _*)
+        .orderBy("n_nationkey")
+    }),
+
     // -- non-parquet sources: stage-declared csv + json inputs registered
     //    as views for the extract query (Layer B "Scans"; the reference
     //    reads MySQL at Pype.py:33-36 — jdbc uses the identical SourceSpec
@@ -126,6 +152,8 @@ object QueriesEngine {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q35_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q30_merge_upsert" ->
       """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
         |b AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
