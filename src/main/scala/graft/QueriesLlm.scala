@@ -171,6 +171,31 @@ object QueriesLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // -- PII redaction (the C4/RefinedWeb-style release scrub). The
+    //    corpus contains no PII, so a deterministic synthetic layer is
+    //    injected FIRST — identically in the oracle — and the redaction
+    //    regexes do real work on every third doc.
+    "q63_pii_redact" -> ((s, dir) => {
+      val injected = when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" or 192.168."), (col("doc_id") % 256).cast("string"), lit(".1"),
+          lit(" or +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(injected).as("redacted"),
+        regexp_count(injected, lit(TextAnalysis.emailPattern)).as("n_emails"),
+        regexp_count(injected, lit(TextAnalysis.ipv4Pattern)).as("n_ips"))
+        .orderBy("doc_id")
+    }),
+
+    // -- Gopher-style repetition profile: most-frequent-bigram share
+    "q64_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------------------------------------------------- audits
     // Self-verifying entries for the sketch operators: each approximate
     // query (no SQL oracle possible — engine-specific hashes) is checked
@@ -293,6 +318,38 @@ object QueriesLlm {
        |WHERE false""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q63_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |        || ' or 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+        |        || ' or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d ().-]{7,}\d', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "q64_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(n) AS nb, max(n) AS tb FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(a.tb, 0) AS BIGINT) AS top_bigram_n,
+        |  round(CASE WHEN a.nb IS NULL THEN 0.0
+        |    ELSE CAST(a.tb AS DOUBLE) / CAST(a.nb AS DOUBLE) END, 6) AS top_frac
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q57_minhash_audit" -> noViolations("id_a", "id_b"),
     "q58_minhash_char_audit" -> noViolations("id_a", "id_b"),
     "q59_embed_lsh_audit" -> noViolations("id_a", "id_b"),

@@ -93,6 +93,62 @@ object TextAnalysis {
     aggregate(weighted, lit(0L), (acc, x) => acc + x)
   }
 
+  /** PII redaction patterns — the C4/RefinedWeb-style scrub every
+    * training-data pipeline runs before release. RE2-compatible (no
+    * backrefs/lookahead) so the same pattern strings run in Spark's Java
+    * regex AND the DuckDB oracle's RE2 with identical semantics. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+?\\d[\\d ().-]{7,}\\d"
+
+  /** Replace emails, IPv4s and phone-like digit runs with typed tokens.
+    * Order is load-bearing: emails first (their local parts can contain
+    * digit runs), then IPs (dotted quads would otherwise match the
+    * looser phone pattern), then phones on what remains. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Non-distinct word bigrams ("a b", "b c", ...); empty for 0/1-token
+    * docs. The repetition unit for Gopher-style quality filtering. */
+  def wordBigrams(text: Column): Column = {
+    val toks = tokens(text)
+    transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (_, i) => concat_ws(" ", slice(toks, i + 1, lit(2))))
+  }
+
+  /** Intra-document repetition profile (the Gopher repetition signals):
+    * for each doc, the total bigram count, the count of its single most
+    * frequent bigram, and their ratio — high ratios flag boilerplate /
+    * template spam. Distributed shape: explode → two hash aggregations;
+    * the shuffle payload is (id, gram) pairs, the same scale class as
+    * the dedup posting-list shuffle, and per-group state is one counter
+    * (never a collected list). Docs with no bigrams keep 0s. */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode_outer(wordBigrams(col(textCol))).as("gram"))
+      .filter(col("gram").isNotNull)
+    val perDoc = grams.groupBy(idCol, "gram").agg(count(lit(1)).as("n"))
+      .groupBy(idCol)
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        round(
+          when(col("n_bigrams").isNull, lit(0.0))
+            .otherwise(col("top_bigram_n").cast("double") /
+              col("n_bigrams").cast("double")), 6).as("top_frac"))
+  }
+
   /** Full analysis frame over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val base = df

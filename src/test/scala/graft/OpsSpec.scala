@@ -109,6 +109,40 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(m(2L) > m(1L))
   }
 
+  test("redactPii: email/ip/phone replaced, IPs not eaten by the phone pattern") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org today"),
+      (2L, "server at 10.0.255.7 responded"),
+      (3L, "call +1 (555) 010-9977 now"),
+      (4L, "mixed jo@ex.io and 192.168.0.1 and +44 20 7946 0958"),
+      (5L, "no pii here at all"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.redactPii(col("text")).as("r"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "mail me at <EMAIL> today")
+    assert(m(2L) == "server at <IP> responded")
+    assert(m(3L) == "call <PHONE> now")
+    // order matters: the dotted quad must become <IP>, not half a <PHONE>
+    assert(m(4L) == "mixed <EMAIL> and <IP> and <PHONE>")
+    assert(m(5L) == "no pii here at all")
+  }
+
+  test("repetitionStats: top-bigram share; 0/1-token docs keep zeros") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // bigrams: "a b"x3, "b a"x2 → top 3/5
+      (2L, "x y z"),        // "x y", "y z" → top 1/2
+      (3L, "single"),       // no bigrams
+      (4L, ""))             // no bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((5L, 3L, 0.6)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   // --------------------------------------------------------- similarity
 
   test("cosine: orthogonal→0, identical→1, anti-parallel→-1") {
