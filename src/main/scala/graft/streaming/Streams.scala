@@ -97,6 +97,24 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup on `keys` with BOUNDED state: per-key dedup
+    * state lives only until the event-time watermark passes its arrival
+    * window (`dropDuplicatesWithinWatermark`). A plain `dropDuplicates`
+    * on an unbounded stream accumulates every key ever seen — at
+    * pipeline scale that state grows without limit; the watermark bound
+    * is what makes streaming ingest dedup (the streaming twin of
+    * [[graft.ops.Dedup.exact]]) deployable. Late duplicates beyond the
+    * delay can re-emit — the standard correctness/state tradeoff,
+    * tuned via `watermarkDelay`. */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      timeCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** TRUE streaming sessionization: per-user state persists across
     * micro-batches, sessions close only when the event-time watermark
     * passes `last event + gap` (GroupStateTimeout.EventTimeTimeout), so

@@ -102,6 +102,46 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicates across micro-batches emit once, state is watermark-bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    // five single-file micro-batches: event 100 appears in b0 AND b1
+    // (cross-batch duplicate — the case per-batch dedup cannot catch).
+    // The watermark moves at batch END and expired state is evicted at
+    // batch COMMIT, so 101's forgetting needs two batches of daylight:
+    // b2 advances the watermark past 101's expiry, b3's commit evicts
+    // it, and the recurrence in b4 meets forgotten state and re-emits.
+    val batches = Seq(
+      Seq((100L, tsAt(10, 0), "a"), (101L, tsAt(10, 1), "b")),
+      Seq((100L, tsAt(10, 0), "a"), (102L, tsAt(10, 2), "c")),
+      Seq((103L, tsAt(20, 0), "d")),
+      Seq((104L, tsAt(20, 2), "e")),
+      Seq((101L, tsAt(20, 3), "b")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-w").toString
+      rows.toDF("event_id", "ts", "event_type").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.dedupStream(stream, Seq("event_id"), watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      // 100 deduped across b0/b1; 101 re-emits in b4 (state expired —
+      // the bounded-state contract, not a bug)
+      assert(out == Seq(100L, 101L, 101L, 102L, 103L, 104L))
+    } finally q.stop()
+  }
+
   test("end-to-end streaming run: file source → windowed agg → memory sink " +
     "matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-e2e").toString
