@@ -431,6 +431,48 @@ object QueriesRelational {
         .orderBy("c_custkey")
     }),
 
+    // -- approx-percentile audit: the sketch percentile (the 100 TB path
+    //    q26's exact form stands in for) bounded against the exact
+    //    interpolated quantile in one pass. approx_percentile with
+    //    accuracy 10⁴ is deterministic; the tolerance is generous (5% of
+    //    the group's value range) so the audit pins gross sketch
+    //    breakage, not implementation-defined interpolation detail.
+    "q65_approx_pct_audit" -> ((s, dir) => {
+      val pcts = Seq(0.5, 0.9, 0.99)
+      val o = T(s, dir, "orders")
+      val aggs =
+        pcts.map(p => call_function("approx_percentile",
+          col("o_totalprice"), lit(p), lit(10000)).as(s"a${(p * 100).toInt}")) ++
+          pcts.map(p => call_function("percentile",
+            col("o_totalprice"), lit(p)).as(s"e${(p * 100).toInt}")) ++
+          Seq((max(col("o_totalprice")) - min(col("o_totalprice"))).as("range"))
+      val checked = o.groupBy("o_orderstatus").agg(aggs.head, aggs.tail: _*)
+      val bad = pcts.map(p => {
+        val (a, e) = (col(s"a${(p * 100).toInt}"), col(s"e${(p * 100).toInt}"))
+        abs(a - e) > col("range") * 0.05
+      }).reduce(_ || _)
+      checked.filter(bad)
+        .select(col("o_orderstatus"), lit("pct_out_of_bounds").as("violation"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // -- deterministic hash-split sampling: the train/holdout assignment
+    //    a training pipeline runs over every document. The split hashes
+    //    the KEY with plain arithmetic (expressible in any engine, unlike
+    //    xxhash64), so assignment is stable across runs, partitionings
+    //    and engines — sample-by-rand never is. Emits per-split counts
+    //    plus the holdout slice itself.
+    "q66_hash_split" -> ((s, dir) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
+      T(s, dir, "documents")
+        .withColumn("split",
+          when(h % 100 < 90, lit("train")).otherwise(lit("holdout")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("split")
+    }),
+
     // -- HLL audit: q11's approx_count_distinct checked against the exact
     //    count in one pass; emits groups whose relative error exceeds 3×
     //    the default 5% rsd (violations — empty for a healthy sketch, and
@@ -465,6 +507,15 @@ object QueriesRelational {
         |  CAST(NULL AS BIGINT) AS approx_orders,
         |  CAST(NULL AS BIGINT) AS exact_orders
         |WHERE false""".stripMargin,
+    "q65_approx_pct_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q66_hash_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
+        |    THEN 'train' ELSE 'holdout' END AS split,
+        |  count(*) AS n_docs, sum(n_chars) AS n_chars
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
