@@ -25,6 +25,50 @@ object SketchExprs {
 
   def simhash64(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+
+  def topBigramCount(tokens: Column): Column =
+    GraftSqlBridge.column(TopBigramCount(GraftSqlBridge.expression(tokens)))
+
+  /** Max multiplicity over the ADJACENT PAIRS of a token array, without
+    * materializing pair strings: sort pair indices with a (first, second)
+    * comparator, count the longest equal run. Tokens come from a
+    * split-on-space, so they never contain the separator and pair
+    * equality coincides with joined-string equality — the oracle's
+    * `t[i] || ' ' || t[i+1]` semantics, EXACTLY (string comparison, not
+    * hashes — a hash collision would silently overcount against an
+    * oracle). Callable from generated code (static forwarder). */
+  def topBigram(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n < 2) return 0L
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val idx = new Array[Integer](n - 1)
+    i = 0
+    while (i < n - 1) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val c = toks(x.intValue()).compareTo(toks(y.intValue()))
+        if (c != 0) c else toks(x.intValue() + 1).compareTo(toks(y.intValue() + 1))
+      }
+    })
+    def samePair(x: Int, y: Int): Boolean =
+      toks(x).equals(toks(y)) && toks(x + 1).equals(toks(y + 1))
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < n - 1) {
+      if (samePair(idx(i).intValue(), idx(i - 1).intValue())) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1
+      i += 1
+    }
+    best
+  }
 }
 
 /** MinHash signature: `numHashes` minima of affine permutations
@@ -91,6 +135,35 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of the most frequent adjacent token pair (the Gopher repetition
+  * kernel), fused over the TOKEN array: no per-bigram string is ever
+  * allocated. The HOF formulation — build bigram strings, array_sort, an
+  * aggregate fold building a (prev, run, best) struct PER ELEMENT — is
+  * interpreted and allocation-bound; this is one index sort + one pass in
+  * a compiled helper invoked from whole-stage codegen (see
+  * [[SketchExprs.topBigram]] for the joined-string-equality argument). */
+case class TopBigramCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_bigram_count requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_bigram_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchExprs.topBigram(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchExprs.topBigram($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -124,30 +124,28 @@ object TextAnalysis {
   /** Intra-document repetition profile (the Gopher repetition signals):
     * for each doc, the total bigram count, the count of its single most
     * frequent bigram, and their ratio — high ratios flag boilerplate /
-    * template spam. Distributed shape: explode → two hash aggregations;
-    * the shuffle payload is (id, gram) pairs, the same scale class as
-    * the dedup posting-list shuffle, and per-group state is one counter
-    * (never a collected list). Docs with no bigrams keep 0s. */
+    * template spam. A pure narrow map over the scan: repetition is an
+    * intra-document property, so reshuffling the whole token stream to
+    * count it (explode + two groupBys) would pay two corpus-wide
+    * exchanges for state that never leaves the row. The multiplicity
+    * kernel is the native [[graft.functions.TopBigramCount]] expression
+    * fused over the token array — no per-bigram string is allocated and
+    * comparison is exact (a hash kernel could silently collide against
+    * an oracle). Docs with fewer than two tokens keep 0s. */
   def repetitionStats(
       df: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode_outer(wordBigrams(col(textCol))).as("gram"))
-      .filter(col("gram").isNotNull)
-    val perDoc = grams.groupBy(idCol, "gram").agg(count(lit(1)).as("n"))
-      .groupBy(idCol)
-      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
-    df.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+      greatest(size(tokens(col(textCol))) - 1, lit(0)).cast("long")
+        .as("n_bigrams"),
+      graft.functions.SketchExprs.topBigramCount(tokens(col(textCol)))
+        .as("top_bigram_n"))
+      .select(col(idCol), col("n_bigrams"), col("top_bigram_n"),
         round(
-          when(col("n_bigrams").isNull, lit(0.0))
+          when(col("n_bigrams") === 0, lit(0.0))
             .otherwise(col("top_bigram_n").cast("double") /
               col("n_bigrams").cast("double")), 6).as("top_frac"))
-  }
 
   /** Full analysis frame over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
