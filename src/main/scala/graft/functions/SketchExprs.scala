@@ -29,6 +29,55 @@ object SketchExprs {
   def topBigramCount(tokens: Column): Column =
     GraftSqlBridge.column(TopBigramCount(GraftSqlBridge.expression(tokens)))
 
+  def charGramMinhash(text: Column, k: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(CharGramMinHash(GraftSqlBridge.expression(text), k, numHashes))
+
+  private val P = 1000000007L
+
+  /** MinHash signature straight off a sliding character window: for each
+    * k-char gram, xxhash64 (seed 42, byte-identical to the SQL function)
+    * mod P feeds the same affine-permutation minima as [[MinHashSig]] —
+    * no gram array, no array_distinct (min is duplicate-insensitive), no
+    * intermediate hashed array. ASCII text (numBytes == numChars) hashes
+    * byte windows in place with ZERO allocation; multi-byte text falls
+    * back to per-gram substrings. Texts shorter than k hash as one whole-
+    * text gram, mirroring Dedup.charShingles. Callable from codegen. */
+  def charGramSig(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    def feed(raw: Long): Unit = {
+      var h = raw % P
+      if (h < 0) h += P
+      var j = 0
+      while (j < numHashes) {
+        var v = (h * (2L * j + 1) + (12345L * j + 7)) % P
+        if (v < 0) v += P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    val nChars = s.numChars()
+    if (nChars < k) {
+      feed(tokenHash(s))
+    } else if (s.numBytes() == nChars) {
+      // pure ASCII: char windows ARE byte windows — hash slices in place
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var i = 0
+      while (i <= nChars - k) {
+        feed(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + i, k, 42L))
+        i += 1
+      }
+    } else {
+      var i = 1
+      while (i <= nChars - k + 1) {
+        feed(tokenHash(s.substringSQL(i, k)))
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Max multiplicity over the ADJACENT PAIRS of a token array, without
     * materializing pair strings: sort pair indices with a (first, second)
     * comparator, count the longest equal run. Tokens come from a
@@ -164,6 +213,33 @@ case class TopBigramCount(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.SketchExprs.topBigram($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-signature fusion of charShingles → hashShingles → MinHashSig
+  * for the char-gram LSH path (see [[SketchExprs.charGramSig]]): one
+  * sliding-window pass per document instead of three materialized
+  * array projections. */
+case class CharGramMinHash(child: Expression, k: Int, numHashes: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"chargram_minhash requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chargram_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchExprs.charGramSig(input.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchExprs.charGramSig($a, $k, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -230,7 +230,10 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     minhashLshFromShingler(df, threshold,
-      t => shingles(normalize(t), k), bands, rowsPerBand, idCol, textCol)
+      t => shingles(normalize(t), k),
+      t => minhashSignature(
+        hashShingles(shingles(normalize(t), k)), bands * rowsPerBand),
+      bands, rowsPerBand, idCol, textCol)
 
   /** MinHash-LSH over CHARACTER k-grams — the scale path for char-level
     * near-dup detection: exact char-gram Jaccard ([[jaccardPairsChar]])
@@ -246,27 +249,38 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     minhashLshFromShingler(df, threshold,
-      t => charShingles(normalize(t), k), bands, rowsPerBand, idCol, textCol)
+      t => charShingles(normalize(t), k),
+      // fused native signer: one sliding-window pass per doc — no gram
+      // array, no array_distinct (min ignores duplicates), no separate
+      // hash projection. Char corpora emit ~n_chars grams per doc, so
+      // the materialized-array path triples the allocation bill exactly
+      // where gram counts are largest.
+      t => graft.functions.SketchExprs.charGramMinhash(
+        normalize(t), k, bands * rowsPerBand),
+      bands, rowsPerBand, idCol, textCol)
 
+  /** @param shingler gram-set builder used by the EXACT verification
+    *   stage (restricted to candidates)
+    * @param signer whole-signature builder text → array<long> used for
+    *   banding — either the shingle→hash→MinHashSig projection chain or
+    *   a fused native expression */
   private def minhashLshFromShingler(
       df: DataFrame,
       threshold: Double,
       shingler: Column => Column,
+      signer: Column => Column,
       bands: Int,
       rowsPerBand: Int,
       idCol: String,
       textCol: String): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // shingle → hash → signature in three separate projections so each
-    // pass is computed once (CollapseProject keeps non-cheap expressions
-    // un-inlined); only (id, band, bucket) enters the self-join — at
-    // 100 TB the shuffle payload is 3 longs per (doc, band), never the
-    // shingle arrays themselves.
+    // the signature lands in its own projection so the banding pass
+    // references a materialized column (CollapseProject keeps non-cheap
+    // multi-referenced expressions un-inlined); only (id, band, bucket)
+    // enters the self-join — at 100 TB the shuffle payload is 3 longs
+    // per (doc, band), never the shingle arrays themselves.
     val wide = widen(df)
     val banded = wide
-      .select(col(idCol).as("id"), shingler(col(textCol)).as("sh"))
-      .select(col("id"), hashShingles(col("sh")).as("hashed"))
-      .select(col("id"), minhashSignature(col("hashed"), numHashes).as("sig"))
+      .select(col(idCol).as("id"), signer(col(textCol)).as("sig"))
       .select(
         col("id"),
         // outer generate: plain posexplode would infer a size>0 filter

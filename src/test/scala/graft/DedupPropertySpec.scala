@@ -48,6 +48,22 @@ class DedupPropertySpec extends AnyFunSuite with SparkTestBase {
     inter.toDouble / (sa.size + sb.size - inter).toDouble
   }
 
+  test("property: TopBigramCount equals the brute-force bigram multiset max") {
+    samples(corpusGen, n = 8).foreach { docs =>
+      val expected = docs.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ").toSeq
+        val top =
+          if (toks.size < 2) 0L
+          else toks.sliding(2).map(_.mkString(" ")).toSeq
+            .groupBy(identity).values.map(_.size).max.toLong
+        i.toLong -> top
+      }.toMap
+      val got = graft.ops.TextAnalysis.repetitionStats(df(docs))
+        .select("doc_id", "top_bigram_n").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
   test("property: jaccardPairs equals the brute-force pair set") {
     samples(corpusGen).foreach { docs =>
       val threshold = 0.3
