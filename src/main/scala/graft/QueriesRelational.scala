@@ -386,6 +386,58 @@ object QueriesRelational {
         .orderBy("event_id")
     }),
 
+    // -- as-of join under the hot-key guard: same query as q21 but
+    //    windowed by (key, 1-day time bucket) with cross-bucket carry-in
+    //    (AsOf.timeBucketSeconds) — the code path a 100 TB deployment
+    //    with one dominant key needs, since the default plan serializes a
+    //    key's whole timeline through one task. Results are provably
+    //    identical to q21's, so the oracle is q21's verbatim.
+    "q67_asof_bucketed" -> ((s, dir) => {
+      val e = T(s, dir, "events").select("event_id", "user_id", "ts")
+      val o = T(s, dir, "orders")
+      graft.ops.AsOf.asof(e, o,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "o_custkey", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey" -> "last_order", "o_totalprice" -> "last_price"),
+        tieBreak = Seq("o_orderkey"),
+        timeBucketSeconds = Some(86400L))
+        .select("event_id", "user_id", "last_order", "last_price")
+        .orderBy("event_id")
+    }),
+
+    // -- bag-semantics set ops: intersectAll / exceptAll preserve
+    //    duplicates (q12 covers only the distinct forms). Both legs are
+    //    tagged so one result carries both operators; orders.o_custkey
+    //    repeats, so the bags genuinely contain duplicates.
+    "q36_bag_set_ops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_totalprice") > 100000.0).select(col("o_custkey").as("k"))
+      a.intersectAll(b).withColumn("op", lit("i"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("e")))
+        .orderBy("k", "op")
+    }),
+
+    // -- window ranking/navigation functions q07/q08/q20 don't cover:
+    //    ntile, lead, first_value, last_value (full frame), dense_rank
+    "q37_window_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(wFull).as("last_order"),
+          dense_rank().over(
+            Window.partitionBy("o_custkey").orderBy(col("o_orderdate")))
+            .as("date_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // -- salted skewed join (graft.ops.Skew): lineitem keyed by
     //    l_returnflag is a deliberately pathological distribution — 3
     //    distinct keys over the whole table, so an unsalted shuffled join
@@ -512,9 +564,12 @@ object QueriesRelational {
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q66_hash_split" ->
+      // CAST the sum: DuckDB sums BIGINT into HUGEINT, which the driver's
+      // pandas path renders as float64 and the canonical hash diverges
+      // from Spark's int64 even though values are identical
       """SELECT CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
         |    THEN 'train' ELSE 'holdout' END AS split,
-        |  count(*) AS n_docs, sum(n_chars) AS n_chars
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -703,5 +758,37 @@ object QueriesRelational {
         |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // q67 is q21 under the hot-key time-bucket guard — provably the same
+    // result, so the oracle is q21's verbatim
+    "q67_asof_bucketed" ->
+      """SELECT event_id, user_id, o_orderkey AS last_order, o_totalprice AS last_price FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q36_bag_set_ops" ->
+      """SELECT k, 'i' AS op FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0)
+        |UNION ALL
+        |SELECT k, 'e' AS op FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0)
+        |ORDER BY k, op""".stripMargin,
+    "q37_window_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS date_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }
