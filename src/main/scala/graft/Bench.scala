@@ -55,7 +55,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // -1 = failed sentinel
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}""")
+    // Testdata fingerprint (per-table "bytes:mtime"): the driver
+    // regenerates /root/testdata between rounds, so without a data
+    // identity in the report, cross-round per-query comparisons are
+    // unattributable (a slower query may just be a bigger corpus).
+    val fp = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .map { t =>
+        val files = Option(new java.io.File(s"$sfDir/$t.parquet"))
+          .map(f => if (f.isDirectory) f.listFiles().toSeq else Seq(f))
+          .getOrElse(Nil).filter(_.isFile)
+        val bytes = files.map(_.length).sum
+        val mtime = if (files.isEmpty) 0L else files.map(_.lastModified).max
+        s"\"$t\":\"$bytes:$mtime\""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","data":$fp}""")
     spark.stop()
   }
 }
