@@ -207,12 +207,15 @@ object QueriesLlm {
     // NOT violations (LSH is allowed to miss near-threshold pairs).
 
     // q42 (MinHash-LSH word grams) vs q41 (exact Jaccard): every LSH pair
-    // must appear in the exact output with the same jaccard.
+    // must appear in the exact output with the same jaccard. The exact
+    // side disables the corpus-relative df cap because LSH verification
+    // scores TRUE Jaccard (full-set intersection) — the invariant pinned
+    // here is subset-of-truth, not subset-of-the-capped-estimate.
     "q57_minhash_audit" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val lsh = Dedup.minhashLshPairs(docs, threshold = 0.3)
         .withColumnRenamed("jaccard", "j_lsh")
-      val exact = Dedup.jaccardPairs(docs, threshold = 0.3)
+      val exact = Dedup.jaccardPairs(docs, threshold = 0.3, relativeCap = false)
         .withColumnRenamed("jaccard", "j_exact")
       lsh.join(exact, Seq("id_a", "id_b"), "left")
         .filter(col("j_exact").isNull || col("j_lsh") =!= col("j_exact"))
@@ -371,8 +374,9 @@ object QueriesLlm {
         |    ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
         |  FROM toks),
         |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
+        |cap AS (SELECT least(10000, greatest(16, (count(*) + 99) // 100)) AS c FROM documents),
         |freq AS (SELECT shingle FROM posts GROUP BY shingle
-        |         HAVING count(*) >= 2 AND count(*) <= 10000),
+        |         HAVING count(*) >= 2 AND count(*) <= (SELECT c FROM cap)),
         |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
         |inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i
@@ -417,8 +421,9 @@ object QueriesLlm {
         |    ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
         |  FROM toks),
         |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
+        |cap AS (SELECT least(10000, greatest(16, (count(*) + 99) // 100)) AS c FROM documents),
         |freq AS (SELECT shingle FROM posts GROUP BY shingle
-        |         HAVING count(*) >= 2 AND count(*) <= 10000),
+        |         HAVING count(*) >= 2 AND count(*) <= (SELECT c FROM cap)),
         |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
         |inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i

@@ -107,6 +107,16 @@ object Dedup {
           sequence(lit(1), length(text) - (k - 1)),
           i => text.substr(i, lit(k)))))
 
+  /** Effective document-frequency cap: 1% of the corpus (floor 16),
+    * ceilinged by the absolute `maxDocFreq`. Pair fan-out is O(Σ df²),
+    * so the cap is what bounds the explode at any corpus size; an
+    * ABSOLUTE cap alone never binds on small-to-mid corpora, letting
+    * every common shingle contribute its full df². Integer arithmetic
+    * (`(n+99)/100`) so the DuckDB oracles can reproduce the bound
+    * exactly. */
+  private[ops] def relativeDocFreqCap(n: Long, maxDocFreq: Long): Long =
+    math.min(maxDocFreq, math.max(16L, (n + 99L) / 100L))
+
   /** Exact n-gram Jaccard similarity pairs >= threshold over WORD
     * k-grams; [[jaccardPairsChar]] is the character-gram form.
     *
@@ -114,20 +124,38 @@ object Dedup {
     * (bounded by shingle posting-list sizes — at web scale you'd first
     * drop ultra-common shingles, which `maxDocFreq` does), count
     * intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
-    */
+    *
+    * `relativeCap` (default on) tightens the df cap to 1% of the corpus
+    * (floor 16): shingles above the cap are dropped from intersection
+    * counts while denominators keep full set sizes, so reported scores
+    * are a conservative underestimate whenever the cap binds — the
+    * standard boilerplate-shingle discard (near-universal word k-grams
+    * carry no similarity signal). Audits that pin LSH output against
+    * TRUE Jaccard pass `relativeCap = false`. */
   def jaccardPairs(
       df: DataFrame,
       threshold: Double,
       k: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxDocFreq: Long = 10000L): DataFrame =
+      maxDocFreq: Long = 10000L,
+      relativeCap: Boolean = true): DataFrame = {
+    val cap = if (relativeCap) relativeDocFreqCap(df.count(), maxDocFreq)
+      else maxDocFreq
     jaccardFromShingles(
       widen(df).select(col(idCol).as("id"),
         shingles(normalize(col(textCol)), k).as("sh")),
-      threshold, maxDocFreq)
+      threshold, cap)
+  }
 
-  /** Exact character-n-gram Jaccard pairs (same machinery, char grams). */
+  /** Exact character-n-gram Jaccard pairs (same machinery, char grams).
+    * No corpus-relative df cap here, deliberately: char k-grams are
+    * inherently high-frequency (common 5-grams appear in most documents
+    * of a natural-language corpus), so a 1% df cap would strip the bulk
+    * of every doc's gram set and gut the metric rather than trim
+    * boilerplate. The char-gram scale path is banding
+    * ([[minhashLshPairsChar]]), not df capping — this exact form is for
+    * bounded slices (cf. q55's short-doc restriction). */
   def jaccardPairsChar(
       df: DataFrame,
       threshold: Double,
