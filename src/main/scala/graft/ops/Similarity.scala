@@ -278,33 +278,45 @@ object Similarity {
     * hundred points per cell, so at 100 TB the Lloyd rounds touch a
     * fixed-size slice instead of scanning the corpus `iters` times; the
     * full corpus is read once, for the final cell assignment. */
+  /** @param nlist number of Voronoi cells; <= 0 (the default) derives
+    *   ~sqrt(corpus) clamped to [16, 4096]. This is the standard IVF
+    *   sizing AND a shuffle-width guard: the probe stage joins on `cell`,
+    *   so nlist IS the reducer count of that exchange — a fixed small
+    *   nlist at 100 TB would funnel the corpus through a handful of
+    *   reducers, while sqrt(n) keeps both cell occupancy (~sqrt n) and
+    *   join parallelism growing with the corpus. */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      nlist: Int = 16,
+      nlist: Int = 0,
       nprobe: Int = 4,
       iters: Int = 3,
       trainPerCell: Int = 256,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // the count also sizes the bounded training sample below (cheap:
+    // parquet footer metadata on `corpus`, not the widened projection)
+    val corpusN = corpus.count()
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(4096,
+        math.ceil(math.sqrt(corpusN.toDouble)).toInt))
     val c = Dedup.widen(corpus)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     // deterministic init: the nlist lowest-id vectors, unit-normalized.
     // getSeq[Number]: the embedding column may be array<float> OR
     // array<double> (VecDot/cosine accept both), so read boxed numerics
     var cents: Array[Array[Double]] = corpus
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nl)
       .collect()
       .map(r => normalized(r.getSeq[Number](1).map(_.doubleValue()).toArray))
     require(cents.nonEmpty, "ivfTopK: corpus is empty — nothing to index")
     // bounded, deterministic training sample: keep ids whose hash falls in
-    // 1/denom of the space. A count() sizes denom (cheap: parquet footer
-    // metadata — `corpus`, not the widened/projected `c`); the id-hash
-    // filter (unlike df.sample) picks the same subset regardless of
-    // partition count or row order, so centroids are reproducible.
-    val corpusN = corpus.count()
-    val denom = math.max(1L, corpusN / (nlist.toLong * trainPerCell))
+    // 1/denom of the space; the id-hash filter (unlike df.sample) picks
+    // the same subset regardless of partition count or row order, so
+    // centroids are reproducible.
+    val denom = math.max(1L, corpusN / (nl.toLong * trainPerCell))
     val train =
       if (denom <= 1L) c
       else c.filter(pmod(xxhash64(col("cand_id")), lit(denom)) === 0)
