@@ -196,6 +196,52 @@ object QueriesLlm {
         .orderBy("doc_id")
     }),
 
+    // -- concat-and-chunk sequence packing: deterministic sharded layout
+    //    of the token stream into fixed 2048-token chunks (how
+    //    pretraining batches are formed); each doc's chunk assignment
+    //    depends only on ids, never on physical partitioning
+    "q68_pack_chunks" -> ((s, dir) => {
+      graft.ops.TrainingPrep.packChunks(
+        Tables.load(s, dir, "documents"), chunkTokens = 2048, shards = 64)
+        .orderBy("doc_id")
+    }),
+
+    // -- exact train/holdout contamination over the q66 hash split:
+    //    holdout docs whose normalized text also appears in train
+    //    (window-keyed on the text — one shuffle, no self-join). The
+    //    corpus' organic exact dups rarely straddle the split, so a
+    //    deterministic canary text is injected into every 13th doc —
+    //    identically in the oracle (the q63 pattern) — guaranteeing the
+    //    detector sees real cross-split duplicates.
+    "q69_split_contamination" -> ((s, dir) => {
+      val injected = Tables.load(s, dir, "documents")
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          lit("shared canary document for leakage checks"))
+          .otherwise(col("text")))
+      graft.ops.TrainingPrep.splitContamination(injected)
+        .orderBy("doc_id")
+    }),
+
+    // -- n-gram decontamination (GPT-3-style 13-gram rule): holdout docs
+    //    sharing any distinct word 13-gram with any train doc; per-gram
+    //    boolean via window, so no pair explosion. k=5 here: the
+    //    synthetic docs are short enough that 13-grams are near-unique,
+    //    and the operator's machinery is k-independent.
+    "q70_ngram_contamination" -> ((s, dir) => {
+      graft.ops.TrainingPrep.ngramContamination(
+        Tables.load(s, dir, "documents"), k = 5)
+        .orderBy("doc_id")
+    }),
+
+    // -- top-3 TF-IDF terms per doc (df via window over the tf table —
+    //    two shuffles total; scores rounded before ranking so ordering
+    //    is engine-stable)
+    "q71_tfidf_top_terms" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.TrainingPrep.tfidfTopTerms(d, corpusN = d.count())
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---------------------------------------------------------- audits
     // Self-verifying entries for the sketch operators: each approximate
     // query (no SQL oracle possible — engine-specific hashes) is checked
@@ -321,6 +367,77 @@ object QueriesLlm {
        |WHERE false""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q68_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2654435761) % 1000003 % 64 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, shard, n_tok, start_tok, start_tok // 2048 AS chunk
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q69_split_contamination" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN 'shared canary document for leakage checks'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
+        |      THEN 'train' ELSE 'holdout' END AS split,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM inj),
+        |t AS (SELECT norm, count(*) AS n_train_dups, min(doc_id) AS first_train_dup
+        |      FROM d WHERE split = 'train' GROUP BY norm)
+        |SELECT d.doc_id, CAST(t.n_train_dups AS BIGINT) AS n_train_dups,
+        |  t.first_train_dup
+        |FROM d JOIN t USING (norm) WHERE d.split = 'holdout'
+        |ORDER BY doc_id""".stripMargin,
+    "q70_ngram_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
+        |      THEN 'train' ELSE 'holdout' END AS split,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, split,
+        |    list_distinct(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END) AS sh
+        |  FROM toks),
+        |posts AS (SELECT doc_id, split, unnest(sh) AS shingle FROM sh),
+        |tr AS (SELECT DISTINCT shingle FROM posts WHERE split = 'train'),
+        |h AS (
+        |  SELECT p.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |  FROM posts p LEFT JOIN tr ON p.shingle = tr.shingle
+        |  WHERE p.split = 'holdout' GROUP BY 1)
+        |SELECT doc_id, n_grams, n_contaminated FROM h
+        |WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin,
+    "q71_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY term)), 4) AS score
+        |  FROM tf),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q63_pii_redact" ->
       """WITH inj AS (
         |  SELECT doc_id,

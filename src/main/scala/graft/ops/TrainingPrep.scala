@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators: the steps between "clean corpus"
+  * and "batches on the accelerator" — deterministic splitting (the
+  * battery's q66 hash-split), concat-and-chunk sequence packing, and
+  * train/holdout contamination detection (exact and n-gram, the GPT-3 /
+  * decontamination-report shape).
+  *
+  * All use the arithmetic id-hash family (engine-portable, unlike
+  * xxhash64) so results are reproducible across runs, partitionings and
+  * engines, and every operator is expressible as an oracle in plain SQL.
+  */
+object TrainingPrep {
+
+  /** Deterministic train/holdout assignment from an integer id — same
+    * arithmetic hash as the battery's q66 split, factored for reuse.
+    * Stable across runs/partitionings/engines; sample-by-rand never is. */
+  def splitCol(id: Column, trainPct: Int = 90): Column =
+    when((id * lit(2654435761L)) % lit(1000003L) % 100 < trainPct,
+      lit("train")).otherwise(lit("holdout"))
+
+  /** Deterministic shard assignment (same hash family, different
+    * modulus) — the unit of parallelism for [[packChunks]]. */
+  def shardCol(id: Column, shards: Int): Column =
+    (id * lit(2654435761L)) % lit(1000003L) % shards
+
+  /** Concat-and-chunk sequence packing: documents are laid out
+    * back-to-back in (shard, id) order and the token stream is cut every
+    * `chunkTokens` tokens — exactly how pretraining batches are formed.
+    * Emits each document's start offset in its shard's token stream and
+    * the chunk index its first token lands in.
+    *
+    * Scale design: a single global token stream would be ONE window
+    * partition = one task at any cluster size. Docs are instead sharded
+    * by a deterministic id-hash into `shards` independent streams
+    * (optionally sub-partitioned by `groupCols`, e.g. language), so the
+    * cumulative sum runs as `shards × |groups|` parallel window
+    * partitions and per-task state is one running long. Layout depends
+    * only on ids, never on physical partitioning. */
+  def packChunks(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 2048,
+      shards: Int = 64,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = Window
+      .partitionBy((groupCols :+ "shard").map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+        (col(idCol) +: groupCols.map(col)) :+
+          shardCol(col(idCol), shards).as("shard") :+
+          TextAnalysis.tokenCount(col(textCol)).as("n_tok"): _*)
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk", expr(s"start_tok div $chunkTokens"))
+  }
+
+  /** Exact train/holdout contamination: holdout documents whose
+    * normalized text also appears in the train split — the leakage an
+    * eval-set release must catch. Emits each contaminated holdout doc
+    * with the number of train-side copies and the smallest train id.
+    *
+    * Scale design: one shuffle, no join — a window keyed on the
+    * normalized text carries the train-side count and min-id past every
+    * member of the duplicate group (partition size = duplicate
+    * multiplicity, bounded in any real corpus; a self-join on text would
+    * shuffle the corpus twice and re-derive the normalization on both
+    * sides). */
+  def splitContamination(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trainPct: Int = 90): DataFrame = {
+    val w = Window.partitionBy("__norm")
+    df.select(col(idCol).as("id"), splitCol(col(idCol), trainPct).as("split"),
+        Dedup.normalize(col(textCol)).as("__norm"))
+      .withColumn("n_train_dups",
+        sum(when(col("split") === "train", 1L).otherwise(0L)).over(w))
+      .withColumn("first_train_dup",
+        min(when(col("split") === "train", col("id"))).over(w))
+      .filter(col("split") === "holdout" && col("n_train_dups") > 0)
+      .select(col("id").as(idCol), col("n_train_dups"), col("first_train_dup"))
+  }
+
+  /** N-gram train/holdout contamination (the GPT-3 13-gram rule): for
+    * each holdout document, how many of its distinct word `k`-grams also
+    * appear in ANY train document. Near-dup leakage that exact matching
+    * misses — a holdout doc sharing long verbatim spans with train data
+    * is still contamination.
+    *
+    * Scale design: no pair generation — contamination is a per-gram
+    * boolean ("seen in train?"), so a window keyed on the gram marks the
+    * flag and holdout rows aggregate it: one posting shuffle + one
+    * per-doc aggregation, never the O(df²) explode of the Jaccard pair
+    * machinery. 13-grams are near-unique, so gram partitions stay tiny
+    * (boilerplate-heavy corpora shorten them with a pre-filter, not a
+    * cap — dropping a hot gram here would silently hide contamination). */
+  def ngramContamination(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 13,
+      trainPct: Int = 90): DataFrame = {
+    val posts = Dedup.widen(df)
+      .select(col(idCol).as("id"), splitCol(col(idCol), trainPct).as("split"),
+        explode_outer(Dedup.shingles(Dedup.normalize(col(textCol)), k))
+          .as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val w = Window.partitionBy("shingle")
+    posts
+      .withColumn("in_train",
+        max(when(col("split") === "train", 1).otherwise(0)).over(w))
+      .filter(col("split") === "holdout")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("in_train")).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"))
+  }
+
+  /** Top-`topK` TF-IDF terms per document (ties broken by term,
+    * ascending; scores rounded to 4 places BEFORE ranking so the
+    * ordering is stable across engines whose `ln` differs in the last
+    * ulp). `corpusN` must be the row count of `df` — passed in rather
+    * than counted here so callers composing several operators over one
+    * table pay the count once.
+    *
+    * Scale design: two shuffles total. The document frequency is a
+    * window count over the (doc, term) tf table — tf has exactly one row
+    * per (doc, term), so `count(*) over (partition by term)` IS df, and
+    * no separate vocabulary aggregate + join is needed. The second
+    * shuffle ranks within each doc. */
+  def tfidfTopTerms(
+      df: DataFrame,
+      corpusN: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      topK: Int = 3): DataFrame = {
+    val tf = Dedup.widen(df)
+      .select(col(idCol).as("id"),
+        explode_outer(split(Dedup.normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val wTerm = Window.partitionBy("term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("score",
+        round(col("tf") * log(lit(corpusN.toDouble) / col("df").cast("double")), 4))
+    val wDoc = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(wDoc))
+      .filter(col("rank") <= topK)
+      .select(col("id").as(idCol), col("rank"), col("term"), col("score"))
+  }
+}

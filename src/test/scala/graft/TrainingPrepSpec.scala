@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TrainingPrep
+
+/** Unit coverage for the training-set preparation operators, checked
+  * against in-memory reference computations that replicate the
+  * arithmetic split/shard hash. */
+class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  /** Scala mirror of TrainingPrep.splitCol / shardCol. */
+  private def refSplit(id: Long, trainPct: Int = 90): String =
+    if (id * 2654435761L % 1000003L % 100 < trainPct) "train" else "holdout"
+  private def refShard(id: Long, shards: Int): Long =
+    id * 2654435761L % 1000003L % shards
+
+  test("packChunks: sharded concat-and-chunk layout matches a sequential fold") {
+    val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.packChunks(docs, chunkTokens = 10, shards = 3)
+      .select("doc_id", "shard", "n_tok", "start_tok", "chunk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // reference: per shard, docs in id order, running start offset
+    val expected = (1L to 40L).map { i =>
+      val nTok = (i % 7 + 1).toInt
+      (i, refShard(i, 3), nTok)
+    }.groupBy(_._2).flatMap { case (_, docs) =>
+      docs.sortBy(_._1).scanLeft((0L, 0L, 0, 0L)) {
+        case ((_, _, _, acc), (id, shard, n)) => (id, shard, n, acc + n)
+      }.drop(1).map { case (id, shard, n, cum) =>
+        val start = cum - n
+        (id, shard, n, start, start / 10)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected)
+    // layout is partitioning-independent
+    val repart = TrainingPrep.packChunks(
+      docs.repartition(7), chunkTokens = 10, shards = 3)
+      .select("doc_id", "chunk").as[(Long, Long)].collect().sortBy(_._1)
+    assert(repart.toSeq == expected.map(e => (e._1, e._5)))
+  }
+
+  test("splitContamination: holdout docs with train-side text dups are flagged") {
+    // find one holdout and two train ids under the real hash, then give
+    // them the same text (plus whitespace noise the normalizer removes)
+    val ids = (1L to 200L)
+    val holdoutId = ids.find(refSplit(_) == "holdout").get
+    val trainIds = ids.filter(refSplit(_) == "train").take(2)
+    val dupText = "Shared  Text"
+    val docs = (ids.map { i =>
+      val text = if (i == holdoutId || trainIds.contains(i)) dupText
+        else s"unique text $i"
+      (i, text)
+    }).toDF("doc_id", "text")
+    val out = TrainingPrep.splitContamination(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((holdoutId, 2L, trainIds.min)))
+  }
+
+  test("ngramContamination: shared k-gram spans flag holdout docs; unique docs don't") {
+    val ids = (1L to 100L)
+    val holdoutId = ids.find(refSplit(_) == "holdout").get
+    val trainId = ids.find(refSplit(_) == "train").get
+    val span = "alpha beta gamma delta epsilon" // the one shared 5-gram
+    val docs = ids.map { i =>
+      // diverge immediately after the span (and use per-doc-unique filler
+      // tokens) so exactly ONE 5-gram is shared between holdout and train
+      val text = if (i == holdoutId) s"$span h1 h2 h3 h4"
+        else if (i == trainId) s"$span t1 t2 t3 t4"
+        else s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = TrainingPrep.ngramContamination(docs, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the holdout doc has 9 tokens -> 5 distinct 5-grams; exactly the
+    // leading one ("alpha beta gamma delta epsilon") exists in train
+    assert(out == Seq((holdoutId, 5L, 1L)))
+  }
+
+  test("tfidfTopTerms: ubiquitous terms score zero; rare terms rank first") {
+    val docs = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare2 other")).toDF("doc_id", "text")
+    val out = TrainingPrep.tfidfTopTerms(docs, corpusN = 3, topK = 2)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    // df(common)=3 -> ln(1)=0 exactly; rare terms: ln(3)≈1.0986
+    assert(out(1L) == Seq(("rare1", 1.0986), ("common", 0.0)))
+    assert(out(2L) == Seq(("rare2", 0.4055), ("common", 0.0)))
+    assert(out(3L).head._1 == "other" || out(3L).head._1 == "rare2")
+    // rare2 (df=2) and other (df=1): other scores ln(3), rare2 ln(1.5)
+    assert(out(3L) == Seq(("other", 1.0986), ("rare2", 0.4055)))
+  }
+}
