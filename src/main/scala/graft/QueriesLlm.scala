@@ -208,7 +208,7 @@ object QueriesLlm {
 
     // -- exact train/holdout contamination over the q66 hash split:
     //    holdout docs whose normalized text also appears in train
-    //    (window-keyed on the text — one shuffle, no self-join). The
+    //    (train side collapsed to distinct texts, then joined). The
     //    corpus' organic exact dups rarely straddle the split, so a
     //    deterministic canary text is injected into every 13th doc —
     //    identically in the oracle (the q63 pattern) — guaranteeing the
@@ -224,18 +224,18 @@ object QueriesLlm {
 
     // -- n-gram decontamination (GPT-3-style 13-gram rule): holdout docs
     //    sharing any distinct word 13-gram with any train doc; per-gram
-    //    boolean via window, so no pair explosion. k=5 here: the
-    //    synthetic docs are short enough that 13-grams are near-unique,
-    //    and the operator's machinery is k-independent.
+    //    seen-in-train boolean via distinct+left-join, so no pair
+    //    explosion. k=5 here: the synthetic docs are short enough that
+    //    13-grams are near-unique, and the machinery is k-independent.
     "q70_ngram_contamination" -> ((s, dir) => {
       graft.ops.TrainingPrep.ngramContamination(
         Tables.load(s, dir, "documents"), k = 5)
         .orderBy("doc_id")
     }),
 
-    // -- top-3 TF-IDF terms per doc (df via window over the tf table —
-    //    two shuffles total; scores rounded before ranking so ordering
-    //    is engine-stable)
+    // -- top-3 TF-IDF terms per doc (df as a per-term aggregate joined
+    //    back — AQE broadcasts the vocabulary-sized df table; scores
+    //    rounded before ranking so ordering is engine-stable)
     "q71_tfidf_top_terms" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       graft.ops.TrainingPrep.tfidfTopTerms(d, corpusN = d.count())

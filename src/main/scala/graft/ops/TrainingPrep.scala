@@ -68,25 +68,27 @@ object TrainingPrep {
     * eval-set release must catch. Emits each contaminated holdout doc
     * with the number of train-side copies and the smallest train id.
     *
-    * Scale design: one shuffle, no join — a window keyed on the
-    * normalized text carries the train-side count and min-id past every
-    * member of the duplicate group (partition size = duplicate
-    * multiplicity, bounded in any real corpus; a self-join on text would
-    * shuffle the corpus twice and re-derive the normalization on both
-    * sides). */
+    * Scale design: the train side collapses to one row per distinct
+    * text via an aggregate (map-side combine absorbs even a
+    * billion-copy boilerplate doc before the shuffle), then the holdout
+    * slice inner-joins it. Deliberately NOT a window keyed on the text:
+    * a window partition holds every copy of a duplicated document and
+    * cannot be skew-split, whereas the join is AQE-skew-handled and the
+    * aggregate output is distinct-texts-sized (AQE broadcasts it when
+    * small). */
   def splitContamination(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       trainPct: Int = 90): DataFrame = {
-    val w = Window.partitionBy("__norm")
-    df.select(col(idCol).as("id"), splitCol(col(idCol), trainPct).as("split"),
-        Dedup.normalize(col(textCol)).as("__norm"))
-      .withColumn("n_train_dups",
-        sum(when(col("split") === "train", 1L).otherwise(0L)).over(w))
-      .withColumn("first_train_dup",
-        min(when(col("split") === "train", col("id"))).over(w))
-      .filter(col("split") === "holdout" && col("n_train_dups") > 0)
+    val d = df.select(col(idCol).as("id"),
+      splitCol(col(idCol), trainPct).as("split"),
+      Dedup.normalize(col(textCol)).as("__norm"))
+    val train = d.filter(col("split") === "train")
+      .groupBy("__norm")
+      .agg(count(lit(1)).as("n_train_dups"), min(col("id")).as("first_train_dup"))
+    d.filter(col("split") === "holdout")
+      .join(train, "__norm")
       .select(col("id").as(idCol), col("n_train_dups"), col("first_train_dup"))
   }
 
@@ -97,12 +99,13 @@ object TrainingPrep {
     * is still contamination.
     *
     * Scale design: no pair generation — contamination is a per-gram
-    * boolean ("seen in train?"), so a window keyed on the gram marks the
-    * flag and holdout rows aggregate it: one posting shuffle + one
-    * per-doc aggregation, never the O(df²) explode of the Jaccard pair
-    * machinery. 13-grams are near-unique, so gram partitions stay tiny
-    * (boilerplate-heavy corpora shorten them with a pre-filter, not a
-    * cap — dropping a hot gram here would silently hide contamination). */
+    * boolean ("seen in train?"), never the O(df²) explode of the Jaccard
+    * pair machinery. The train-side gram set collapses to one row per
+    * distinct gram (map-side combine absorbs boilerplate grams repeated
+    * across billions of docs), and holdout postings LEFT-join it — the
+    * join is AQE-skew-splittable, unlike a window keyed on the gram,
+    * whose partition would hold every occurrence of a hot gram. No df
+    * cap: dropping a hot gram here would silently hide contamination. */
   def ngramContamination(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -114,14 +117,13 @@ object TrainingPrep {
         explode_outer(Dedup.shingles(Dedup.normalize(col(textCol)), k))
           .as("shingle"))
       .filter(col("shingle").isNotNull)
-    val w = Window.partitionBy("shingle")
-    posts
-      .withColumn("in_train",
-        max(when(col("split") === "train", 1).otherwise(0)).over(w))
-      .filter(col("split") === "holdout")
+    val trainGrams = posts.filter(col("split") === "train")
+      .select("shingle").distinct().withColumn("in_train", lit(1))
+    posts.filter(col("split") === "holdout")
+      .join(trainGrams, Seq("shingle"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
-        sum(col("in_train")).as("n_contaminated"))
+        sum(coalesce(col("in_train"), lit(0))).as("n_contaminated"))
       .filter(col("n_contaminated") > 0)
       .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"))
   }
@@ -133,11 +135,18 @@ object TrainingPrep {
     * than counted here so callers composing several operators over one
     * table pay the count once.
     *
-    * Scale design: two shuffles total. The document frequency is a
-    * window count over the (doc, term) tf table — tf has exactly one row
-    * per (doc, term), so `count(*) over (partition by term)` IS df, and
-    * no separate vocabulary aggregate + join is needed. The second
-    * shuffle ranks within each doc. */
+    * Scale design: document frequency is a per-term AGGREGATE of the
+    * (doc, term) tf table, attached back with a join — deliberately NOT
+    * `count(*) over (partition by term)`, which would sort every
+    * occurrence of a stopword-grade term into ONE window partition
+    * (unbounded task size on natural language, and WindowExec cannot be
+    * skew-split). The aggregate's map-side combine collapses each
+    * partition to one row per term before the shuffle, the df table is
+    * vocabulary-sized so AQE broadcasts it in the common case, and when
+    * it must shuffle instead, AQE's skew-join splitting applies. The tf
+    * subtree feeds both branches and is recomputed rather than cached:
+    * recompute is a linear constant factor, a hot-term window partition
+    * is not. */
   def tfidfTopTerms(
       df: DataFrame,
       corpusN: Long,
@@ -149,9 +158,8 @@ object TrainingPrep {
         explode_outer(split(Dedup.normalize(col(textCol)), " ")).as("term"))
       .filter(col("term").isNotNull && col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val wTerm = Window.partitionBy("term")
-    val scored = tf
-      .withColumn("df", count(lit(1)).over(wTerm))
+    val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfByTerm, "term")
       .withColumn("score",
         round(col("tf") * log(lit(corpusN.toDouble) / col("df").cast("double")), 4))
     val wDoc = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
