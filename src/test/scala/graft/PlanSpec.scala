@@ -112,4 +112,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"upsert must not sort-merge the full target:\n$p")
   }
+
+  test("q67: bucketed as-of joins only the tiny per-bucket summary, never pairs") {
+    val p = plan("q67_asof_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"bucketed as-of must not fan out pairs:\n$p")
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+  }
+
+  test("q68: packing is pure window layout — no join anywhere") {
+    val p = plan("q68_pack_chunks")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert(p.contains("Window"), s"expected the sharded cumsum window:\n$p")
+  }
+
+  test("q70/q71: contamination and tf-idf join equi-wise, never cartesian") {
+    Seq("q70_ngram_contamination", "q71_tfidf_top_terms").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q must join on keys:\n$p")
+    }
+  }
 }
