@@ -438,6 +438,40 @@ object QueriesRelational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // -- explicit GROUPING SETS + grouping() markers, through the
+    //    spark.sql STRING surface (the API the reference hands its SQL
+    //    to — every other entry drives the DataFrame API): rollup/cube
+    //    (q09/q24) can't express this asymmetric set list
+    "q38_grouping_sets" -> ((s, dir) => {
+      val v = s"li_gs_${math.abs(dir.hashCode)}"
+      T(s, dir, "lineitem").createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+           |FROM $v
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // -- RANGE-frame window (value-based, not row-based): every other
+    //    window in the battery uses ROWS frames. Range frames include
+    //    ALL peers of the boundary value, so the aggregate is
+    //    deterministic even where prices tie.
+    "q39_range_window" -> ((s, dir) => {
+      val v = s"ord_rw_${math.abs(dir.hashCode)}"
+      T(s, dir, "orders").createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+           |  count(*) OVER w AS n_within_50k,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_within_50k
+           |FROM $v
+           |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // -- salted skewed join (graft.ops.Skew): lineitem keyed by
     //    l_returnflag is a deliberately pathological distribution — 3
     //    distinct keys over the whole table, so an unsalted shuffled join
@@ -779,6 +813,22 @@ object QueriesRelational {
         |  EXCEPT ALL
         |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0)
         |ORDER BY k, op""".stripMargin,
+    "q38_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q39_range_window" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  count(*) OVER w AS n_within_50k,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_within_50k
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q37_window_rank_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
