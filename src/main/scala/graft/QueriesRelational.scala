@@ -369,6 +369,17 @@ object QueriesRelational {
         .orderBy("hour", "event_type")
     }),
 
+    // -- built-in session_window sessionization driven in batch mode
+    //    (the declarative sibling of q22's flatMapGroupsWithState form;
+    //    identical expression on a stream, where the watermark closes
+    //    windows). Emits one row per session with the half-open
+    //    [first, last+gap) window bounds.
+    "q72_session_window" -> ((s, dir) => {
+      graft.streaming.Streams.sessionWindowCounts(
+        T(s, dir, "events"), gapMinutes = 30)
+        .orderBy("user_id", "session_start")
+    }),
+
     // -- as-of join: latest order at-or-before each event, per user.
     //    union+window (graft.ops.AsOf), NOT join-then-rank: the fan-out
     //    join materializes every (event, earlier order) pair first —
@@ -786,6 +797,25 @@ object QueriesRelational {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // session_window coalesces TOUCHING windows (events exactly gap
+    // apart merge — pinned in StreamsSpec), so the split condition is
+    // strictly-greater, same as q22's; window end = last event + gap
+    "q72_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
     "q21_asof_join" ->
       """SELECT event_id, user_id, o_orderkey AS last_order, o_totalprice AS last_price FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,

@@ -115,6 +115,53 @@ object Streams {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Built-in session-window aggregation — the declarative sibling of
+    * [[sessionize]]: the engine merges dynamic-gap windows itself, the
+    * same expression runs on batch and streaming frames, and on a
+    * stream the watermark closes windows (no custom state code at all).
+    *
+    * Boundary contract (pinned by StreamsSpec): touching windows
+    * coalesce, so two events EXACTLY `gap` apart DO merge — the same
+    * inclusive boundary as [[sessionize]]'s explicit-state form; the
+    * battery oracle (q72) splits on strictly-greater gaps to match.
+    * Window end = last event + gap. */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours") // no-op on a batch frame
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Watermarked stream-stream interval join: each left row matches
+    * right rows on `leftKey = rightKey` with `rightTime` in
+    * `[leftTime - maxLag, leftTime]` (the enrich-events-with-recent-
+    * context shape). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark can evict buffered rows once
+    * the other side's watermark passes `time + maxLag + delay` — WITHOUT
+    * the time bound a stream-stream join buffers both streams forever,
+    * which is the difference between deployable and OOM at pipeline
+    * scale. Works identically on batch frames (the watermarks become
+    * no-ops and it is a plain interval join). */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      maxLag: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(leftKey != rightKey && leftTime != rightTime,
+      "intervalJoinStreams: rename columns so key/time names differ across sides")
+    left.withWatermark(leftTime, watermarkDelay)
+      .join(right.withWatermark(rightTime, watermarkDelay),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTime >= $leftTime - INTERVAL $maxLag AND $rightTime <= $leftTime"))
+  }
+
   /** TRUE streaming sessionization: per-user state persists across
     * micro-batches, sessions close only when the event-time watermark
     * passes `last event + gap` (GroupStateTimeout.EventTimeTimeout), so

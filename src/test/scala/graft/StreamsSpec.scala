@@ -142,6 +142,103 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionWindowCounts: engine-merged sessions; exact-gap events merge " +
+    "(touching windows coalesce — same inclusive boundary as sessionize)") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)),  // one session, end = 10:10 + 30min
+      (1L, tsAt(11, 0)),          // 50min gap → new session
+      (2L, ts(0)), (2L, ts(30)))  // EXACTLY 30min apart → windows touch → merge
+      .toDF("user_id", "ts")
+    val out = Streams.sessionWindowCounts(events, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2.getTime))
+    assert(out.toSeq == Seq(
+      (1L, ts(0), tsAt(10, 40), 2L),
+      (1L, tsAt(11, 0), tsAt(11, 30), 1L),
+      (2L, ts(0), tsAt(11, 0), 2L)))
+  }
+
+  test("sessionWindowCounts on a stream: session spans micro-batches, emits " +
+    "once when the watermark closes it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sw-stream").toString
+    val batches = Seq(
+      Seq((7L, tsAt(10, 0)), (7L, tsAt(10, 5))),
+      Seq((7L, tsAt(10, 10))),
+      Seq((8L, tsAt(14, 0))), // advances watermark to 12:00 past 10:40
+      Seq((8L, tsAt(14, 5)))) // batch runs with the advanced watermark
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw-w").toString
+      rows.toDF("user_id", "ts").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.sessionWindowCounts(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sw_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sw_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSeq
+      // user 7's three events span two micro-batches but emit as ONE
+      // merged window; user 8's window is still open (watermark behind)
+      assert(out == Seq((7L, tsAt(10, 0), tsAt(10, 40), 3L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStreams: cross-micro-batch matches within the lag bound; " +
+    "stale rows beyond it never join") {
+    val ldir = java.nio.file.Files.createTempDirectory("graft-ij-l").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-ij-r").toString
+    def writeBatches(dir: String, name: String,
+        batches: Seq[Seq[(Long, Timestamp, String)]], cols: Seq[String]): Unit =
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(name).toString
+        rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+      }
+    // left clicks; right orders arrive in a LATER micro-batch (the
+    // buffered-state case a per-batch join cannot express)
+    writeBatches(ldir, "graft-ij-lw", Seq(
+      Seq((7L, tsAt(10, 0), "click")),
+      Seq((8L, tsAt(10, 30), "click"))), Seq("user_id", "ts", "event_type"))
+    writeBatches(rdir, "graft-ij-rw", Seq(
+      Seq((7L, tsAt(9, 30), "o1")),   // within 1h before 10:00 → joins
+      Seq((7L, tsAt(8, 30), "o2")),   // >1h before → never joins
+      Seq((8L, tsAt(10, 15), "o3"))), // within 1h before 10:30 → joins
+      Seq("o_user", "o_ts", "o_id"))
+    val left = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", 1).parquet(ldir)
+    val right = spark.readStream
+      .schema("o_user LONG, o_ts TIMESTAMP, o_id STRING")
+      .option("maxFilesPerTrigger", 1).parquet(rdir)
+    val q = Streams.intervalJoinStreams(left, right,
+      leftKey = "user_id", rightKey = "o_user",
+      leftTime = "ts", rightTime = "o_ts", maxLag = "1 hour")
+      .select("user_id", "event_type", "o_id")
+      .writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("ij_stream")
+        .as[(Long, String, String)].collect().sortBy(t => (t._1, t._3)).toSeq
+      assert(out == Seq((7L, "click", "o1"), (8L, "click", "o3")))
+    } finally q.stop()
+  }
+
   test("end-to-end streaming run: file source → windowed agg → memory sink " +
     "matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-e2e").toString
