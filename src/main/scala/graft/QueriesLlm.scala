@@ -242,6 +242,28 @@ object QueriesLlm {
         .orderBy("doc_id", "rank")
     }),
 
+    // -- deterministic stratified sample: 20 docs per language by
+    //    id-hash order — reproducible downsampling, unlike sample()
+    "q73_stratified_sample" -> ((s, dir) => {
+      graft.ops.TrainingPrep.stratifiedSample(
+        Tables.load(s, dir, "documents"), n = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // -- mixture rebalancing: downsample languages to a target mixture
+    //    without upsampling (the scarcest weighted language keeps 100%);
+    //    membership is an id-hash threshold, so the rebalanced corpus is
+    //    reproducible and the oracle replays it exactly
+    "q74_mixture_rebalance" -> ((s, dir) => {
+      graft.ops.TrainingPrep.rebalanceMixture(
+        Tables.load(s, dir, "documents"),
+        weights = Map("en" -> 0.4, "es" -> 0.2, "de" -> 0.2,
+          "fr" -> 0.1, "zh" -> 0.1))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---------------------------------------------------------- audits
     // Self-verifying entries for the sketch operators: each approximate
     // query (no SQL oracle possible — engine-specific hashes) is checked
@@ -469,6 +491,26 @@ object QueriesLlm {
         |  round(CASE WHEN a.nb IS NULL THEN 0.0
         |    ELSE CAST(a.tb AS DOUBLE) / CAST(a.nb AS DOUBLE) END, 6) AS top_frac
         |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q73_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "q74_mixture_rebalance" ->
+      """WITH w(lang, wt) AS (VALUES
+        |    ('en', CAST(0.4 AS DOUBLE)), ('es', CAST(0.2 AS DOUBLE)),
+        |    ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |    ('zh', CAST(0.1 AS DOUBLE))),
+        |c AS (SELECT lang, wt, count(*) AS n
+        |      FROM documents JOIN w USING (lang) GROUP BY 1, 2),
+        |f AS (SELECT lang,
+        |        least(CAST(1.0 AS DOUBLE), wt * (SELECT min(n / wt) FROM c) / n) AS keep
+        |      FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 1000003 < CAST(keep * 1000003 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "q57_minhash_audit" -> noViolations("id_a", "id_b"),
     "q58_minhash_char_audit" -> noViolations("id_a", "id_b"),

@@ -128,6 +128,65 @@ object TrainingPrep {
       .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"))
   }
 
+  /** Deterministic stratified sample: the `n` documents with the
+    * smallest id-hash per stratum (ties by id). Unlike `df.sample`, the
+    * selection is a pure function of ids — stable across runs,
+    * partitionings and engines, so a downsampled corpus is reproducible
+    * and auditable.
+    *
+    * Scale design: row_number + filter is the shape Spark rewrites with
+    * WindowGroupLimit (each map task keeps only its local top-n per
+    * stratum before the shuffle), so a billion-doc stratum never sorts
+    * in one task. */
+  def stratifiedSample(
+      df: DataFrame,
+      n: Int,
+      strataCols: Seq[String] = Seq("lang"),
+      idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val h = (col(idCol) * lit(2654435761L)) % lit(1000003L)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Mixture rebalancing: downsample each key (source, language, ...)
+    * so the surviving corpus matches `weights` as closely as possible
+    * WITHOUT upsampling — the data-mixture step of every pretraining
+    * recipe. The target total is the largest T with n_k >= w_k·T for
+    * every key (the scarcest key keeps 100%), each key keeps the
+    * fraction w_k·T/n_k, and membership is the deterministic id-hash
+    * threshold, so the rebalanced corpus is reproducible. Keys absent
+    * from `weights` are dropped (weight 0).
+    *
+    * Scale design: one full scan + filter. The per-key bookkeeping
+    * (counts, target total, keep fractions) lives in a keys-sized frame
+    * that broadcasts into the scan — the corpus itself is never
+    * shuffled. */
+  def rebalanceMixture(
+      df: DataFrame,
+      weights: Map[String, Double],
+      keyCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "rebalanceMixture needs positive weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.sortBy(_._1).toDF(keyCol, "__w")
+    val counts = df.join(broadcast(wDf), keyCol)
+      .groupBy(keyCol, "__w").agg(count(lit(1)).as("__n"))
+    val t = counts.agg(min(col("__n") / col("__w")).as("__t"))
+    val frac = counts.crossJoin(broadcast(t))
+      .withColumn("__keep",
+        least(lit(1.0), col("__w") * col("__t") / col("__n")))
+      .select(col(keyCol), col("__keep"))
+    df.join(broadcast(frac), keyCol)
+      .filter((col(idCol) * lit(2654435761L)) % lit(1000003L) <
+        (col("__keep") * lit(1000003L)).cast("long"))
+      .drop("__keep")
+  }
+
   /** Top-`topK` TF-IDF terms per document (ties broken by term,
     * ascending; scores rounded to 4 places BEFORE ranking so the
     * ordering is stable across engines whose `ln` differs in the last

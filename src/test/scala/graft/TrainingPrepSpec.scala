@@ -83,6 +83,44 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((holdoutId, 5L, 1L)))
   }
 
+  test("stratifiedSample: exactly min(n, stratum) per stratum, partitioning-independent") {
+    val docs = (1L to 90L).map(i => (i, if (i <= 60) "big" else "small", s"t$i"))
+      .toDF("doc_id", "lang", "text")
+    val out = TrainingPrep.stratifiedSample(docs, n = 25)
+    val perStratum = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum == Map("big" -> 25L, "small" -> 25L))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val idsRepart = TrainingPrep.stratifiedSample(docs.repartition(11), n = 25)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == idsRepart)
+    // undersized stratum: all rows survive
+    val tiny = TrainingPrep.stratifiedSample(docs.filter($"lang" === "small"), n = 100)
+    assert(tiny.count() == 30)
+  }
+
+  test("rebalanceMixture: scarcest weighted key keeps all; unweighted keys drop") {
+    // 80 en / 40 de / 30 unweighted; weights 50/50 → target T = min(80/.5,
+    // 40/.5) = 80 → en keeps 40/80 = 0.5, de keeps 40/40 = all
+    val docs = (1L to 150L).map { i =>
+      val k = if (i <= 80) "en" else if (i <= 120) "de" else "xx"
+      (i, k, s"t$i")
+    }.toDF("doc_id", "lang", "text")
+    val out = TrainingPrep.rebalanceMixture(docs,
+      weights = Map("en" -> 0.5, "de" -> 0.5))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("de") == 40) // keep fraction 1.0 — every de doc survives
+    assert(!byLang.contains("xx")) // weight 0 → dropped
+    // en keeps ~half via the hash threshold (exact count is whatever the
+    // hash yields — pinned deterministic below, bounded loosely here)
+    assert(byLang("en") > 25 && byLang("en") < 55)
+    val again = TrainingPrep.rebalanceMixture(docs.repartition(13),
+      weights = Map("en" -> 0.5, "de" -> 0.5))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == out.map(_._1).sorted.toSeq)
+  }
+
   test("tfidfTopTerms: ubiquitous terms score zero; rare terms rank first") {
     val docs = Seq(
       (1L, "common rare1 common"),
