@@ -470,15 +470,21 @@ object QueriesRelational {
     //    window in the battery uses ROWS frames. Range frames include
     //    ALL peers of the boundary value, so the aggregate is
     //    deterministic even where prices tie.
+    //    EXECUTION WARNING the partition choice encodes: Spark's sliding
+    //    range frame has no aggregate retraction — it re-evaluates the
+    //    whole frame per row, O(rows × frame width) per partition. An
+    //    early cut of this query partitioned by o_orderstatus (3 × 50k
+    //    rows, wide frames) and ran 120+ s at sf0.1; per-customer
+    //    partitions keep frames a handful of rows.
     "q39_range_window" -> ((s, dir) => {
       val v = s"ord_rw_${math.abs(dir.hashCode)}"
       T(s, dir, "orders").createOrReplaceTempView(v)
       s.sql(
-        s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+        s"""SELECT o_orderkey, o_custkey, o_totalprice,
            |  count(*) OVER w AS n_within_50k,
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_within_50k
            |FROM $v
-           |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
            |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
            |ORDER BY o_orderkey""".stripMargin)
     }),
@@ -852,11 +858,11 @@ object QueriesRelational {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q39_range_window" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      """SELECT o_orderkey, o_custkey, o_totalprice,
         |  count(*) OVER w AS n_within_50k,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_within_50k
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q37_window_rank_funcs" ->
