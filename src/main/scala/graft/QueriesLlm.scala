@@ -264,6 +264,20 @@ object QueriesLlm {
         .orderBy("doc_id")
     }),
 
+    // -- native kernels through the SQL surface: GraftFunctions
+    //    registers every custom Catalyst expression as a SQL function
+    //    (the SparkSessionExtensions leg of the design); vec_dot is the
+    //    oracle-replicable one (DuckDB list_dot_product)
+    "q75_sql_kernels" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val v = s"emb_sqlk_${math.abs(dir.hashCode)}"
+      Tables.load(s, dir, "embeddings").createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT vec_id,
+           |  round(vec_dot(embedding, embedding), 4) AS norm2
+           |FROM $v ORDER BY vec_id""".stripMargin)
+    }),
+
     // ---------------------------------------------------------- audits
     // Self-verifying entries for the sketch operators: each approximate
     // query (no SQL oracle possible — engine-specific hashes) is checked
@@ -492,6 +506,12 @@ object QueriesLlm {
         |    ELSE CAST(a.tb AS DOUBLE) / CAST(a.nb AS DOUBLE) END, 6) AS top_frac
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q75_sql_kernels" ->
+      """SELECT vec_id,
+        |  round(list_dot_product(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS norm2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q73_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

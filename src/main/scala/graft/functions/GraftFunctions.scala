@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the native graft kernels: every custom Catalyst
+  * `Expression` in this package, exposed as a SQL function so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works — the
+  * SparkSessionExtensions leg of the custom-operator design (compose
+  * built-ins > native Expression > extension registration > UDF).
+  *
+  * Two registration paths:
+  *   - build-time: `SparkSession.builder().withExtensions(new
+  *     GraftExtensions)` — the proper injection point for sessions the
+  *     application constructs;
+  *   - post-hoc: [[GraftFunctions.register]] on a live session (e.g. one
+  *     the host created without extensions), via the sql-private
+  *     function registry.
+  *
+  * Cardinality/config arguments (hash counts, gram widths) must be
+  * INTEGER LITERALS: they parameterize the generated code itself, so a
+  * per-row value cannot work — the builders fail loudly instead of
+  * silently taking the first row's value.
+  */
+object GraftFunctions {
+
+  private def litInt(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INTEGER literal (it parameterizes codegen), " +
+        s"got ${other.sql}")
+  }
+
+  private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  /** (name, builder) for every native kernel. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { args =>
+      arity("vec_dot", 2, args); VecDot(args(0), args(1))
+    },
+    "minhash_sig" -> { args =>
+      arity("minhash_sig", 2, args)
+      MinHashSig(args(0), litInt("minhash_sig", "numHashes", args(1)))
+    },
+    "simhash64" -> { args =>
+      arity("simhash64", 1, args); SimHash64(args(0))
+    },
+    "top_bigram_count" -> { args =>
+      arity("top_bigram_count", 1, args); TopBigramCount(args(0))
+    },
+    "char_gram_minhash" -> { args =>
+      arity("char_gram_minhash", 3, args)
+      CharGramMinHash(args(0),
+        litInt("char_gram_minhash", "k", args(1)),
+        litInt("char_gram_minhash", "numHashes", args(2)))
+    })
+
+  /** Register every kernel on a live session (temp functions, session
+    * scope — idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, b) =>
+      GraftSqlBridge.registerFunction(spark, name, b)
+    }
+}
+
+/** Build-time injection: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` (or `spark.sql.extensions=graft.functions
+  * .GraftExtensions` in config). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        b))
+    }
+}

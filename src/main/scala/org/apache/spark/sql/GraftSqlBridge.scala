@@ -22,6 +22,18 @@ object GraftSqlBridge {
       case _ => None
     }
 
+  /** Register a native Expression builder as a temp SQL function on a
+    * LIVE session — the path for sessions not built with
+    * [[graft.functions.GraftExtensions]] (e.g. a host application's
+    * session handed to the library). `sessionState` is sql-private,
+    * hence here. */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** Block until the listener bus has delivered all queued events.
     * Task-metric gauges read by listeners (Runner's memory gauge) are
     * delivered asynchronously; without a drain a metrics read races the

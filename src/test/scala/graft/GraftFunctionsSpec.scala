@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+import graft.ops.Dedup
+
+/** The SQL surface of the native kernels: post-hoc registration on a
+  * live session, build-time injection via SparkSessionExtensions, and
+  * the literal-argument contract. */
+class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("register(): SQL kernels match their Column-API twins") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps the quick brown fox"),
+      (2L, "hello world"))
+      .toDF("id", "text").createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      """SELECT id, simhash64(split(text, ' ')) AS h,
+        |  top_bigram_count(split(text, ' ')) AS tb,
+        |  minhash_sig(transform(split(text, ' '), t -> xxhash64(t)), 8) AS sig
+        |FROM gf_docs""".stripMargin)
+    val viaCols = spark.table("gf_docs").select(col("id"),
+      Dedup.simhash(col("text")).as("h"),
+      graft.functions.SketchExprs.topBigramCount(split(col("text"), " ")).as("tb"),
+      Dedup.minhashSignature(
+        transform(split(col("text"), " "), t => xxhash64(t)), 8).as("sig"))
+    // simhash: Dedup.simhash tokenizes internally the same way; sig
+    // arrays compare element-wise via canon
+    assertSameRows(
+      viaSql.select(col("id"), col("h"), col("tb"), concat_ws(",", col("sig")).as("s")),
+      viaCols.select(col("id"), col("h"), col("tb"), concat_ws(",", col("sig")).as("s")))
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").as[Double].head()
+    assert(dot == 11.0)
+  }
+
+  test("cardinality args must be integer literals — loud failure otherwise") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), CAST(rand() * 8 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+  }
+
+  test("withExtensions(GraftExtensions): kernels available without explicit registration") {
+    // a NEW session over the same SparkContext, built with the
+    // extensions — getOrCreate would return the shared session, so the
+    // active/default slots are cleared first and restored after
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(ext ne shared)
+      val d = ext.sql(
+        "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(1.0D, 1.0D, 1.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 6.0)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
