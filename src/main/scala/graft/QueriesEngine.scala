@@ -102,12 +102,12 @@ object QueriesEngine {
         .orderBy("n_nationkey")
     }),
 
-    // -- non-parquet sources: stage-declared csv + json inputs registered
-    //    as views for the extract query (Layer B "Scans"; the reference
-    //    reads MySQL at Pype.py:33-36 — jdbc uses the identical SourceSpec
-    //    path, exercised in SourcesSpec since the container has no DB)
+    // -- non-parquet sources: stage-declared csv + json + orc inputs
+    //    registered as views for the extract query (Layer B "Scans"; the
+    //    reference reads MySQL at Pype.py:33-36 — jdbc uses the identical
+    //    SourceSpec path, exercised LIVE by q35 against embedded Derby)
     "q34_source_csv_json" -> ((s, dir) => {
-      // fixtures: csv/json copies of two dim tables, derived from the
+      // fixtures: csv/json/orc copies of dim tables, derived from the
       // parquet testdata once per sf dir (deterministic content)
       // fixture path keyed on the source parquet's identity (len+mtime),
       // not just the dir name: regenerated testdata gets fresh fixtures
@@ -116,20 +116,22 @@ object QueriesEngine {
         dir.hashCode.toLong ^ nsrc.length() ^ nsrc.lastModified())
       // existence-guarded so the fixtures really are written once per sf
       // dir (deterministic content; bench invokes every query twice).
-      // The guard keys on the LAST artifact written: guarding on the
-      // first (nation_csv) would make a crash between the two writes
-      // persistent — the half-built dir's key never changes, so every
-      // later run would skip regeneration and fail on the missing json
-      if (!new java.io.File(s"$fix/region_json/_SUCCESS").exists()) {
+      // The guard keys on the LAST artifact written: guarding on an
+      // earlier one would make a crash between writes persistent — the
+      // half-built dir's key never changes, so every later run would
+      // skip regeneration and fail on the missing pieces
+      if (!new java.io.File(s"$fix/supplier_orc/_SUCCESS").exists()) {
         Tables.load(s, dir, "nation").coalesce(1)
           .write.mode("overwrite").option("header", "true").csv(s"$fix/nation_csv")
         Tables.load(s, dir, "region").coalesce(1)
           .write.mode("overwrite").json(s"$fix/region_json")
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .coalesce(1).write.mode("overwrite").orc(s"$fix/supplier_orc")
       }
       val yaml =
         s"""pypes:
            |  src_stage:
-           |    extract_query: "SELECT n.n_nationkey, n.n_name, r.r_name AS region_name FROM nation_src n JOIN region_src r ON n.n_regionkey = r.r_regionkey"
+           |    extract_query: "SELECT n.n_nationkey, n.n_name, r.r_name AS region_name, CAST(coalesce(sp.n_supp, 0) AS BIGINT) AS n_supp FROM nation_src n JOIN region_src r ON n.n_regionkey = r.r_regionkey LEFT JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier_src GROUP BY s_nationkey) sp ON sp.s_nationkey = n.n_nationkey"
            |    sources:
            |      nation_src:
            |        format: csv
@@ -140,6 +142,10 @@ object QueriesEngine {
            |        format: json
            |        path: $fix/region_json
            |        schema: "r_regionkey INT, r_name STRING"
+           |      supplier_src:
+           |        format: orc
+           |        path: $fix/supplier_orc
+           |        schema: "s_suppkey INT, s_nationkey INT"
            |""".stripMargin
       val spec = PipelineSpec.fromYaml(yaml)
       val out = new Runner(s, spec).extract(spec.stages("src_stage"), Map.empty)
@@ -198,7 +204,11 @@ object QueriesEngine {
         |  ORDER BY l_quantity, l_extendedprice, l_discount, l_returnflag, revenue) = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q34_source_csv_json" ->
-      """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+      """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name,
+        |  CAST(coalesce(sp.n_supp, 0) AS BIGINT) AS n_supp
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |LEFT JOIN (SELECT s_nationkey, count(*) AS n_supp
+        |           FROM supplier GROUP BY s_nationkey) sp
+        |  ON sp.s_nationkey = n.n_nationkey
         |ORDER BY n_nationkey""".stripMargin)
 }

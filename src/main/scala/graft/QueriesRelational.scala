@@ -256,7 +256,11 @@ object QueriesRelational {
           quarter(col("o_orderdate")).as("qtr"),
           date_trunc("month", col("o_orderdate")).as("mon_ts"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
-          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          unix_timestamp(col("o_orderdate")).as("unix_ts"),
+          to_date(col("o_orderdate")).as("od"),
+          add_months(to_date(col("o_orderdate")), 1).as("next_month"),
+          last_day(col("o_orderdate")).as("month_end"))
         .orderBy("o_orderkey")
     }),
 
@@ -733,7 +737,11 @@ object QueriesRelational {
         |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
         |  date_trunc('month', o_orderdate) AS mon_ts,
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
-        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q15_math_funcs" ->
       """SELECT p_partkey,

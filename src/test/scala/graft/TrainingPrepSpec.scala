@@ -121,6 +121,16 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(again == out.map(_._1).sorted.toSeq)
   }
 
+  test("training-prep operators are empty-input safe") {
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(TrainingPrep.packChunks(noDocs).count() == 0)
+    assert(TrainingPrep.splitContamination(noDocs).count() == 0)
+    assert(TrainingPrep.ngramContamination(noDocs).count() == 0)
+    assert(TrainingPrep.tfidfTopTerms(noDocs, corpusN = 0).count() == 0)
+    assert(TrainingPrep.stratifiedSample(noDocs, n = 5).count() == 0)
+    assert(TrainingPrep.rebalanceMixture(noDocs, Map("en" -> 1.0)).count() == 0)
+  }
+
   test("tfidfTopTerms: ubiquitous terms score zero; rare terms rank first") {
     val docs = Seq(
       (1L, "common rare1 common"),
