@@ -91,6 +91,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q52: embedding-LSH bucket exchange carries ids only, like q49") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" ->
+        spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = SparkEntry.queries("q52_embed_dup_lsh")(spark, dir)
+        .queryExecution.executedPlan
+      val bandExchanges = exec.collect {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+              case h: HashPartitioning =>
+                h.expressions.flatMap(_.references.map(_.name).toSeq).contains("sig")
+              case _ => false
+            }) => e
+      }
+      assert(bandExchanges.nonEmpty, s"expected a (table, sig) exchange:\n$exec")
+      bandExchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"a vector column rides the bucket exchange (×tables payload):\n$e")
+      }
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q28: bucketed co-located join plans with zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
