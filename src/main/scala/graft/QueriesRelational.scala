@@ -384,6 +384,27 @@ object QueriesRelational {
         .orderBy("user_id", "session_start")
     }),
 
+    // -- interval join through the STREAMING operator in batch mode
+    //    (Streams.intervalJoinStreams — watermarks become no-ops): each
+    //    event joined to the SAME user's events in the hour before it
+    //    (events self-join; the orders table lives in a disjoint decade,
+    //    so an events×orders interval is always empty). Oracle-verifies
+    //    the time-bound join condition, which StreamsSpec exercises
+    //    across micro-batches but cannot hash-check against DuckDB.
+    "q76_interval_join" -> ((s, dir) => {
+      val e = T(s, dir, "events").select("event_id", "user_id", "ts")
+      val prior = T(s, dir, "events").select(
+        col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      graft.streaming.Streams.intervalJoinStreams(e, prior,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ts", rightTime = "p_ts", maxLag = "1 hour")
+        .filter(col("p_id") =!= col("event_id")) // a row always matches itself
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_prior"), max(col("p_id")).as("last_prior"))
+        .orderBy("event_id")
+    }),
+
     // -- as-of join: latest order at-or-before each event, per user.
     //    union+window (graft.ops.AsOf), NOT join-then-rank: the fan-out
     //    join materializes every (event, earlier order) pair first —
@@ -837,6 +858,12 @@ object QueriesRelational {
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q76_interval_join" ->
+      """SELECT a.event_id, count(*) AS n_prior, max(b.event_id) AS last_prior
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+        |  AND b.event_id <> a.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q67 is q21 under the hot-key time-bucket guard — provably the same
     // result, so the oracle is q21's verbatim
     "q67_asof_bucketed" ->

@@ -131,6 +131,35 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(TrainingPrep.rebalanceMixture(noDocs, Map("en" -> 1.0)).count() == 0)
   }
 
+  test("property: tfidfTopTerms equals a brute-force reference on random corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rnd = new scala.util.Random(11)
+    (0 until 5).foreach { _ =>
+      val docs = (1L to (4 + rnd.nextInt(5))).map { i =>
+        (i, (0 until 3 + rnd.nextInt(7)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val n = docs.size.toLong
+      // brute-force reference with the operator's exact rounding/order
+      val tf = docs.flatMap { case (id, t) =>
+        t.split(" ").groupBy(identity).map { case (term, occ) => (id, term, occ.length) }
+      }
+      val dfc = tf.groupBy(_._2).view.mapValues(_.size).toMap
+      val expected = tf.groupBy(_._1).flatMap { case (id, rows) =>
+        rows.map { case (_, term, f) =>
+          val score = BigDecimal(f * math.log(n.toDouble / dfc(term)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, term, score)
+        }.sortBy { case (_, term, score) => (-score, term) }
+          .take(3).zipWithIndex
+          .map { case ((i2, term, score), r) => (i2, r + 1, term, score) }
+      }.toSet
+      val got = TrainingPrep.tfidfTopTerms(docs.toDF("doc_id", "text"), corpusN = n)
+        .as[(Long, Int, String, Double)].collect().toSet
+      withClue(s"docs=$docs: ") { assert(got == expected) }
+    }
+  }
+
   test("tfidfTopTerms: ubiquitous terms score zero; rare terms rank first") {
     val docs = Seq(
       (1L, "common rare1 common"),
