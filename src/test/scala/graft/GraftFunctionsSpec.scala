@@ -47,6 +47,25 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("INTEGER literal"))
   }
 
+  test("GraftSession.builder: configured session has kernels and the scale knobs") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val gs = GraftSession.builder(shufflePartitions = 8)
+        .master("local[4]").getOrCreate()
+      assert(gs ne shared)
+      assert(gs.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(gs.conf.get("spark.sql.shuffle.partitions") == "8")
+      val d = gs.sql("SELECT vec_dot(array(2.0D), array(3.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 6.0)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("withExtensions(GraftExtensions): kernels available without explicit registration") {
     // a NEW session over the same SparkContext, built with the
     // extensions — getOrCreate would return the shared session, so the
