@@ -278,6 +278,14 @@ object QueriesLlm {
            |FROM $v ORDER BY vec_id""".stripMargin)
     }),
 
+    // -- the Layer C flagship composition (analogue of q33 for the
+    //    engine layer): dedup → quality filter → PII redaction → split
+    //    in one call, oracle-verified as a whole
+    "q77_corpus_prep" -> ((s, dir) => {
+      graft.ops.TrainingPrep.prepareCorpus(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------------------------------------------------- audits
     // Self-verifying entries for the sketch operators: each approximate
     // query (no SQL oracle possible — engine-specific hashes) is checked
@@ -512,6 +520,38 @@ object QueriesLlm {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |    list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS norm2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // composition of the q40 dedup, q44 quality, q63 redaction and q66
+    // split oracles over the normalized survivor text
+    "q77_corpus_prep" ->
+      """WITH dd AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+        |    count(*) AS n_copies
+        |  FROM documents GROUP BY 2),
+        |q AS (
+        |  SELECT doc_id, norm_text, n_copies,
+        |    string_split(norm_text, ' ') AS toks
+        |  FROM dd),
+        |sc AS (
+        |  SELECT doc_id, norm_text, n_copies,
+        |    round(
+        |      least(len(toks) / 100.0, 1.0) * 0.3
+        |      + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3
+        |      + (1.0 - CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.2
+        |      + least(((length(norm_text) - (CAST(len(toks) AS DOUBLE) - 1.0)) / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) * 0.2
+        |      + 0.000000001,
+        |      4) AS quality
+        |  FROM q)
+        |SELECT doc_id,
+        |  CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
+        |    THEN 'train' ELSE 'holdout' END AS split,
+        |  quality,
+        |  regexp_replace(regexp_replace(regexp_replace(norm_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d ().-]{7,}\d', '<PHONE>', 'g') AS text,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM sc WHERE quality >= 0.6 ORDER BY doc_id""".stripMargin,
     "q73_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -128,6 +128,28 @@ object TrainingPrep {
       .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"))
   }
 
+  /** End-to-end corpus preparation — the composed cleanup a release
+    * pipeline runs in one call: exact dedup (smallest-id survivor per
+    * normalized text), quality-score filter, PII redaction, and the
+    * deterministic train/holdout split. One aggregation shuffle (the
+    * dedup); everything after is a narrow map over the survivors.
+    * Each stage is individually oracle-verified elsewhere (q40, q44,
+    * q63, q66); the battery's q77 verifies the composition. */
+  def prepareCorpus(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      qualityMin: Double = 0.6,
+      trainPct: Int = 90): DataFrame =
+    Dedup.exact(df, idCol, textCol)
+      .withColumn("quality", TextAnalysis.qualityScore(col("norm_text")))
+      .filter(col("quality") >= qualityMin)
+      .select(col(idCol),
+        splitCol(col(idCol), trainPct).as("split"),
+        col("quality"),
+        TextAnalysis.redactPii(col("norm_text")).as("text"),
+        col("n_copies"))
+
   /** Deterministic stratified sample: the `n` documents with the
     * smallest id-hash per stratum (ties by id). Unlike `df.sample`, the
     * selection is a pure function of ids — stable across runs,
