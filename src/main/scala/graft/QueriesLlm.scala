@@ -278,6 +278,27 @@ object QueriesLlm {
            |FROM $v ORDER BY vec_id""".stripMargin)
     }),
 
+    // -- kNN label evaluation: majority label among each query vector's
+    //    exact top-5 neighbors vs its own label (the embedding-quality /
+    //    classification-eval shape; deterministic majority tie-break:
+    //    highest vote count, then smallest label)
+    "q78_knn_label" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val labels = e.select(col("vec_id"), col("label"))
+      val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
+      val votes = topk
+        .join(labels.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("n").desc, col("label").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("knn_label"), col("n").as("n_votes"))
+        .join(labels.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "own_label"), "query_id")
+        .select("query_id", "own_label", "knn_label", "n_votes")
+        .orderBy("query_id")
+    }),
+
     // -- the Layer C flagship composition (analogue of q33 for the
     //    engine layer): dedup → quality filter → PII redaction → split
     //    in one call, oracle-verified as a whole
@@ -520,6 +541,28 @@ object QueriesLlm {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |    list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS norm2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // q48's top-k SQL extended with labels + deterministic majority
+    "q78_knn_label" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS cand_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings),
+        |s AS (SELECT query_id, cand_id, label,
+        |    round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
+        |  FROM q, c WHERE query_id <> cand_id),
+        |r AS (SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM s),
+        |v AS (SELECT query_id, label, count(*) AS n FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |p AS (SELECT query_id, label AS knn_label, n AS n_votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY n DESC, label) AS rn
+        |  FROM v)
+        |SELECT p.query_id, e.label AS own_label, p.knn_label,
+        |  CAST(p.n_votes AS BIGINT) AS n_votes
+        |FROM p JOIN embeddings e ON e.vec_id = p.query_id
+        |WHERE p.rn = 1 ORDER BY query_id""".stripMargin,
     // composition of the q40 dedup, q44 quality, q63 redaction and q66
     // split oracles over the normalized survivor text
     "q77_corpus_prep" ->

@@ -78,6 +78,26 @@ class DedupPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: jaccardPairsChar equals the brute-force char-gram pair set") {
+    def charSet(text: String, k: Int = 5): Set[String] = {
+      val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (t.length < k) Set(t) else t.sliding(k).toSet
+    }
+    samples(corpusGen).foreach { docs =>
+      val threshold = 0.5
+      val expected = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        (sa, sb) = (charSet(docs(i)), charSet(docs(j)))
+        inter = (sa & sb).size
+        jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
+        if math.BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= threshold
+      } yield (i.toLong, j.toLong)).toSet
+      val got = Dedup.jaccardPairsChar(df(docs), threshold)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      withClue(s"docs=$docs: ") { assert(got == expected) }
+    }
+  }
+
   test("property: minhash-LSH pairs are a subset of exact Jaccard pairs " +
     "and identical docs always pair") {
     samples(corpusGen).foreach { docs =>
