@@ -474,6 +474,30 @@ object QueriesRelational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // -- pivot: long→wide with an EXPLICIT value list (letting Spark
+    //    discover values adds a collect job and non-deterministic column
+    //    order); decimal-exact sums cast to double like every other agg
+    "q79_pivot" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy("yr")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .orderBy("yr")
+    }),
+
+    // -- unpivot (melt): wide→long, the inverse surface
+    "q80_unpivot" -> ((s, dir) => {
+      T(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size_d"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size_d")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }),
+
     // -- explicit GROUPING SETS + grouping() markers, through the
     //    spark.sql STRING surface (the API the reference hands its SQL
     //    to — every other entry drives the DataFrame API): rollup/cube
@@ -884,6 +908,17 @@ object QueriesRelational {
         |  EXCEPT ALL
         |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0)
         |ORDER BY k, op""".stripMargin,
+    "q79_pivot" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q80_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size_d' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     "q38_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
