@@ -474,6 +474,37 @@ object QueriesRelational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // -- correlated scalar subqueries (Catalyst decorrelates to joins):
+    //    inline per-customer aggregates over orders
+    "q81_scalar_subquery" -> ((s, dir) => {
+      val vc = s"cust_ss_${math.abs(dir.hashCode)}"
+      val vo = s"ord_ss_${math.abs(dir.hashCode)}"
+      T(s, dir, "customer").createOrReplaceTempView(vc)
+      T(s, dir, "orders").createOrReplaceTempView(vo)
+      s.sql(
+        s"""SELECT c_custkey, c_name,
+           |  (SELECT max(o_totalprice) FROM $vo WHERE o_custkey = c_custkey) AS max_price,
+           |  (SELECT count(*) FROM $vo WHERE o_custkey = c_custkey) AS n_orders
+           |FROM $vc ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // -- correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    //    (top-2 orders per customer through the lateral-join surface —
+    //    the SQL twin of q07's window top-k)
+    "q82_lateral_join" -> ((s, dir) => {
+      val vc = s"cust_lj_${math.abs(dir.hashCode)}"
+      val vo = s"ord_lj_${math.abs(dir.hashCode)}"
+      T(s, dir, "customer").createOrReplaceTempView(vc)
+      T(s, dir, "orders").createOrReplaceTempView(vo)
+      s.sql(
+        s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           |FROM $vc c, LATERAL (
+           |  SELECT o_orderkey, o_totalprice FROM $vo
+           |  WHERE o_custkey = c.c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+           |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }),
+
     // -- pivot: long→wide with an EXPLICIT value list (letting Spark
     //    discover values adds a collect job and non-deterministic column
     //    order); decimal-exact sums cast to double like every other agg
@@ -908,6 +939,18 @@ object QueriesRelational {
         |  EXCEPT ALL
         |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0)
         |ORDER BY k, op""".stripMargin,
+    "q81_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q82_lateral_join" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
     "q79_pivot" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
