@@ -135,6 +135,28 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming merge: the reference's batch loop (extract → merge)
+    * as a Structured Streaming sink. `foreachBatch` hands every
+    * micro-batch to the SAME [[graft.sink.MergeSink.mergeIntoParquet]]
+    * the batch pipeline uses, so a streaming deployment gets identical
+    * merge semantics — batch dedupe, column exclusions, atomic
+    * temp-swap commit. Re-delivery safe: upserting/updating the same
+    * batch twice converges to the same target, so at-least-once
+    * micro-batch replay (after a checkpoint recovery) is idempotent.
+    * Caller starts the returned writer with its own
+    * `checkpointLocation`. */
+  def streamingMerge(
+      stream: DataFrame,
+      path: String,
+      key: Seq[String],
+      loadType: String = "upsert",
+      excluded: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.sink.MergeSink.mergeIntoParquet(
+          batch.sparkSession, batch, path, loadType, key, excluded = excluded)
+    }
+
   /** Watermarked stream-stream interval join: each left row matches
     * right rows on `leftKey = rightKey` with `rightTime` in
     * `[leftTime - maxLag, leftTime]` (the enrich-events-with-recent-

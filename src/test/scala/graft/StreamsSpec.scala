@@ -239,6 +239,37 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingMerge: micro-batches upsert into a parquet target with the " +
+    "batch pipeline's merge semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sm-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-sm-tgt").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sm-ck").toString
+    // b0 inserts keys 1,2; b1 updates key 2 and inserts key 3
+    val batches = Seq(
+      Seq((1L, "a", 10L), (2L, "b", 20L)),
+      Seq((2L, "B", 25L), (3L, "c", 30L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sm-w").toString
+      rows.toDF("id", "name", "v").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+    }
+    val stream = spark.readStream
+      .schema("id LONG, name STRING, v LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMerge(stream, target, Seq("id"))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(target)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a", 10L), (2L, "B", 25L), (3L, "c", 30L)))
+  }
+
   test("end-to-end streaming run: file source → windowed agg → memory sink " +
     "matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-e2e").toString
