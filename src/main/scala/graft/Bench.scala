@@ -59,12 +59,13 @@ object Bench {
     // regenerates /root/testdata between rounds, so without a data
     // identity in the report, cross-round per-query comparisons are
     // unattributable (a slower query may just be a bigger corpus).
-    val fp = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+    val fp = Tables.names
       .map { t =>
-        val files = Option(new java.io.File(s"$sfDir/$t.parquet"))
-          .map(f => if (f.isDirectory) f.listFiles().toSeq else Seq(f))
-          .getOrElse(Nil).filter(_.isFile)
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        // listFiles() is the nullable call (null on I/O error), not the
+        // File constructor
+        val files = (if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          else Seq(f)).filter(_.isFile)
         val bytes = files.map(_.length).sum
         val mtime = if (files.isEmpty) 0L else files.map(_.lastModified).max
         s"\"$t\":\"$bytes:$mtime\""

@@ -319,14 +319,16 @@ object QueriesLlm {
 
     // q42 (MinHash-LSH word grams) vs q41 (exact Jaccard): every LSH pair
     // must appear in the exact output with the same jaccard. The exact
-    // side disables the corpus-relative df cap because LSH verification
-    // scores TRUE Jaccard (full-set intersection) — the invariant pinned
-    // here is subset-of-truth, not subset-of-the-capped-estimate.
+    // side disables BOTH df caps (relative AND absolute) because LSH
+    // verification scores TRUE Jaccard (full-set intersection) — the
+    // invariant pinned here is subset-of-truth, and a binding cap on the
+    // exact side would turn real near-dups into false "violations".
     "q57_minhash_audit" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val lsh = Dedup.minhashLshPairs(docs, threshold = 0.3)
         .withColumnRenamed("jaccard", "j_lsh")
-      val exact = Dedup.jaccardPairs(docs, threshold = 0.3, relativeCap = false)
+      val exact = Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxDocFreq = Long.MaxValue, relativeCap = false)
         .withColumnRenamed("jaccard", "j_exact")
       lsh.join(exact, Seq("id_a", "id_b"), "left")
         .filter(col("j_exact").isNull || col("j_lsh") =!= col("j_exact"))
@@ -344,7 +346,8 @@ object QueriesLlm {
         .filter(length(col("text")) < 200)
       val lsh = Dedup.minhashLshPairsChar(short, threshold = 0.5)
         .withColumnRenamed("jaccard", "j_lsh")
-      val exact = Dedup.jaccardPairsChar(short, threshold = 0.5)
+      val exact = Dedup.jaccardPairsChar(short, threshold = 0.5,
+        maxDocFreq = Long.MaxValue) // uncapped: the audit pins TRUE jaccard
         .withColumnRenamed("jaccard", "j_exact")
       lsh.join(exact, Seq("id_a", "id_b"), "left")
         .filter(col("j_exact").isNull || col("j_lsh") =!= col("j_exact"))
@@ -613,7 +616,10 @@ object QueriesLlm {
         |        least(CAST(1.0 AS DOUBLE), wt * (SELECT min(n / wt) FROM c) / n) AS keep
         |      FROM c)
         |SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
-        |WHERE (d.doc_id * 2654435761) % 1000003 < CAST(keep * 1000003 AS BIGINT)
+        |-- floor, NOT a bare CAST: DuckDB's double->BIGINT cast rounds to
+        |-- nearest while Spark's .cast("long") truncates; they differ by 1
+        |-- whenever frac(keep * 1000003) >= 0.5
+        |WHERE (d.doc_id * 2654435761) % 1000003 < CAST(floor(keep * 1000003) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "q57_minhash_audit" -> noViolations("id_a", "id_b"),
     "q58_minhash_char_audit" -> noViolations("id_a", "id_b"),

@@ -107,16 +107,6 @@ object Dedup {
           sequence(lit(1), length(text) - (k - 1)),
           i => text.substr(i, lit(k)))))
 
-  /** Effective document-frequency cap: 1% of the corpus (floor 16),
-    * ceilinged by the absolute `maxDocFreq`. Pair fan-out is O(Σ df²),
-    * so the cap is what bounds the explode at any corpus size; an
-    * ABSOLUTE cap alone never binds on small-to-mid corpora, letting
-    * every common shingle contribute its full df². Integer arithmetic
-    * (`(n+99)/100`) so the DuckDB oracles can reproduce the bound
-    * exactly. */
-  private[ops] def relativeDocFreqCap(n: Long, maxDocFreq: Long): Long =
-    math.min(maxDocFreq, math.max(16L, (n + 99L) / 100L))
-
   /** Exact n-gram Jaccard similarity pairs >= threshold over WORD
     * k-grams; [[jaccardPairsChar]] is the character-gram form.
     *
@@ -139,14 +129,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDocFreq: Long = 10000L,
-      relativeCap: Boolean = true): DataFrame = {
-    val cap = if (relativeCap) relativeDocFreqCap(df.count(), maxDocFreq)
-      else maxDocFreq
+      relativeCap: Boolean = true): DataFrame =
     jaccardFromShingles(
       widen(df).select(col(idCol).as("id"),
         shingles(normalize(col(textCol)), k).as("sh")),
-      threshold, cap)
-  }
+      threshold, maxDocFreq, relativeCap)
 
   /** Exact character-n-gram Jaccard pairs (same machinery, char grams).
     * No corpus-relative df cap here, deliberately: char k-grams are
@@ -166,13 +153,24 @@ object Dedup {
     jaccardFromShingles(
       widen(df).select(col(idCol).as("id"),
         charShingles(normalize(col(textCol)), k).as("sh")),
-      threshold, maxDocFreq)
+      threshold, maxDocFreq, relativeCap = false)
 
-  /** Shared pair-generation core over a pre-shingled `(id, sh)` frame. */
+  /** Shared pair-generation core over a pre-shingled `(id, sh)` frame.
+    *
+    * With `relativeCap` on, the df filter tightens `maxDocFreq` to 1% of
+    * the corpus (floor 16): pair fan-out is O(Σ df²), and an absolute
+    * cap alone never binds on small-to-mid corpora, letting every common
+    * shingle contribute its full df². The bound is computed LAZILY as a
+    * one-row aggregate broadcast into the filter (constructing the frame
+    * must not launch Spark jobs), with integer arithmetic
+    * (`(n+99) div 100`) the DuckDB oracles reproduce exactly. The
+    * CappedCollect buffer stays at the absolute `maxDocFreq` — it is the
+    * memory guard; the relative cap is the fan-out guard. */
   private def jaccardFromShingles(
       shingled: DataFrame,
       threshold: Double,
-      maxDocFreq: Long): DataFrame = {
+      maxDocFreq: Long,
+      relativeCap: Boolean): DataFrame = {
     val sizes = shingled.withColumn("setsize", size(col("sh")))
     // explode_OUTER, then drop nulls: plain explode makes Catalyst infer a
     // `size(sh)>0 AND isnotnull(sh)` filter (InferFiltersFromGenerate)
@@ -203,9 +201,18 @@ object Dedup {
     // negative and silently collect nothing
     val capped = udaf(new graft.functions.CappedCollect(
       math.min(maxDocFreq, Int.MaxValue - 1L).toInt))
-    val grouped = byKey(posts, col("shingle")).groupBy("shingle")
+    val grouped0 = byKey(posts, col("shingle")).groupBy("shingle")
       .agg(capped(col("id"), col("setsize").cast("long")).as("docs"))
-      .filter(size(col("docs")).between(2, maxDocFreq))
+    val grouped =
+      if (relativeCap) {
+        // one row; the count branch prunes the shingle projection away,
+        // so it costs a scan of the input, not a second shingling pass
+        val capDf = shingled.agg(expr(
+          s"least(${maxDocFreq}L, greatest(16L, (count(1) + 99) div 100)) AS __cap"))
+        grouped0.crossJoin(broadcast(capDf))
+          .filter(size(col("docs")).between(lit(2), col("__cap")))
+          .drop("__cap")
+      } else grouped0.filter(size(col("docs")).between(2, maxDocFreq))
     val inter = grouped
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))

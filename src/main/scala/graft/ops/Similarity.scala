@@ -277,8 +277,9 @@ object Similarity {
     * partition-layout-independent): k-means quality needs only a few
     * hundred points per cell, so at 100 TB the Lloyd rounds touch a
     * fixed-size slice instead of scanning the corpus `iters` times; the
-    * full corpus is read once, for the final cell assignment. */
-  /** @param nlist number of Voronoi cells; <= 0 (the default) derives
+    * full corpus is read once, for the final cell assignment.
+    *
+    * @param nlist number of Voronoi cells; <= 0 (the default) derives
     *   ~sqrt(corpus) clamped to [16, 4096]. This is the standard IVF
     *   sizing AND a shuffle-width guard: the probe stage joins on `cell`,
     *   so nlist IS the reducer count of that exchange — a fixed small

@@ -37,9 +37,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k plan:\n$p")
   }
 
-  test("q41: pair generation has no join and no cartesian product") {
+  test("q41: pair generation never shuffles a join — grouped explode only") {
+    // the one allowed join is the broadcast of the ONE-ROW corpus-relative
+    // df-cap aggregate into the posting filter; a posting-list self-join
+    // (SortMergeJoin/ShuffledHashJoin) or a cartesian is the regression
     val p = plan("q41_jaccard_pairs")
-    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
       s"jaccard must be grouped-explode, not a self-join:\n$p")
   }
 
