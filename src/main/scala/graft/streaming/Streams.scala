@@ -154,7 +154,8 @@ object Streams {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
         graft.sink.MergeSink.mergeIntoParquet(
-          batch.sparkSession, batch, path, loadType, key, excluded = excluded)
+          batch.sparkSession, batch, path, loadType, key,
+          identifier = key.head, excluded = excluded)
     }
 
   /** Watermarked stream-stream interval join: each left row matches

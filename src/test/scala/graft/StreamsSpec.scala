@@ -270,6 +270,43 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, "a", 10L), (2L, "B", 25L), (3L, "c", 30L)))
   }
 
+  test("streamingMerge: update and delete load types keep batch semantics") {
+    def run(loadType: String, batches: Seq[Seq[(Long, String, Long)]],
+        seed: Seq[(Long, String, Long)]): Seq[(Long, String, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-smu-src").toString
+      val target = java.nio.file.Files.createTempDirectory("graft-smu-tgt").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-smu-ck").toString
+      seed.toDF("id", "name", "v").write.parquet(target)
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-smu-w").toString
+        rows.toDF("id", "name", "v").coalesce(1).write
+          .mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+      }
+      val stream = spark.readStream
+        .schema("id LONG, name STRING, v LONG")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = Streams.streamingMerge(stream, target, Seq("id"), loadType,
+          excluded = Nil)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(target).as[(Long, String, Long)].collect()
+        .sortBy(_._1).toSeq
+    }
+    val seed = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+    // update-only: unmatched key 9 is dropped, matched key 2 updates
+    assert(run("update",
+      Seq(Seq((2L, "B", 25L)), Seq((9L, "x", 99L))), seed) ==
+      Seq((1L, "a", 10L), (2L, "B", 25L), (3L, "c", 30L)))
+    // delete: ids arriving over two micro-batches both removed
+    assert(run("delete",
+      Seq(Seq((1L, "", 0L)), Seq((3L, "", 0L))), seed) ==
+      Seq((2L, "b", 20L)))
+  }
+
   test("end-to-end streaming run: file source → windowed agg → memory sink " +
     "matches the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-e2e").toString
