@@ -121,6 +121,48 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(again == out.map(_._1).sorted.toSeq)
   }
 
+  test("property: contamination operators equal brute-force references on random corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rnd = new scala.util.Random(23)
+    def wordGrams(text: String, k: Int): Set[String] = {
+      val toks = text.split(" ").toSeq
+      if (toks.size < k) Set(toks.mkString(" "))
+      else toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+    (0 until 5).foreach { _ =>
+      // duplicated texts occur often with a tiny vocab and short docs
+      val docs = (1L to (20 + rnd.nextInt(20))).map { i =>
+        (i, (0 until 2 + rnd.nextInt(5)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val split = docs.map { case (id, _) => id -> refSplit(id) }.toMap
+      // exact contamination reference
+      val byText = docs.groupBy(_._2)
+      val expectedExact = (for {
+        (_, group) <- byText
+        trainIds = group.collect { case (id, _) if split(id) == "train" => id }
+        if trainIds.nonEmpty
+        (id, _) <- group if split(id) == "holdout"
+      } yield (id, trainIds.size.toLong, trainIds.min)).toSet
+      val gotExact = TrainingPrep.splitContamination(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long)].collect().toSet
+      withClue(s"exact, docs=$docs: ") { assert(gotExact == expectedExact) }
+      // n-gram contamination reference (k=3 so grams repeat)
+      val grams = docs.map { case (id, t) => id -> wordGrams(t, 3) }.toMap
+      val trainGrams = docs.collect {
+        case (id, _) if split(id) == "train" => grams(id)
+      }.foldLeft(Set.empty[String])(_ ++ _)
+      val expectedNg = (for {
+        (id, _) <- docs if split(id) == "holdout"
+        hit = grams(id).count(trainGrams.contains)
+        if hit > 0
+      } yield (id, grams(id).size.toLong, hit.toLong)).toSet
+      val gotNg = TrainingPrep.ngramContamination(docs.toDF("doc_id", "text"), k = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      withClue(s"ngram, docs=$docs: ") { assert(gotNg == expectedNg) }
+    }
+  }
+
   test("training-prep operators are empty-input safe") {
     val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     assert(TrainingPrep.packChunks(noDocs).count() == 0)
