@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Training-set preparation operators: the steps between "clean corpus"
   * and "batches on the accelerator" — deterministic splitting (the
-  * battery's q66 hash-split), concat-and-chunk sequence packing, and
+  * battery's q66 hash-split), concat-and-chunk sequence packing,
   * train/holdout contamination detection (exact and n-gram, the GPT-3 /
-  * decontamination-report shape).
+  * decontamination-report shape), TF-IDF term extraction, stratified
+  * sampling, data-mixture rebalancing, and the composed
+  * [[prepareCorpus]] cleanup pipeline.
   *
   * All use the arithmetic id-hash family (engine-portable, unlike
   * xxhash64) so results are reproducible across runs, partitionings and
-  * engines, and every operator is expressible as an oracle in plain SQL.
+  * engines, and every operator is expressible as an oracle in plain SQL
+  * (battery q66, q68–q71, q73–q74, q77).
   */
 object TrainingPrep {
 
