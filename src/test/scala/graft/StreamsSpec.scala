@@ -270,6 +270,39 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, "a", 10L), (2L, "B", 25L), (3L, "c", 30L)))
   }
 
+  test("dedupCorpusStream: first-seen doc survives per distinct text across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dc-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-dc-tgt").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dc-ck").toString
+    // doc 3 (b1) duplicates doc 1's text (b0) modulo whitespace/case —
+    // far beyond any watermark bound; first writer must win
+    val batches = Seq(
+      Seq((1L, "Hello  World"), (2L, "unique one")),
+      Seq((3L, "hello world"), (4L, "unique two")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dc-w").toString
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.dedupCorpusStream(stream, target)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(target)
+      .select("doc_id", "norm_text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // doc 3 never lands: its normalized text matched doc 1's and every
+    // payload column is excluded from update
+    assert(out == Seq(
+      (1L, "hello world"), (2L, "unique one"), (4L, "unique two")))
+  }
+
   test("streamingMerge: update and delete load types keep batch semantics") {
     def run(loadType: String, batches: Seq[Seq[(Long, String, Long)]],
         seed: Seq[(Long, String, Long)]): Seq[(Long, String, Long)] = {
