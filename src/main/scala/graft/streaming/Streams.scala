@@ -150,13 +150,21 @@ object Streams {
       path: String,
       key: Seq[String],
       loadType: String = "upsert",
-      excluded: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      excluded: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // fail at construction, not inside the first micro-batch: key.head
+    // on Nil or a silently-partial composite delete key would otherwise
+    // surface as an obscure streaming-query death far from the call site
+    require(key.nonEmpty, "streamingMerge needs at least one key column")
+    require(loadType != "delete" || key.size == 1,
+      "delete streams key on exactly ONE identifier column " +
+        s"(MergeSink.delete matches a single id), got ${key.mkString(", ")}")
     stream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
         graft.sink.MergeSink.mergeIntoParquet(
           batch.sparkSession, batch, path, loadType, key,
           identifier = key.head, excluded = excluded)
     }
+  }
 
   /** Corpus-backed streaming exact dedup: the complement of
     * [[dedupStream]]. That one bounds state with the watermark and
@@ -176,6 +184,10 @@ object Streams {
       stream: DataFrame,
       path: String,
       textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(!stream.columns.contains("norm_text"),
+      "dedupCorpusStream derives its merge key as a new norm_text column; " +
+        "the input stream already has one — rename it (silently replacing " +
+        "it would change dedup keys and drop the original values)")
     val withNorm = stream.withColumn("norm_text",
       graft.ops.Dedup.normalize(col(textCol)))
     streamingMerge(withNorm, path, key = Seq("norm_text"),

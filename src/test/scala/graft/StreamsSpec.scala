@@ -18,6 +18,22 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
   private def tsAt(hour: Int, minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
 
+  /** Write `df` as the i-th single-file micro-batch under `dir`.
+    * Mtimes are pinned a minute apart: FileStreamSource orders files by
+    * modification time, and two files copied within one millisecond
+    * would tie and leave batch order to the filesystem listing — the
+    * cross-batch tests here depend on processing order. */
+  private def writeSourceBatch(
+      dir: String, df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-batch-w").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = java.nio.file.Paths.get(dir, f"b$i%02d.parquet")
+    java.nio.file.Files.copy(part.toPath, dst)
+    dst.toFile.setLastModified(1700000000000L + i * 60000L)
+  }
+
   test("sessionize splits on the inactivity gap and closes trailing sessions") {
     val events = Seq(
       Event(1L, ts(0), "a"), Event(1L, ts(10), "b"),   // session 1: 2 events
@@ -77,13 +93,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq((8L, tsAt(14, 0), "x")),
       Seq((8L, tsAt(14, 5), "y")))
     batches.zipWithIndex.foreach { case (rows, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-w").toString
-      rows.toDF("user_id", "ts", "event_type").coalesce(1).write
-        .mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+      writeSourceBatch(dir, rows.toDF("user_id", "ts", "event_type"), i)
     }
     val stream = spark.readStream
       .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
@@ -117,13 +127,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq((104L, tsAt(20, 2), "e")),
       Seq((101L, tsAt(20, 3), "b")))
     batches.zipWithIndex.foreach { case (rows, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-w").toString
-      rows.toDF("event_id", "ts", "event_type").coalesce(1).write
-        .mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+      writeSourceBatch(dir, rows.toDF("event_id", "ts", "event_type"), i)
     }
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, event_type STRING")
@@ -168,13 +172,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq((8L, tsAt(14, 0))), // advances watermark to 12:00 past 10:40
       Seq((8L, tsAt(14, 5)))) // batch runs with the advanced watermark
     batches.zipWithIndex.foreach { case (rows, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sw-w").toString
-      rows.toDF("user_id", "ts").coalesce(1).write
-        .mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+      writeSourceBatch(dir, rows.toDF("user_id", "ts"), i)
     }
     val stream = spark.readStream
       .schema("user_id LONG, ts TIMESTAMP")
@@ -199,22 +197,17 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     "stale rows beyond it never join") {
     val ldir = java.nio.file.Files.createTempDirectory("graft-ij-l").toString
     val rdir = java.nio.file.Files.createTempDirectory("graft-ij-r").toString
-    def writeBatches(dir: String, name: String,
+    def writeBatches(dir: String,
         batches: Seq[Seq[(Long, Timestamp, String)]], cols: Seq[String]): Unit =
       batches.zipWithIndex.foreach { case (rows, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory(name).toString
-        rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+        writeSourceBatch(dir, rows.toDF(cols: _*), i)
       }
     // left clicks; right orders arrive in a LATER micro-batch (the
     // buffered-state case a per-batch join cannot express)
-    writeBatches(ldir, "graft-ij-lw", Seq(
+    writeBatches(ldir, Seq(
       Seq((7L, tsAt(10, 0), "click")),
       Seq((8L, tsAt(10, 30), "click"))), Seq("user_id", "ts", "event_type"))
-    writeBatches(rdir, "graft-ij-rw", Seq(
+    writeBatches(rdir, Seq(
       Seq((7L, tsAt(9, 30), "o1")),   // within 1h before 10:00 → joins
       Seq((7L, tsAt(8, 30), "o2")),   // >1h before → never joins
       Seq((8L, tsAt(10, 15), "o3"))), // within 1h before 10:30 → joins
@@ -249,13 +242,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "a", 10L), (2L, "b", 20L)),
       Seq((2L, "B", 25L), (3L, "c", 30L)))
     batches.zipWithIndex.foreach { case (rows, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sm-w").toString
-      rows.toDF("id", "name", "v").coalesce(1).write
-        .mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+      writeSourceBatch(dir, rows.toDF("id", "name", "v"), i)
     }
     val stream = spark.readStream
       .schema("id LONG, name STRING, v LONG")
@@ -280,13 +267,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "Hello  World"), (2L, "unique one")),
       Seq((3L, "hello world"), (4L, "unique two")))
     batches.zipWithIndex.foreach { case (rows, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dc-w").toString
-      rows.toDF("doc_id", "text").coalesce(1).write
-        .mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+      writeSourceBatch(dir, rows.toDF("doc_id", "text"), i)
     }
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING")
@@ -304,25 +285,22 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("streamingMerge: update and delete load types keep batch semantics") {
+    // key column "k", NOT "id": mergeIntoParquet's identifier used to
+    // default to the literal name "id", so this pins that streamingMerge
+    // actually wires the key through for the delete leg
     def run(loadType: String, batches: Seq[Seq[(Long, String, Long)]],
         seed: Seq[(Long, String, Long)]): Seq[(Long, String, Long)] = {
       val dir = java.nio.file.Files.createTempDirectory("graft-smu-src").toString
       val target = java.nio.file.Files.createTempDirectory("graft-smu-tgt").toString + "/t"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-smu-ck").toString
-      seed.toDF("id", "name", "v").write.parquet(target)
+      seed.toDF("k", "name", "v").write.parquet(target)
       batches.zipWithIndex.foreach { case (rows, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft-smu-w").toString
-        rows.toDF("id", "name", "v").coalesce(1).write
-          .mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(dir, f"b$i%02d.parquet"))
+        writeSourceBatch(dir, rows.toDF("k", "name", "v"), i)
       }
       val stream = spark.readStream
-        .schema("id LONG, name STRING, v LONG")
+        .schema("k LONG, name STRING, v LONG")
         .option("maxFilesPerTrigger", 1).parquet(dir)
-      val q = Streams.streamingMerge(stream, target, Seq("id"), loadType,
+      val q = Streams.streamingMerge(stream, target, Seq("k"), loadType,
           excluded = Nil)
         .option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally q.stop()
@@ -338,6 +316,16 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(run("delete",
       Seq(Seq((1L, "", 0L)), Seq((3L, "", 0L))), seed) ==
       Seq((2L, "b", 20L)))
+    // guard rails: empty key and composite delete keys fail at
+    // construction, not inside the first micro-batch
+    val s = spark.readStream.schema("k LONG").parquet(
+      java.nio.file.Files.createTempDirectory("graft-smu-g").toString)
+    intercept[IllegalArgumentException] {
+      Streams.streamingMerge(s, "/tmp/never", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Streams.streamingMerge(s, "/tmp/never", Seq("a", "b"), "delete")
+    }
   }
 
   test("end-to-end streaming run: file source → windowed agg → memory sink " +
