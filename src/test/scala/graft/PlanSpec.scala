@@ -159,6 +159,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Window"), s"expected the sharded cumsum window:\n$p")
   }
 
+  test("q73: stratified sample plans with a window group limit") {
+    // the row_number+filter shape must keep Spark's WindowGroupLimit
+    // rewrite (per-task top-n before the shuffle) — without it a
+    // billion-doc stratum sorts fully in one task
+    val p = plan("q73_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), s"expected group-limit pushdown:\n$p")
+  }
+
   test("q70/q71: contamination and tf-idf join equi-wise, never cartesian") {
     Seq("q70_ngram_contamination", "q71_tfidf_top_terms").foreach { q =>
       val p = plan(q)
