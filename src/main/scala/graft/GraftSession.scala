@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Pre-configured session builder: the Spark settings this library's
   * scale design assumes, plus the native-kernel SQL functions injected
   * ([[graft.functions.GraftExtensions]]). A host application can start
-  * from `GraftSession.builder(...)` instead of remembering the knobs.
+  * from `GraftSession.builder(...)` / `GraftSession.create(...)` instead
+  * of remembering the knobs.
   *
   * Why each knob (see docs/SCALE.md for the operator-level story):
   *   - AQE on: runtime broadcast decisions for candidate rehydration
@@ -15,19 +16,45 @@ import org.apache.spark.sql.SparkSession
   *   - AQE skew join on: the contamination/TF-IDF/salted-join designs
   *     route hot keys through joins PRECISELY because joins are
   *     skew-splittable (windows are not).
-  *   - shuffle partitions: size to ~2-3× total executor cores; at
-  *     100 TB also bounded below by (shuffled bytes / target partition
-  *     size ~128-200 MB) so partitions fit executor memory.
+  *   - shuffle partitions: sized to 3× `defaultParallelism` (total
+  *     scheduler cores), the 2-3×-cores rule — derived from the LIVE
+  *     cluster, not a constant, because a constant is wrong in both
+  *     directions (200 starves a 1000-executor cluster and floods a
+  *     laptop). At 100 TB, also bound it below by
+  *     (shuffled bytes / target partition size ~128-200 MB) so
+  *     partitions fit executor memory — that bound needs job knowledge,
+  *     so it stays a caller override (`shufflePartitions > 0`).
   *   - UTC session timezone: timestamp determinism across engines —
   *     every oracle comparison in the battery assumes it.
   */
 object GraftSession {
 
-  def builder(shufflePartitions: Int = 200): SparkSession.Builder =
-    SparkSession.builder()
+  /** Builder with every static knob set. `shufflePartitions <= 0` (the
+    * default) leaves `spark.sql.shuffle.partitions` to be derived from
+    * the live cluster — use [[create]], which finishes that step; a
+    * positive value pins it here. */
+  def builder(shufflePartitions: Int = 0): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.functions.GraftExtensions)
+    if (shufflePartitions > 0)
+      b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    else b
+  }
+
+  /** Build the session and, unless the caller pinned a value, set
+    * shuffle partitions to 3× the cluster's `defaultParallelism` —
+    * the runtime-derived form of the 2-3×-cores rule (the conf is
+    * runtime-settable, so deriving after `getOrCreate` is safe). */
+  def create(
+      shufflePartitions: Int = 0,
+      configure: SparkSession.Builder => SparkSession.Builder = identity): SparkSession = {
+    val spark = configure(builder(shufflePartitions)).getOrCreate()
+    if (shufflePartitions <= 0)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        (3 * spark.sparkContext.defaultParallelism).toString)
+    spark
+  }
 }

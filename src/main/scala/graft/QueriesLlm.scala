@@ -438,7 +438,7 @@ object QueriesLlm {
     "q68_pack_chunks" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    (doc_id * 2654435761) % 1000003 % 64 AS shard,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 % 64 AS shard,
         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok
         |  FROM documents),
         |c AS (
@@ -457,7 +457,7 @@ object QueriesLlm {
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
-        |    CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90
         |      THEN 'train' ELSE 'holdout' END AS split,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
         |  FROM inj),
@@ -470,7 +470,7 @@ object QueriesLlm {
     "q70_ngram_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90
         |      THEN 'train' ELSE 'holdout' END AS split,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
         |  FROM documents),
@@ -589,7 +589,7 @@ object QueriesLlm {
         |      4) AS quality
         |  FROM q)
         |SELECT doc_id,
-        |  CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
+        |  CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90
         |    THEN 'train' ELSE 'holdout' END AS split,
         |  quality,
         |  regexp_replace(regexp_replace(regexp_replace(norm_text,
@@ -602,7 +602,7 @@ object QueriesLlm {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     "q74_mixture_rebalance" ->
@@ -619,7 +619,7 @@ object QueriesLlm {
         |-- floor, NOT a bare CAST: DuckDB's double->BIGINT cast rounds to
         |-- nearest while Spark's .cast("long") truncates; they differ by 1
         |-- whenever frac(keep * 1000003) >= 0.5
-        |WHERE (d.doc_id * 2654435761) % 1000003 < CAST(floor(keep * 1000003) AS BIGINT)
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000003 < CAST(floor(keep * 1000003) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "q57_minhash_audit" -> noViolations("id_a", "id_b"),
     "q58_minhash_char_audit" -> noViolations("id_a", "id_b"),

@@ -646,7 +646,7 @@ object QueriesRelational {
     //    and engines — sample-by-rand never is. Emits per-split counts
     //    plus the holdout slice itself.
     "q66_hash_split" -> ((s, dir) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
+      val h = graft.ops.TrainingPrep.idHash(col("doc_id"))
       T(s, dir, "documents")
         .withColumn("split",
           when(h % 100 < 90, lit("train")).otherwise(lit("holdout")))
@@ -698,7 +698,9 @@ object QueriesRelational {
       // CAST the sum: DuckDB sums BIGINT into HUGEINT, which the driver's
       // pandas path renders as float64 and the canonical hash diverges
       // from Spark's int64 even though values are identical
-      """SELECT CASE WHEN (doc_id * 2654435761) % 1000003 % 100 < 90
+      // reduced-first hash (see TrainingPrep.idHash): congruent to
+      // (doc_id * 2654435761) % 1000003 and overflow-free for all ids
+      """SELECT CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90
         |    THEN 'train' ELSE 'holdout' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,

@@ -19,17 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPrep {
 
+  /** The arithmetic id hash every operator in this module keys on,
+    * overflow-free for EVERY long id: the id is reduced mod the prime
+    * FIRST, so the multiplication peaks at 1000002 × 2654435761 ≈ 2.7e15,
+    * far inside signed-64 range. A naive `(id * 2654435761) % 1000003`
+    * wraps negative for ids above ~3.47e9 (a few billion documents in),
+    * and a negative `%` result silently mis-classifies every overflowing
+    * id — while engines with checked arithmetic (DuckDB) error out
+    * instead. `pmod(id, p) * m ≡ id * m (mod p)`, so this is congruent
+    * to the naive form wherever the naive form doesn't overflow: same
+    * assignments at any corpus size that fits in 32 bits, and
+    * well-defined determinism beyond. */
+  def idHash(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000003L))
+
   /** Deterministic train/holdout assignment from an integer id — same
     * arithmetic hash as the battery's q66 split, factored for reuse.
     * Stable across runs/partitionings/engines; sample-by-rand never is. */
   def splitCol(id: Column, trainPct: Int = 90): Column =
-    when((id * lit(2654435761L)) % lit(1000003L) % 100 < trainPct,
+    when(idHash(id) % 100 < trainPct,
       lit("train")).otherwise(lit("holdout"))
 
   /** Deterministic shard assignment (same hash family, different
     * modulus) — the unit of parallelism for [[packChunks]]. */
   def shardCol(id: Column, shards: Int): Column =
-    (id * lit(2654435761L)) % lit(1000003L) % shards
+    idHash(id) % shards
 
   /** Concat-and-chunk sequence packing: documents are laid out
     * back-to-back in (shard, id) order and the token stream is cut every
@@ -169,7 +183,7 @@ object TrainingPrep {
       strataCols: Seq[String] = Seq("lang"),
       idCol: String = "doc_id"): DataFrame = {
     require(n > 0, s"sample size must be positive, got $n")
-    val h = (col(idCol) * lit(2654435761L)) % lit(1000003L)
+    val h = idHash(col(idCol))
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(h.asc, col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
@@ -207,7 +221,7 @@ object TrainingPrep {
         least(lit(1.0), col("__w") * col("__t") / col("__n")))
       .select(col(keyCol), col("__keep"))
     df.join(broadcast(frac), keyCol)
-      .filter((col(idCol) * lit(2654435761L)) % lit(1000003L) <
+      .filter(idHash(col(idCol)) <
         (col("__keep") * lit(1000003L)).cast("long"))
       .drop("__keep")
   }

@@ -152,9 +152,12 @@ object Streams {
       loadType: String = "upsert",
       excluded: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // fail at construction, not inside the first micro-batch: key.head
-    // on Nil or a silently-partial composite delete key would otherwise
-    // surface as an obscure streaming-query death far from the call site
+    // on Nil, an unknown loadType, or a silently-partial composite
+    // delete key would otherwise surface as an obscure streaming-query
+    // death far from the call site
     require(key.nonEmpty, "streamingMerge needs at least one key column")
+    require(Set("upsert", "update", "delete")(loadType),
+      s"unknown load type: $loadType (expected upsert/update/delete)")
     require(loadType != "delete" || key.size == 1,
       "delete streams key on exactly ONE identifier column " +
         s"(MergeSink.delete matches a single id), got ${key.mkString(", ")}")
@@ -172,7 +175,11 @@ object Streams {
     * dedup state in the target table itself — each micro-batch merges
     * on the normalized text with every payload column excluded from
     * update, so the FIRST-seen document per distinct text is preserved
-    * forever and later duplicates (any lateness) are no-ops.
+    * forever and later duplicates (any lateness) are no-ops. Within a
+    * single micro-batch "first seen" has no arrival order: ties on the
+    * same text resolve to the smallest whole row (MergeSink.dedupeBatch,
+    * effectively the smallest doc id) — deterministic, and the same
+    * smallest-survivor rule [[graft.ops.Dedup.exact]] documents.
     *
     * Cost contract, stated honestly: each micro-batch is a
     * read-merge-write of the target (the reference's own per-batch

@@ -66,6 +66,24 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("GraftSession.create: shuffle partitions derive from defaultParallelism") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val gs = GraftSession.create(configure = _.master("local[4]"))
+      assert(gs.conf.get("spark.sql.shuffle.partitions") ==
+        (3 * gs.sparkContext.defaultParallelism).toString)
+      // explicit pin still wins
+      val pinned = GraftSession.create(shufflePartitions = 7,
+        configure = _.master("local[4]"))
+      assert(pinned.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("withExtensions(GraftExtensions): kernels available without explicit registration") {
     // a NEW session over the same SparkContext, built with the
     // extensions — getOrCreate would return the shared session, so the

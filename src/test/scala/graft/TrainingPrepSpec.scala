@@ -12,11 +12,14 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
 
-  /** Scala mirror of TrainingPrep.splitCol / shardCol. */
+  /** Scala mirror of TrainingPrep.idHash / splitCol / shardCol
+    * (reduced-first, overflow-free for all longs). */
+  private def refHash(id: Long): Long =
+    math.floorMod(math.floorMod(id, 1000003L) * 2654435761L, 1000003L)
   private def refSplit(id: Long, trainPct: Int = 90): String =
-    if (id * 2654435761L % 1000003L % 100 < trainPct) "train" else "holdout"
+    if (refHash(id) % 100 < trainPct) "train" else "holdout"
   private def refShard(id: Long, shards: Int): Long =
-    id * 2654435761L % 1000003L % shards
+    refHash(id) % shards
 
   test("packChunks: sharded concat-and-chunk layout matches a sequential fold") {
     val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
@@ -161,6 +164,27 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
         .as[(Long, Long, Long)].collect().toSet
       withClue(s"ngram, docs=$docs: ") { assert(gotNg == expectedNg) }
     }
+  }
+
+  test("idHash: overflow-free and congruent to the naive hash for ids beyond 2^32") {
+    // ids where id * 2654435761 overflows signed 64-bit: the naive hash
+    // wraps negative and would classify everything 'train' / shard <= 0;
+    // the reduced-first form stays in [0, 1000003) for every long
+    val ids = Seq(1L, 42L, 3470000000L, 1L << 33, 1L << 40, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select($"doc_id", TrainingPrep.idHash($"doc_id").as("h"),
+        TrainingPrep.splitCol($"doc_id").as("split"),
+        TrainingPrep.shardCol($"doc_id", 64).as("shard"))
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    got.foreach { case (id, h, split, shard) =>
+      assert(h >= 0 && h < 1000003L, s"id=$id hash out of range: $h")
+      assert(h == refHash(id), s"id=$id hash mismatch")
+      assert(split == refSplit(id) && shard == refShard(id, 64))
+    }
+    // both split classes occur among the overflow-range ids (2^33 hashes
+    // holdout, 3470000000 train) — the naive overflow bug collapsed every
+    // overflowing id to 'train'
+    assert(got.filter(_._1 > 3000000000L).map(_._3).toSet == Set("train", "holdout"))
   }
 
   test("training-prep operators are empty-input safe") {
