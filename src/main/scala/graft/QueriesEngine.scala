@@ -48,6 +48,32 @@ object QueriesEngine {
       MergeSink.delete(o, ids, "o_orderkey").orderBy("o_orderkey")
     }),
 
+    // -- bucket-partitioned merge target (the 100 TB incremental-load
+    //    shape): create → upsert-with-exclusion → delete against a
+    //    hash-bucketed layout, where each batch rewrites only the bucket
+    //    directories it touches (BucketedMergeSinkSpec pins the
+    //    one-bucket rewrite; this entry pins the SEMANTICS against the
+    //    same relational oracle shape as q30/q32)
+    "q83_merge_bucketed" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") <= 1000)
+      val batch = o.filter(col("o_orderkey").between(500, 1500))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("X"))
+      val dels = o.filter(col("o_orderkey").between(100, 200))
+        .select("o_orderkey")
+      // deterministic per-sf path, cleared up front (same rationale as q33)
+      val tmp = "/tmp/graft-bm-" + Integer.toHexString(dir.hashCode)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      graft.sink.BucketedMergeSink.merge(s, target, tmp, "upsert",
+        Seq("o_orderkey"), numBuckets = 8)
+      graft.sink.BucketedMergeSink.merge(s, batch, tmp, "upsert",
+        Seq("o_orderkey"), excluded = Seq("o_orderpriority"))
+      graft.sink.BucketedMergeSink.merge(s, dels, tmp, "delete",
+        identifier = "o_orderkey")
+      graft.sink.BucketedMergeSink.read(s, tmp).orderBy("o_orderkey")
+    }),
+
     // -- full pipeline lifecycle: YAML registry → hydrated extract →
     //    transformer chain → upsert sink → read-back (A1,A3,A4,A5,A12,A13)
     "q33_pipeline_e2e" -> ((s, dir) => {
@@ -189,6 +215,23 @@ object QueriesEngine {
     "q32_merge_delete" ->
       """SELECT * FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    // q30's upsert oracle followed by the delete leg (keys 100-200 all
+    // exist in orders, so NOT BETWEEN re-derives the id-list delete)
+    "q83_merge_bucketed" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+        |b AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |        o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey BETWEEN 500 AND 1500),
+        |m AS (
+        |  SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+        |    CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+        |  FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey)
+        |SELECT * FROM m WHERE o_orderkey NOT BETWEEN 100 AND 200
         |ORDER BY o_orderkey""".stripMargin,
     // the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
     // keys; the upsert sink resolves them deterministically (smallest

@@ -29,10 +29,14 @@ import org.apache.spark.sql.expressions.Window
   * Scale design: one full-outer (upsert) or left (update) join on the key.
   * The typical shape is huge-target × small-batch, so the batch side is
   * broadcast when `broadcastBatch` is set; otherwise Catalyst/AQE picks the
-  * strategy (sort-merge with skew handling for batch ~ target). On a real
-  * lakehouse the write would target only affected key-bucket partitions;
-  * on plain parquet we rewrite via an atomic temp-dir swap, the analogue
-  * of the reference's per-batch commit (Pype.py:148).
+  * strategy (sort-merge with skew handling for batch ~ target).
+  * [[mergeIntoParquet]] rewrites the whole flat-parquet target via an
+  * atomic temp-dir swap — the analogue of the reference's per-batch commit
+  * (Pype.py:148) and the right shape for modest targets. For targets where
+  * O(target) per batch is the bottleneck, [[BucketedMergeSink]] stores the
+  * target hash-bucketed on the merge key and rewrites ONLY the buckets a
+  * batch touches; `mergeIntoParquet` auto-delegates when pointed at such a
+  * layout.
   */
 object MergeSink {
 
@@ -52,6 +56,22 @@ object MergeSink {
 
   private def keyCond(key: Seq[String]): Column =
     key.map(k => col(s"t.$k") <=> col(s"b.$k")).reduce(_ && _)
+
+  /** Size-gated broadcast decision for a merge batch: true iff the
+    * optimizer's size estimate fits under
+    * `spark.sql.autoBroadcastJoinThreshold` (false when broadcasting is
+    * disabled with -1). The estimate errs large without CBO stats —
+    * filters don't shrink it — so the failure mode is a sort-merge that
+    * could have broadcast, never a driver-killing broadcast of a
+    * corpus-sized frame. This is what keeps the first micro-batch after
+    * a fresh checkpoint on a large backlog (no maxFilesPerTrigger cap)
+    * from being force-broadcast into the driver. */
+  def fitsBroadcast(batch: DataFrame): Boolean = {
+    val threshold =
+      batch.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 &&
+      batch.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+  }
 
   /** Upsert `batch` into `target` on `key`.
     *
@@ -230,6 +250,13 @@ object MergeSink {
       excluded: Seq[String] = Nil): Unit = {
     require(Set("upsert", "update", "delete")(loadType),
       s"unknown load type: $loadType") // validated BEFORE any write, even on a fresh path
+    if (BucketedMergeSink.isBucketed(spark, path)) {
+      // a flat read-merge-write against a bucketed layout would flatten
+      // it (and read gbucket as a data column) — route to the bucketed
+      // sink, which has identical semantics
+      BucketedMergeSink.merge(spark, batch, path, loadType, key, identifier, excluded)
+      return
+    }
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(path))
     val result =
@@ -241,10 +268,16 @@ object MergeSink {
         case "update" => dedupeBatch(batch, key).limit(0)
       } else {
         val target = spark.read.parquet(path)
+        // gate the broadcast on the batch's size estimate: the typical
+        // merge batch is tiny and still broadcasts; a backlog-sized one
+        // (e.g. the first micro-batch after a fresh checkpoint) falls
+        // back to the full-outer sort-merge shape instead of
+        // force-broadcasting itself into the driver
+        val bcast = fitsBroadcast(batch)
         loadType match {
-          case "upsert" => upsert(target, batch, key, excluded, broadcastBatch = true)
-          case "update" => update(target, batch, key, excluded, broadcastBatch = true)
-          case "delete" => delete(target, batch, identifier)
+          case "upsert" => upsert(target, batch, key, excluded, broadcastBatch = bcast)
+          case "update" => update(target, batch, key, excluded, broadcastBatch = bcast)
+          case "delete" => delete(target, batch, identifier, broadcastIds = bcast)
         }
       }
     writeAtomic(result, path)

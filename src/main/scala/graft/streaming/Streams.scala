@@ -144,13 +144,30 @@ object Streams {
     * batch twice converges to the same target, so at-least-once
     * micro-batch replay (after a checkpoint recovery) is idempotent.
     * Caller starts the returned writer with its own
-    * `checkpointLocation`. */
+    * `checkpointLocation`.
+    *
+    * `numBuckets > 0` stores the target hash-bucketed on the key
+    * ([[graft.sink.BucketedMergeSink]]): each micro-batch then reads
+    * and rewrites ONLY the buckets it touches instead of the whole
+    * target — the shape that holds when the target dwarfs the batch.
+    * With the default 0 the target is flat parquet and every batch is a
+    * full read-merge-write (fine for modest targets / coarse cadences).
+    *
+    * Backlog sizing: the first micro-batch after a fresh checkpoint is
+    * the WHOLE backlog unless the source is throttled — set
+    * `maxFilesPerTrigger` (file sources) or the source's rate limit so
+    * batches stay merge-sized. The sink no longer force-broadcasts a
+    * batch (it is gated on the size estimate, MergeSink.fitsBroadcast),
+    * so an unthrottled backlog degrades to a sort-merge join rather
+    * than a driver OOM — but throttling is still what keeps per-batch
+    * latency flat. */
   def streamingMerge(
       stream: DataFrame,
       path: String,
       key: Seq[String],
       loadType: String = "upsert",
-      excluded: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      excluded: Seq[String] = Nil,
+      numBuckets: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // fail at construction, not inside the first micro-batch: key.head
     // on Nil, an unknown loadType, or a silently-partial composite
     // delete key would otherwise surface as an obscure streaming-query
@@ -163,9 +180,14 @@ object Streams {
         s"(MergeSink.delete matches a single id), got ${key.mkString(", ")}")
     stream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        graft.sink.MergeSink.mergeIntoParquet(
-          batch.sparkSession, batch, path, loadType, key,
-          identifier = key.head, excluded = excluded)
+        if (numBuckets > 0)
+          graft.sink.BucketedMergeSink.merge(
+            batch.sparkSession, batch, path, loadType, key,
+            identifier = key.head, excluded = excluded, numBuckets = numBuckets)
+        else
+          graft.sink.MergeSink.mergeIntoParquet(
+            batch.sparkSession, batch, path, loadType, key,
+            identifier = key.head, excluded = excluded)
     }
   }
 
@@ -181,16 +203,21 @@ object Streams {
     * effectively the smallest doc id) — deterministic, and the same
     * smallest-survivor rule [[graft.ops.Dedup.exact]] documents.
     *
-    * Cost contract, stated honestly: each micro-batch is a
-    * read-merge-write of the target (the reference's own per-batch
-    * merge shape, q30–q33), i.e. O(corpus) per batch — right for
-    * moderate corpora or coarse cadences. The 100 TB refinement is a
-    * bucketed target (hash of `norm_text`) so a batch rewrites only
-    * the buckets it touches; the merge semantics are unchanged. */
+    * Cost contract: the default target layout is hash-bucketed on
+    * `norm_text` ([[graft.sink.BucketedMergeSink]], `numBuckets`
+    * buckets), so a micro-batch reads and rewrites only the buckets its
+    * texts hash to — O(touched-buckets), not O(corpus), per batch;
+    * untouched bucket directories are never scanned. `numBuckets = 0`
+    * falls back to a flat parquet target with a full read-merge-write
+    * per batch (the reference's own per-batch merge shape, q30–q33) —
+    * acceptable for moderate corpora or coarse cadences. The merge
+    * semantics are identical in both layouts
+    * (BucketedMergeSinkSpec pins it). */
   def dedupCorpusStream(
       stream: DataFrame,
       path: String,
-      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      textCol: String = "text",
+      numBuckets: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(!stream.columns.contains("norm_text"),
       "dedupCorpusStream derives its merge key as a new norm_text column; " +
         "the input stream already has one — rename it (silently replacing " +
@@ -199,7 +226,8 @@ object Streams {
       graft.ops.Dedup.normalize(col(textCol)))
     streamingMerge(withNorm, path, key = Seq("norm_text"),
       loadType = "upsert",
-      excluded = withNorm.columns.filterNot(_ == "norm_text").toSeq)
+      excluded = withNorm.columns.filterNot(_ == "norm_text").toSeq,
+      numBuckets = numBuckets)
   }
 
   /** Watermarked stream-stream interval join: each left row matches

@@ -55,6 +55,27 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
       s"batch side not broadcast:\n$plan")
   }
 
+  test("fitsBroadcast gates the merge broadcast: over the threshold the plan " +
+    "has no BroadcastExchange and semantics are unchanged") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      // 1 byte: no batch fits → mergeIntoParquet's gate must pick the
+      // non-broadcast shape (a backlog-sized first micro-batch must
+      // never be force-broadcast into the driver)
+      spark.conf.set(key, "1")
+      assert(!MergeSink.fitsBroadcast(batch))
+      val out = MergeSink.upsert(target, batch, Seq("id"),
+        excluded = Seq("note"), broadcastBatch = MergeSink.fitsBroadcast(batch))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"batch over the broadcast cap still broadcast:\n$plan")
+      assertSameRows(out, expectedUpsert)
+    } finally spark.conf.set(key, saved)
+    // default threshold (10 MB): a merge-sized batch still broadcasts
+    assert(MergeSink.fitsBroadcast(batch))
+  }
+
   test("upsert: target schema is authoritative (batch-only columns dropped, missing ones null)") {
     val out = MergeSink.upsert(target, batch, Seq("id"))
     assert(out.columns.toSeq == Seq("id", "val", "note", "t_only"))

@@ -275,13 +275,17 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     val q = Streams.dedupCorpusStream(stream, target)
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
-    val out = spark.read.parquet(target)
+    // the default target layout is bucketed (BucketedMergeSink), so the
+    // readback goes through its reader
+    val out = graft.sink.BucketedMergeSink.read(spark, target)
       .select("doc_id", "norm_text").as[(Long, String)]
       .collect().sortBy(_._1).toSeq
     // doc 3 never lands: its normalized text matched doc 1's and every
     // payload column is excluded from update
     assert(out == Seq(
       (1L, "hello world"), (2L, "unique one"), (4L, "unique two")))
+    assert(graft.sink.BucketedMergeSink.isBucketed(spark, target),
+      "dedupCorpusStream should default to the bucketed layout")
   }
 
   test("streamingMerge: update and delete load types keep batch semantics") {
