@@ -505,6 +505,34 @@ object QueriesRelational {
            |ORDER BY c_custkey, o_orderkey""".stripMargin)
     }),
 
+    // -- partitioned data layout + dynamic partition pruning: the fact
+    //    side is a DATE-PARTITIONED copy of events (Sources.
+    //    writePartitioned — at 100 TB the layout, not the query, is
+    //    what bounds the scan); the dim side is a filtered date set
+    //    with no literal predicate on the fact, so only Catalyst's
+    //    PartitionPruning rule (a dynamicpruning subquery on the
+    //    partition column, pinned in PlanSpec) keeps the scan from
+    //    reading every partition.
+    "q84_partitioned_dpp" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      // fixture keyed on the source parquet's identity, written once per
+      // sf dir (same pattern + rationale as q34's csv/json fixtures)
+      val esrc = new java.io.File(s"$dir/events.parquet")
+      val fix = "/tmp/graft-part-" + java.lang.Long.toHexString(
+        dir.hashCode.toLong ^ esrc.length() ^ esrc.lastModified())
+      if (!new java.io.File(s"$fix/_SUCCESS").exists())
+        graft.sources.Sources.writePartitioned(
+          ev.withColumn("event_date", to_date(col("ts"))), fix, Seq("event_date"))
+      val fact = s.read.parquet(fix)
+      val dim = ev.select(to_date(col("ts")).as("d")).distinct()
+        .filter(dayofmonth(col("d")) <= 3) // the selective dim predicate DPP needs
+      fact.join(dim, col("event_date") === col("d"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // -- pivot: long→wide with an EXPLICIT value list (letting Spark
     //    discover values adds a collect job and non-deterministic column
     //    order); decimal-exact sums cast to double like every other agg
@@ -953,6 +981,14 @@ object QueriesRelational {
         |  WHERE o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "q84_partitioned_dpp" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) IN (
+        |  SELECT DISTINCT CAST(ts AS DATE) FROM events
+        |  WHERE day(CAST(ts AS DATE)) <= 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q79_pivot" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",

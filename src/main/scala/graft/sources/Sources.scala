@@ -80,6 +80,27 @@ object Sources {
       .options(options)
       .save()
 
+  /** Partitioned path write: Hive-style `col=value` directory layout.
+    * At 100 TB this is the single biggest scan-cost lever: a filter on
+    * the partition column (literal → static pruning; via a join to a
+    * filtered dim → dynamic partition pruning, Catalyst's
+    * `PartitionPruning` rule) skips whole directories at planning/run
+    * time instead of reading and discarding rows. Partition by
+    * low-cardinality, always-filtered columns (ingest date, source,
+    * language) — thousands of partitions, not millions: each partition
+    * should still hold enough data for well-sized files (small-file
+    * explosion costs more in listing + task overhead than pruning
+    * saves). Battery q84 joins a date-partitioned fact to a filtered
+    * dim; PlanSpec pins the `dynamicpruning` subquery in the scan. */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed catalog write: pre-shuffles once at write time so every
     * future equi-join / aggregation on `key` between tables bucketed
     * with the SAME key and bucket count runs WITHOUT an exchange — the

@@ -60,6 +60,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"query side should broadcast into a NLJ:\n$p")
   }
 
+  test("q84: the partitioned fact scan is dynamically pruned by the dim filter") {
+    val p = plan("q84_partitioned_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan's PartitionFilters:\n$p")
+  }
+
   test("q49: band exchange carries ids only — no vector payload below it") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
