@@ -36,6 +36,62 @@ object QueriesLlm {
     dom.union(rescored).orderBy("query_id", "cand_id", "violation")
   }
 
+  /** Measured recall of each approximate operator against its exact
+    * sibling on the same input: |approx ∩ exact| / |exact| over result
+    * keys. The audits (q57–q62) pin PRECISION (no false positives,
+    * exact scores); this is the other half — a mis-tuned band/bit/probe
+    * choice would pass every precision gate while silently missing most
+    * near-dups. One row per operator: (op, recall, floor), recall
+    * vacuously 1.0 on an empty exact set. The floors are deliberately
+    * loose lower bounds (the testdata corpus is regenerated every
+    * round): measured on sf0.001/sf0.01 — minhash_lsh 1.00,
+    * embed_lsh ~0.76, ann_lsh ~0.80, ann_ivf ~0.92 — so typical recall
+    * sits well above them, while a configuration regression (halved
+    * band count, near-dup-width signatures in a mid-cosine regime —
+    * the untuned 12-bit lshTopK measured 0.06 here) drops straight
+    * through. */
+  def sketchRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val e = Tables.load(s, dir, "embeddings")
+    def row(op: String, approx: DataFrame, exact: DataFrame,
+        keys: Seq[String], floor: Double): DataFrame = {
+      val x = exact.select(keys.map(col): _*)
+      val hit = x.join(approx.select(keys.map(col): _*), keys, "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val tot = x.agg(count(lit(1)).as("n_exact"))
+      hit.crossJoin(tot) // 1×1
+        .select(
+          lit(op).as("op"),
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(round(col("n_hit").cast("double") / col("n_exact"), 4))
+            .as("recall"),
+          lit(floor).as("floor"))
+    }
+    // configs mirror the battery entries exactly (q42/q52/q49/q53); the
+    // exact siblings disable df caps for TRUE ground truth (see q57)
+    val q = e.filter(col("vec_id") < 10)
+    row("minhash_lsh",
+      Dedup.minhashLshPairs(docs, threshold = 0.3),
+      Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxDocFreq = Long.MaxValue, relativeCap = false),
+      Seq("id_a", "id_b"), floor = 0.7)
+      .unionByName(row("embed_lsh",
+        // thinnest margin of the four (measured ~0.76, and the exact
+        // pair set is the smallest → most sampling noise across
+        // testdata regeneration) — floored a notch lower
+        Similarity.cosineDupPairsLsh(e, threshold = 0.4, bits = 4),
+        Similarity.cosineDupPairs(e, threshold = 0.4),
+        Seq("id_a", "id_b"), floor = 0.55))
+      .unionByName(row("ann_lsh",
+        Similarity.lshTopK(q, e, k = 5),
+        Similarity.bruteForceTopK(q, e, k = 5),
+        Seq("query_id", "cand_id"), floor = 0.6))
+      .unionByName(row("ann_ivf",
+        Similarity.ivfTopK(q, e, k = 5),
+        Similarity.bruteForceTopK(q, e, k = 5),
+        Seq("query_id", "cand_id"), floor = 0.6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: hash-groupBy on normalized text (one shuffle)
     "q40_exact_dedup" -> ((s, dir) => {
@@ -158,8 +214,11 @@ object QueriesLlm {
     //    verify (no oracle: probabilistic recall by design; 6-bit
     //    signatures keep recall usable at the 0.4 threshold)
     "q52_embed_dup_lsh" -> ((s, dir) => {
+      // bits = 4: the 0.4 threshold is a MID-cosine regime — see the
+      // lshTopK scaladoc for the collision math; q85 pins the recall
+      // floor that a near-dup-tuned signature width would break
       Similarity.cosineDupPairsLsh(
-        Tables.load(s, dir, "embeddings"), threshold = 0.4, bits = 6)
+        Tables.load(s, dir, "embeddings"), threshold = 0.4, bits = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -361,7 +420,7 @@ object QueriesLlm {
     // output must be a subset with identical rounded cosines.
     "q59_embed_lsh_audit" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val lsh = Similarity.cosineDupPairsLsh(e, threshold = 0.4, bits = 6)
+      val lsh = Similarity.cosineDupPairsLsh(e, threshold = 0.4, bits = 4) // mirrors q52
         .withColumnRenamed("cos", "c_lsh")
       val exact = Similarity.cosineDupPairs(e, threshold = 0.4)
         .withColumnRenamed("cos", "c_exact")
@@ -412,6 +471,17 @@ object QueriesLlm {
         .orderBy("id_a", "id_b")
     }),
 
+    // q42/q52/q49/q53 recall vs their exact siblings: the audits above
+    // pin precision; this one pins RECALL floors (violation rows only,
+    // empty oracle — a band/bit/probe mis-tune that silently loses
+    // near-dups becomes a hard hash failure). Floors documented at
+    // [[sketchRecall]].
+    "q85_sketch_recall" -> ((s, dir) => {
+      sketchRecall(s, dir)
+        .filter(col("recall") < col("floor"))
+        .orderBy("op")
+    }),
+
     // -- multimodal frame sampling: binary assets → (asset, frame_no,
     //    frame) child rows via partition-local mapPartitions (the video
     //    frame-extraction shape). Frames emitted as strings — the
@@ -433,6 +503,13 @@ object QueriesLlm {
     s"""SELECT CAST(NULL AS BIGINT) AS $idA, CAST(NULL AS BIGINT) AS $idB,
        |  CAST(NULL AS VARCHAR) AS violation
        |WHERE false""".stripMargin
+
+  /** q85's oracle: like the audits, the invariant is "no recall floor
+    * violations" — the expected relation is empty. */
+  private val noRecallViolations: String =
+    """SELECT CAST(NULL AS VARCHAR) AS op, CAST(NULL AS DOUBLE) AS recall,
+      |  CAST(NULL AS DOUBLE) AS "floor"
+      |WHERE false""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q68_pack_chunks" ->
@@ -627,6 +704,7 @@ object QueriesLlm {
     "q60_ann_lsh_audit" -> noViolations("query_id", "cand_id"),
     "q61_ann_ivf_audit" -> noViolations("query_id", "cand_id"),
     "q62_simhash_audit" -> noViolations("id_a", "id_b"),
+    "q85_sketch_recall" -> noRecallViolations,
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id,
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,

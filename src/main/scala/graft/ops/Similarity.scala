@@ -177,6 +177,20 @@ object Similarity {
     * exact-score candidates, keep per-query top-k. Recall grows with
     * `tables`; bucket size shrinks with `bits`.
     *
+    * Choosing `bits` IS choosing a similarity regime: a pair at cosine
+    * c collides in one table with probability (1 − arccos(c)/π)^bits.
+    * Top-k neighbours typically sit at MID cosine (~0.4–0.6), where a
+    * near-dup-tuned 12-bit signature collides at well under 1% per
+    * table — measured recall 0.06 on the battery corpus, i.e. the
+    * index silently misses almost everything while every precision
+    * audit stays green (q85 pins the recall floor precisely because of
+    * this failure mode). The 4-bit default collides at ~15–25% per
+    * table there (recall ≈ 0.75+ over 8 tables) at the price of fat
+    * buckets: 2^4 buckets per table means candidate volume grows as
+    * ~corpus/2 — acceptable for moderate corpora, but at 100 TB prefer
+    * [[ivfTopK]], whose cell count (and thus selectivity) grows with
+    * the corpus while sign-LSH bucket counts stay fixed.
+    *
     * Shuffle discipline (same shape as [[cosineDupPairsLsh]]): ONLY
     * `(id, table, sig)` rides the band exchange — a vector attached here
     * would cross the wire once per table (×8 the embedding table). The
@@ -189,7 +203,7 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       tables: Int = 8,
-      bits: Int = 12,
+      bits: Int = 4,
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
