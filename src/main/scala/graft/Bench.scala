@@ -1,16 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Bench the SHIPPED session: GraftSession.create (AQE + skew-join +
+    // UTC + GraftExtensions kernels + shuffle partitions derived from
+    // the live parallelism) — a hand-built session here would measure a
+    // config no library user actually gets.
+    val spark = GraftSession.create(configure = _
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: first jobs in a fresh JVM pay classloading, codegen
     // compiler init and parquet footer reads; without this the first
@@ -28,6 +31,11 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
+        // settle between queries so one query's garbage isn't collected
+        // on the next query's clock — the main shared-JVM interference
+        // that made cross-round per-query deltas unattributable
+        System.gc()
+        Thread.sleep(25)
         val t0 = System.nanoTime()
         // noop write: computes and consumes every output column (a count()
         // would let Catalyst prune projections/sorts and under-measure the
@@ -48,13 +56,30 @@ object Bench {
     // transient failure must not override a valid timing (min(-1, t)
     // would report the query as failed AND shrink the total).
     val runs = Seq(onePass(), onePass())
-    val results = runs.head.map(_._1).map { name =>
-      val ts = runs.map(_.toMap.apply(name)).filter(_ >= 0)
+    val names = runs.head.map(_._1)
+    val byName = runs.map(_.toMap)
+    val results = names.map { name =>
+      val ts = byName.map(_.apply(name)).filter(_ >= 0)
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // both raw pass times per query: the min hides variance; the pair
+    // makes a cross-round delta attributable (a real change moves BOTH
+    // passes; JVM noise moves one)
+    val passes = names.map { name =>
+      s"\"" + name + "\":[" + byName.map(_.apply(name)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // -1 = failed sentinel
+    // JVM + session identity: without it, a heap/GC/partition-count
+    // difference between rounds reads as a query regression
+    val rt = Runtime.getRuntime
+    val gcNames = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getName).mkString("+")
+    val jvm = s"""{"heap_max_mb":${rt.maxMemory() / 1048576},""" +
+      s""""gc":"$gcNames","cpus":"$cpus",""" +
+      s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
+      s""""n_queries":${results.size}}"""
     // Testdata fingerprint (per-table "bytes:mtime"): the driver
     // regenerates /root/testdata between rounds, so without a data
     // identity in the report, cross-round per-query comparisons are
@@ -70,7 +95,7 @@ object Bench {
         val mtime = if (files.isEmpty) 0L else files.map(_.lastModified).max
         s"\"$t\":\"$bytes:$mtime\""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","data":$fp}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir","runs":2,"agg":"min","jvm":$jvm,"data":$fp}""")
     spark.stop()
   }
 }

@@ -47,12 +47,27 @@ object GraftSession {
   /** Build the session and, unless the caller pinned a value, set
     * shuffle partitions to 3× the cluster's `defaultParallelism` —
     * the runtime-derived form of the 2-3×-cores rule (the conf is
-    * runtime-settable, so deriving after `getOrCreate` is safe). */
+    * runtime-settable, so deriving after `getOrCreate` is safe).
+    *
+    * Caveats that matter in production:
+    *   - `create()` should run BEFORE any other session exists: when
+    *     `getOrCreate` returns a pre-existing session, the builder's
+    *     extensions and static confs do NOT apply to it, and the
+    *     derivation is skipped rather than clobbering a value someone
+    *     pinned on that session deliberately.
+    *   - Under dynamic allocation, `defaultParallelism` at startup
+    *     reflects only the INITIAL executors — on an autoscaling
+    *     cluster the derived count can be far too small for the
+    *     session's lifetime. Pass an explicit `shufflePartitions`
+    *     there (e.g. 2-3× the expected peak core count, or bound it by
+    *     shuffled-bytes / ~128-200 MB per partition). */
   def create(
       shufflePartitions: Int = 0,
       configure: SparkSession.Builder => SparkSession.Builder = identity): SparkSession = {
+    val preexisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = configure(builder(shufflePartitions)).getOrCreate()
-    if (shufflePartitions <= 0)
+    if (shufflePartitions <= 0 && !preexisting.contains(spark))
       spark.conf.set("spark.sql.shuffle.partitions",
         (3 * spark.sparkContext.defaultParallelism).toString)
     spark

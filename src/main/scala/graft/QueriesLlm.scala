@@ -55,11 +55,15 @@ object QueriesLlm {
     val e = Tables.load(s, dir, "embeddings")
     def row(op: String, approx: DataFrame, exact: DataFrame,
         keys: Seq[String], floor: Double): DataFrame = {
+      // ONE left join computes both counts, so each (expensive) side's
+      // subplan evaluates exactly once — a semi-join + separate total
+      // would run the exact pipeline twice. Approx outputs are
+      // key-unique (deduped pairs / per-rank candidates), so the left
+      // join preserves exact rows 1:1.
       val x = exact.select(keys.map(col): _*)
-      val hit = x.join(approx.select(keys.map(col): _*), keys, "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      val tot = x.agg(count(lit(1)).as("n_exact"))
-      hit.crossJoin(tot) // 1×1
+      val a = approx.select(keys.map(col): _*).withColumn("__hit", lit(1))
+      x.join(a, keys, "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
         .select(
           lit(op).as("op"),
           when(col("n_exact") === 0, lit(1.0))

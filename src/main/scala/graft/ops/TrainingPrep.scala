@@ -29,7 +29,15 @@ object TrainingPrep {
     * instead. `pmod(id, p) * m ≡ id * m (mod p)`, so this is congruent
     * to the naive form wherever the naive form doesn't overflow: same
     * assignments at any corpus size that fits in 32 bits, and
-    * well-defined determinism beyond. */
+    * well-defined determinism beyond.
+    *
+    * Precondition: ids are NON-NEGATIVE (every testdata/battery id is).
+    * For a negative id this pmod form yields a non-negative hash while
+    * plain SQL `%` (truncated remainder, as in the battery's DuckDB
+    * oracle forms) yields a negative one — so an engine-vs-oracle
+    * comparison over negative ids would diverge even though both sides
+    * are individually deterministic. Hash negative id spaces through an
+    * explicit `abs`/offset first. */
   def idHash(id: Column): Column =
     pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000003L))
 

@@ -78,6 +78,14 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
       val pinned = GraftSession.create(shufflePartitions = 7,
         configure = _.master("local[4]"))
       assert(pinned.conf.get("spark.sql.shuffle.partitions") == "7")
+      // a value pinned directly on the (now pre-existing) session
+      // survives a later create(): the derivation only applies to a
+      // session this call actually created
+      pinned.conf.set("spark.sql.shuffle.partitions", "5")
+      val again = GraftSession.create(configure = _.master("local[4]"))
+      assert(again eq pinned)
+      assert(again.conf.get("spark.sql.shuffle.partitions") == "5",
+        "create() clobbered a deliberately pinned value on a pre-existing session")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
