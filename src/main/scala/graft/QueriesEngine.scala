@@ -102,6 +102,34 @@ object QueriesEngine {
       s.read.parquet(s"$tmp/q33_revenue").orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // -- q33's pipeline lifecycle with `buckets: 16` in the stage YAML:
+    //    the SAME extract→transform→upsert run, but the target lives
+    //    hash-bucketed (BucketedMergeSink via Runner) — identical
+    //    semantics (same oracle as q33), different physical layout; the
+    //    config-level switch a user flips for incremental loads at scale
+    "q86_pipeline_bucketed" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [revenue_bucketed]
+          |pypes:
+          |  revenue_bucketed:
+          |    extract_query: "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag FROM lineitem WHERE l_shipdate < TIMESTAMP '{cutoff}'"
+          |    transformers: [graft.transformers.AddRevenue]
+          |    target_table: q86_revenue
+          |    type: upsert
+          |    key: [l_orderkey, l_linenumber]
+          |    buckets: 16
+          |""".stripMargin
+      val tmp = "/tmp/graft-runb-" + Integer.toHexString(dir.hashCode)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("cutoff" -> "1996-01-01"), tmp)
+      runner.run("demo")
+      graft.sink.BucketedMergeSink.read(s, s"$tmp/q86_revenue")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // -- LIVE jdbc round-trip (A2 + Layer B jdbc scan/sink): parquet →
     //    Derby (embedded, in-process — the only live DB this container
     //    has; same Spark jdbc codepath as MySQL/Postgres) via writeJdbc,
@@ -236,6 +264,18 @@ object QueriesEngine {
     // the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
     // keys; the upsert sink resolves them deterministically (smallest
     // full row wins — MergeSink.dedupeBatch), which QUALIFY re-derives
+    // q86 = q33's run through a bucketed target: layout changes, the
+    // relation does not — the oracle is intentionally identical
+    "q86_pipeline_bucketed" ->
+      """WITH x AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,
+        |    l_extendedprice * (1.0 - l_discount) AS revenue
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01')
+        |SELECT * FROM x
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY l_orderkey, l_linenumber
+        |  ORDER BY l_quantity, l_extendedprice, l_discount, l_returnflag, revenue) = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q33_pipeline_e2e" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

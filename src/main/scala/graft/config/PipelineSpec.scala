@@ -28,6 +28,8 @@ final case class StageSpec(
     fieldsExcludedFromUpdate: Seq[String] = Nil, // Pype.py:15,132-143
     postQuery: String = "", // Pype.py:17,164-168
     bulkSize: Int = 2000, // Pype.py:16 (unused; kept for config parity)
+    buckets: Int = 0, // >0: hash-bucketed target (BucketedMergeSink) — each
+                      // load rewrites only the bucket dirs the batch touches
     debug: Boolean = false)
 
 /** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
@@ -133,6 +135,7 @@ object PipelineSpec {
       fieldsExcludedFromUpdate = strs("fields_excluded_from_update"),
       postQuery = str("post_query", ""),
       bulkSize = str("bulk_size", "2000").toInt,
+      buckets = str("buckets", "0").toInt,
       debug = str("debug", "false").toBoolean)
   }
 }

@@ -191,10 +191,25 @@ final class Runner(
   private def load(stage: StageSpec, df: DataFrame): Long = {
     if (stage.targetTable.isEmpty) return df.count()
     val path = targetPath(stage.targetTable)
-    MergeSink.mergeIntoParquet(
-      spark, df, path, stage.loadType, stage.key, stage.identifier,
-      stage.fieldsExcludedFromUpdate)
-    val result = spark.read.parquet(path)
+    // `buckets: N` in the stage YAML stores the target hash-bucketed on
+    // the merge key (graft.sink.BucketedMergeSink): an incremental load
+    // reads and rewrites only the bucket dirs its keys touch instead of
+    // the whole target — the config-level switch for the 100 TB load
+    // shape. Without it, mergeIntoParquet still auto-delegates when the
+    // path already holds a bucketed layout, so a stage can't silently
+    // flatten a target created with buckets.
+    if (stage.buckets > 0)
+      graft.sink.BucketedMergeSink.merge(
+        spark, df, path, stage.loadType, stage.key, stage.identifier,
+        stage.fieldsExcludedFromUpdate, numBuckets = stage.buckets)
+    else
+      MergeSink.mergeIntoParquet(
+        spark, df, path, stage.loadType, stage.key, stage.identifier,
+        stage.fieldsExcludedFromUpdate)
+    val result =
+      if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
+        graft.sink.BucketedMergeSink.read(spark, path)
+      else spark.read.parquet(path)
     result.createOrReplaceTempView(stage.targetTable)
     // metrics row count comes from the WRITTEN parquet (a footer-metadata
     // count) — counting `df` here would re-run the whole extract+transform

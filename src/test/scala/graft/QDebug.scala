@@ -12,13 +12,12 @@ object QDebug {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val explain = args.contains("explain")
-    val spark = SparkSession.builder()
+    // the shipped session, same as Bench/Verify — a plan inspected here
+    // is the plan the battery actually runs
+    val spark = GraftSession.create(configure = _
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, dir)
     if (explain) df.explain("formatted")

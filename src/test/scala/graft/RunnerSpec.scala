@@ -55,6 +55,63 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       placeholders = Map("maxid" -> "3"), targetRoot = root)
   }
 
+  test("buckets: N in stage YAML stores the target bucketed; incremental " +
+    "runs rewrite only touched buckets and later stages read it flat") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .createOrReplaceTempView("src")
+    val root = Files.createTempDirectory("graft-runner-b").toString
+    val by =
+      s"""pypelines:
+         |  p: [sb]
+         |pypes:
+         |  sb:
+         |    extract_query: "SELECT id, v FROM src WHERE id <= {maxid}"
+         |    target_table: tgt_bkt
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(by),
+      placeholders = Map("maxid" -> "3"), targetRoot = root)
+    runner.run("p")
+    val path = s"$root/tgt_bkt"
+    assert(graft.sink.BucketedMergeSink.isBucketed(spark, path))
+    // the registered target view reads the LOGICAL relation (no gbucket)
+    assert(spark.table("tgt_bkt").columns.toSeq == Seq("id", "v"))
+    // second, incremental run: one new id — only its bucket dir changes
+    def state: Map[String, Long] = {
+      val d = new java.io.File(path)
+      d.listFiles().filter(_.isDirectory)
+        .flatMap(b => b.listFiles().filter(_.isFile)
+          .map(f => s"${b.getName}/${f.getName}" -> f.lastModified())).toMap
+    }
+    runner.run("p", Map("maxid" -> "4")) // ids 1-3 unchanged, 4 is new...
+    // but upsert re-merges ids 1-4: touched = buckets of 1,2,3,4. To pin
+    // the one-bucket claim through the YAML surface, run a delete stage
+    // keyed to a single id instead:
+    val delYaml =
+      s"""pypelines:
+         |  d: [sd]
+         |pypes:
+         |  sd:
+         |    extract_query: "SELECT CAST(4 AS BIGINT) AS id"
+         |    target_table: tgt_bkt
+         |    type: delete
+         |    identifier: id
+         |    key: [id]
+         |    buckets: 4
+         |""".stripMargin
+    val mid = state
+    new Runner(spark, PipelineSpec.fromYaml(delYaml), Map.empty, root).run("d")
+    val after = state
+    val changed = (mid.keySet ++ after.keySet)
+      .filter(k => mid.get(k) != after.get(k))
+      .map(_.split("/").head)
+    assert(changed.size == 1, s"delete of one id should touch exactly one bucket: $changed")
+    assert(spark.table("tgt_bkt").select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("pipeline runs end-to-end: hydrated extract, transformer chain, upsert load") {
     val metrics = freshRunner("tgt_a").run("p")
     assert(metrics.size == 1)
