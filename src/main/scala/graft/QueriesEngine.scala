@@ -209,6 +209,28 @@ object QueriesEngine {
       // views would trip runStage's collision guard for later stages
       spec.stages("src_stage").sources.keys.foreach(s.catalog.dropTempView)
       out
+    }),
+
+    // -- bucketed-target maintenance: three upsert batches fragment the
+    //    bucket dirs (each rewrite leaves one file per writing task),
+    //    compact() collapses them to one file per bucket; the relation is
+    //    unchanged — the oracle checks content, BucketedMergeSinkSpec
+    //    pins the physical effect (file counts, untouched-bucket mtimes)
+    "q89_bucket_compaction" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val tmp = "/tmp/graft-bc-" + Integer.toHexString(dir.hashCode)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val b1 = c.filter(col("c_custkey") <= 400)
+      val b2 = c.filter(col("c_custkey").between(200, 600))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+      val b3 = c.filter(col("c_custkey").between(500, 800))
+        .withColumn("c_mktsegment", lit("COMPACTED"))
+      graft.sink.BucketedMergeSink.merge(s, b1, tmp, "upsert",
+        Seq("c_custkey"), numBuckets = 8)
+      graft.sink.BucketedMergeSink.merge(s, b2, tmp, "upsert", Seq("c_custkey"))
+      graft.sink.BucketedMergeSink.merge(s, b3, tmp, "upsert", Seq("c_custkey"))
+      graft.sink.BucketedMergeSink.compact(s, tmp)
+      graft.sink.BucketedMergeSink.read(s, tmp).orderBy("c_custkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -261,6 +283,23 @@ object QueriesEngine {
         |  FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey)
         |SELECT * FROM m WHERE o_orderkey NOT BETWEEN 100 AND 200
         |ORDER BY o_orderkey""".stripMargin,
+    // last-writer-wins per key across the three upsert batches (pri 3 >
+    // 2 > 1); compaction changes only the file layout, so the oracle is
+    // the same relation the merges produce
+    "q89_bucket_compaction" ->
+      """WITH u AS (
+        |  SELECT 3 AS pri, c_custkey, c_name, c_nationkey, c_acctbal,
+        |    'COMPACTED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey BETWEEN 500 AND 800
+        |  UNION ALL
+        |  SELECT 2, c_custkey, c_name, c_nationkey, c_acctbal + 1000, c_mktsegment
+        |  FROM customer WHERE c_custkey BETWEEN 200 AND 600
+        |  UNION ALL
+        |  SELECT 1, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 400)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM u
+        |QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY pri DESC) = 1
+        |ORDER BY c_custkey""".stripMargin,
     // the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
     // keys; the upsert sink resolves them deterministically (smallest
     // full row wins — MergeSink.dedupeBatch), which QUALIFY re-derives

@@ -497,6 +497,21 @@ object QueriesLlm {
         .select(col("asset_id"), col("frame_no"),
           col("frame").cast("string").as("frame_str"))
         .orderBy("asset_id", "frame_no")
+    }),
+
+    // -- Gopher-style quality ruleset: per-doc signals + pass flag, one
+    //    narrow codegen'd pass (no shuffle at any scale)
+    "q87_gopher_quality" -> ((s, dir) => {
+      TextAnalysis.gopherQuality(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
+    // -- cross-doc duplicate-span removal (sub-document dedup): delete
+    //    tokens covered by a word 8-gram that occurred earlier in the
+    //    corpus, keep the first occurrence
+    "q88_dup_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
     }))
 
   /** Empty-result oracle for the audit entries: the invariant is "no
@@ -884,5 +899,45 @@ object QueriesLlm {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         |  FROM s)
         |SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // mirrors TextAnalysis.gopherQuality: flags computed from the ROUNDED
+    // signals (+1e-9 bias off .xxxx5 boundaries) so both engines agree on
+    // boundary docs
+    "q87_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  round((length(text) - (CAST(len(toks) AS DOUBLE) - 1.0)) / CAST(len(toks) AS DOUBLE) + 0.000000001, 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) + 0.000000001, 4) AS alpha_frac,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','with','for'))) AS INT) AS stopword_n
+        |FROM d)
+        |SELECT *, (n_words >= 25 AND n_words <= 100000
+        |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |  AND alpha_frac >= 0.8 AND stopword_n >= 2) AS pass_gopher
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // mirrors Dedup.removeDuplicateSpans (k=8): occurrences of a gram
+    // ranked by (doc_id, pos); rn>1 = duplicate; covered positions
+    // explode k-wide; survivors rebuilt in position order. The LEFT JOIN
+    // + coalesce keeps fully-deduplicated docs in the output with ''.
+    "q88_dup_span_removal" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(text,'\s+',' ','g')) AS t FROM documents),
+        |dd AS (SELECT doc_id, string_split(t,' ') AS toks FROM d),
+        |tok AS (SELECT dd.doc_id, r.i AS pos, toks[CAST(r.i AS INT)] AS token
+        |  FROM dd, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i) r),
+        |occ AS (SELECT dd.doc_id, r.i AS pos, array_to_string(toks[CAST(r.i AS INT):CAST(r.i+7 AS INT)],' ') AS gram
+        |  FROM dd, LATERAL (SELECT unnest(range(1, len(toks)-8+2)) AS i) r
+        |  WHERE len(toks) >= 8),
+        |ranked AS (SELECT doc_id, pos, gram,
+        |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM occ),
+        |cov AS (SELECT DISTINCT ranked.doc_id, ranked.pos + g.j AS cpos
+        |  FROM ranked, LATERAL (SELECT unnest(range(0,8)) AS j) g WHERE rn > 1),
+        |kept AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |  WHERE c.doc_id IS NULL),
+        |reb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS cleaned_text,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT dd.doc_id, CAST(len(dd.toks) AS INT) AS n_tokens,
+        |  CAST(len(dd.toks) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+        |  coalesce(r.cleaned_text, '') AS cleaned_text
+        |FROM dd LEFT JOIN reb r ON dd.doc_id = r.doc_id ORDER BY dd.doc_id""".stripMargin)
 }

@@ -489,4 +489,85 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster"))
   }
+
+  /** Cross-document duplicate-SPAN removal (the sub-document complement
+    * of whole-doc dedup): delete every token covered by a word k-gram
+    * that already occurred earlier in the corpus, keeping the first
+    * occurrence. This is the public "dedup repeated substrings, keep one
+    * copy" recipe (Lee et al. 2022, arXiv:2107.06499) with the suffix
+    * array replaced by a fixed-width k-gram pass — the form that runs as
+    * three hash shuffles on Spark instead of a global suffix sort.
+    *
+    * Semantics (deterministic): the occurrence of a k-gram at 1-based
+    * token position p in doc d covers tokens p..p+k-1. Occurrences of a
+    * gram are ordered by (doc_id, pos); every occurrence after the first
+    * is a duplicate, and a token covered by ≥1 duplicate occurrence is
+    * removed. Output: one row per input doc with the surviving tokens
+    * rejoined (`cleaned_text`, '' when everything was removed), the
+    * original token count and the removed-token count. Docs shorter than
+    * k tokens have no grams and pass through unchanged.
+    *
+    * Scale shape: tokens explode to one gram row each (n-k+1 per doc);
+    * the first-occurrence table is an AGGREGATE per gram
+    * (min_by(struct(doc,pos)), map-side combinable — deliberately NOT a
+    * window over the gram: a boilerplate gram's window partition would
+    * hold every copy in the corpus, same reasoning as
+    * [[graft.ops.TrainingPrep]]'s decontamination). Duplicate occurrences
+    * join that one-row-per-gram table back (AQE handles a skewed hot
+    * gram), covered positions explode k-wide from DUPLICATE occurrences
+    * only, and the rebuild is one groupBy(doc) over surviving tokens.
+    * Grams travel as exact strings, not hashes: a hash collision would
+    * silently delete non-duplicate text, the one failure mode a dedup
+    * pass must never have. At 100 TB the gram strings are bounded
+    * (k·avg-word) and the gram shuffle is the same width as the
+    * decontamination pass the pipeline already runs. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = widen(df).select(
+      col(idCol).as("id"), split(normalizeKeepCase(col(textCol)), " ").as("toks"))
+    // one row per token occurrence (pos is 1-based)
+    val tok = toks.select(col("id"), posexplode(col("toks")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+    // one row per gram occurrence: gram at p = tokens p..p+k-1
+    val occ = toks
+      .filter(size(col("toks")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    // first corpus occurrence of each gram — an aggregate, not a window
+    val first = occ.groupBy("gram")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("gram"), col("f.id").as("f_id"), col("f.pos").as("f_pos"))
+    // duplicate occurrences: everything that is not the first
+    val dup = occ.join(first, "gram")
+      .filter(!(col("id") === col("f_id") && col("pos") === col("f_pos")))
+    // token positions covered by >=1 duplicate occurrence
+    val covered = dup
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token"))).as("cleaned_text"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("id"), size(col("toks")).as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("int").as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** Whitespace trim/collapse WITHOUT lowercasing — span removal must
+    * reproduce surviving text verbatim, so its canonical form only
+    * normalizes separators (tokens keep their case). */
+  private[ops] def normalizeKeepCase(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
 }

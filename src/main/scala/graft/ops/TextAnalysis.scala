@@ -147,6 +147,64 @@ object TextAnalysis {
             .otherwise(col("top_bigram_n").cast("double") /
               col("n_bigrams").cast("double")), 6).as("top_frac"))
 
+  /** Stopword list for the Gopher-style quality rules (the top English
+    * function words; the reference pipelines carry a comparable set). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "with", "for")
+
+  /** Gopher-style document-quality ruleset (Rae et al. 2021, §A1.1 —
+    * public paper): per-doc signals plus a pass/fail flag. Signals:
+    *
+    *   - `n_words` — whitespace token count
+    *   - `mean_word_len` — average token length (single-space-separated
+    *     docs: `(n_chars - (n_words-1)) / n_words`)
+    *   - `alpha_frac` — fraction of tokens containing at least one
+    *     alphabetic character
+    *   - `stopword_n` — tokens in [[gopherStopwords]] (Gopher's
+    *     "contains ≥2 stop words" rule)
+    *
+    * `pass_gopher` is the conjunction of the four range rules. Like
+    * [[qualityScore]] this is a pure column expression — one narrow
+    * codegen'd pass over the text column, no shuffle at any scale. The
+    * flag is computed from the ROUNDED signals so the engine and any
+    * SQL re-derivation agree on boundary documents; the 1e-9 bias (see
+    * [[qualityScore]]) keeps rounding off exact .xxxx5 boundaries.
+    *
+    * Defaults are scaled to the synthetic corpus (10–99-word docs);
+    * production Gopher bounds are minWords=50, maxWords=100000. */
+  def gopherQuality(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 25,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nd = n.cast("double")
+    val meanLen = round(
+      (length(col(textCol)) - (nd - lit(1.0))) / nd + lit(1e-9), 4)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nd
+        + lit(1e-9), 4)
+    val stopN = size(filter(toks, t => t.isin(gopherStopwords.map(lit): _*)))
+    df.select(
+      col(idCol),
+      n.as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
+      stopN.as("stopword_n"))
+      .withColumn("pass_gopher",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stopword_n") >= minStopwords)
+  }
+
   /** Full analysis frame over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val base = df

@@ -271,6 +271,51 @@ object BucketedMergeSink {
     fs.delete(tmp, true)
   }
 
+  /** Compact fragmented bucket directories down to one file each.
+    *
+    * Each merge rewrites a touched bucket with the write parallelism of
+    * the merge job, so a bucket directory holds up to
+    * `spark.sql.shuffle.partitions` part files per rewrite — cheap at
+    * merge time (no extra shuffle on the latency-sensitive load path),
+    * but after many micro-batches the small files tax every later scan
+    * (file-listing + per-file open cost dominates at 100 TB). This is
+    * the standard LSM split: fast fragmented writes, background
+    * compaction.
+    *
+    * Buckets with more than `maxFiles` data files are rewritten as ONE
+    * job — read with the `gbucket IN (...)` partition filter,
+    * `repartition($"gbucket")` so each bucket lands in exactly one task
+    * (→ exactly one output file per bucket), then the same atomic
+    * per-directory swap the merge path uses. Untouched buckets are not
+    * read or listed beyond the file count. Content is byte-for-byte
+    * row-identical; a crash mid-swap leaves each bucket either old or
+    * new, both complete. Returns the compacted bucket ids. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      maxFiles: Int = 1): Seq[Int] = {
+    val meta = readMeta(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fragmented = listBuckets(spark, path).filter { b =>
+      fs.listStatus(new Path(path, s"$bucketCol=$b"))
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")) > maxFiles // "."-files: local-fs .crc checksums
+    }.sorted
+    if (fragmented.isEmpty) return Nil
+    val slice = spark.read.schema(meta.schema.add(bucketCol, "int")).parquet(path)
+      .filter(col(bucketCol).isin(fragmented: _*))
+    val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString)
+    try slice.repartition(col(bucketCol))
+      .write.partitionBy(bucketCol).parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    fragmented.foreach { b =>
+      swapBucketDir(fs,
+        new Path(tmp, s"$bucketCol=$b"), new Path(path, s"$bucketCol=$b"))
+    }
+    fs.delete(tmp, true)
+    fragmented
+  }
+
   private def createTarget(
       spark: SparkSession,
       rows: DataFrame,

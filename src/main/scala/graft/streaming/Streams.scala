@@ -167,7 +167,8 @@ object Streams {
       key: Seq[String],
       loadType: String = "upsert",
       excluded: Seq[String] = Nil,
-      numBuckets: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      numBuckets: Int = 0,
+      compactEvery: Int = 32): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // fail at construction, not inside the first micro-batch: key.head
     // on Nil, an unknown loadType, or a silently-partial composite
     // delete key would otherwise surface as an obscure streaming-query
@@ -179,12 +180,22 @@ object Streams {
       "delete streams key on exactly ONE identifier column " +
         s"(MergeSink.delete matches a single id), got ${key.mkString(", ")}")
     stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        if (numBuckets > 0)
+      (batch: DataFrame, batchId: Long) =>
+        if (numBuckets > 0) {
           graft.sink.BucketedMergeSink.merge(
             batch.sparkSession, batch, path, loadType, key,
             identifier = key.head, excluded = excluded, numBuckets = numBuckets)
-        else
+          // inline small-file maintenance: each merge leaves up to
+          // write-parallelism files in every touched bucket, so a
+          // long-running stream fragments its target; compacting every
+          // N micro-batches bounds files-per-bucket at ~N×parallelism
+          // without paying a compaction on the per-batch latency path
+          // every trigger. Keyed on batchId (stable across replays):
+          // at-least-once replay of a compacting batch just re-compacts,
+          // which is idempotent. 0 disables.
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            graft.sink.BucketedMergeSink.compact(batch.sparkSession, path): Unit
+        } else
           graft.sink.MergeSink.mergeIntoParquet(
             batch.sparkSession, batch, path, loadType, key,
             identifier = key.head, excluded = excluded)
@@ -212,7 +223,9 @@ object Streams {
     * per batch (the reference's own per-batch merge shape, q30–q33) —
     * acceptable for moderate corpora or coarse cadences. The merge
     * semantics are identical in both layouts
-    * (BucketedMergeSinkSpec pins it). */
+    * (BucketedMergeSinkSpec pins it). Bucketed targets self-compact
+    * every 32 micro-batches (streamingMerge's `compactEvery` default),
+    * bounding small-file growth for the life of the stream. */
   def dedupCorpusStream(
       stream: DataFrame,
       path: String,

@@ -161,6 +161,43 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(col("id") === 3L).select("v").as[Long].head() == 33L)
   }
 
+  test("compact: fragmented buckets collapse to one file, content intact, no-op when clean") {
+    val path = tmpTarget()
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // AQE off + several shuffle partitions: the create-path write keeps
+      // one file per (task × bucket), so every bucket fragments
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      BucketedMergeSink.merge(spark, seed(200), path, "upsert", Seq("id"), numBuckets = 4)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+    }
+    def dataFiles(b: Int): Int =
+      bucketState(path, b).count(f => !f._1.startsWith(".") && !f._1.startsWith("_"))
+    val pre = (0 until 4).map(b => b -> bucketState(path, b)).toMap
+    val fragmented = (0 until 4).filter(b => dataFiles(b) > 1)
+    assert(fragmented.nonEmpty, s"merge should fragment, got ${pre.view.mapValues(_.size).toMap}")
+    val before = canon(BucketedMergeSink.read(spark, path))
+
+    val compacted = BucketedMergeSink.compact(spark, path)
+    assert(compacted == fragmented)
+    fragmented.foreach { b =>
+      assert(dataFiles(b) == 1, s"bucket $b should be one data file")
+    }
+    (0 until 4).filterNot(fragmented.contains).foreach { b =>
+      assert(bucketState(path, b) == pre(b), s"clean bucket $b was rewritten")
+    }
+    assert(canon(BucketedMergeSink.read(spark, path)) == before)
+
+    // an already-compact layout: compact is a no-op that touches nothing
+    val clean = (0 until 4).map(b => b -> bucketState(path, b)).toMap
+    assert(BucketedMergeSink.compact(spark, path).isEmpty)
+    (0 until 4).foreach(b => assert(bucketState(path, b) == clean(b)))
+  }
+
   test("replaying the same batch converges (at-least-once idempotence)") {
     val path = tmpTarget()
     BucketedMergeSink.merge(spark, seed(30), path, "upsert", Seq("id"), numBuckets = 4)

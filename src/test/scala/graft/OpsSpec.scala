@@ -143,6 +143,54 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("gopherQuality: each rule can fail independently; flags use rounded signals") {
+    val good = Array.fill(30)("word").zipWithIndex
+      .map { case (w, i) => w + i }.mkString(" ") + " the a" // 32 varied words, 2 stopwords
+    val df = Seq(
+      (1L, good),                                   // passes all rules
+      (2L, Array.fill(30)("ab").mkString(" ")),     // mean word len 2 < 3 → fail
+      (3L, "short doc the a"),                      // 4 words < 25 → fail
+      (4L, Array.fill(28)("word").mkString(" ") + " 77 99"), // 0 stopwords → fail
+      (5L, Array.fill(15)("word1 42").mkString(" ")))        // alpha_frac 0.5 < 0.8 → fail
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
+
+  test("removeDuplicateSpans: later copies of a k-gram lose their tokens, first survives") {
+    // doc 1 and doc 3 share an 8-token span; doc 1 is first → doc 3 loses it.
+    val span = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"intro $span outro"),
+      (2L, "totally unrelated text right here with nothing shared at all"),
+      (3L, s"prefix words here then $span and a tail"),
+      (4L, "tiny doc")) // < k tokens: no grams, untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10, 0, s"intro $span outro")))
+    assert(out(2L)._2 == 0)
+    assert(out(3L) == ((15, 8, "prefix words here then and a tail")))
+    assert(out(4L) == ((2, 0, "tiny doc")))
+  }
+
+  test("removeDuplicateSpans: a fully-duplicated doc empties; within-doc repeats dedup too") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, text),
+      (2L, text), // exact copy of doc 1 → fully removed
+      (3L, s"$text mid $text")) // both copies duplicate doc 1's gram
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8, 0, text)))
+    assert(out(2L) == ((8, 8, "")))
+    // doc 3: gram at pos 1 and pos 10 both duplicate doc 1's single gram,
+    // covering tokens 1-8 and 10-17; only "mid" (pos 9) escapes
+    assert(out(3L) == ((17, 16, "mid")))
+  }
+
   // --------------------------------------------------------- similarity
 
   test("cosine: orthogonal→0, identical→1, anti-parallel→-1") {

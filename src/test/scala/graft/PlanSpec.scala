@@ -180,4 +180,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         s"$q must join on keys:\n$p")
     }
   }
+
+  test("q88: span removal is window-free — a hot gram never lands in one partition") {
+    // the first-occurrence table must be an aggregate (map-side
+    // combinable), not a row_number window whose per-gram partition
+    // would hold every copy of a boilerplate gram; the doc rebuild is a
+    // groupBy too, so NO Window node may appear anywhere in the plan
+    val p = plan("q88_dup_span_removal")
+    assert(!p.contains("Window"), s"q88 must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"q88 must join on keys:\n$p")
+  }
 }

@@ -288,6 +288,47 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       "dedupCorpusStream should default to the bucketed layout")
   }
 
+  test("streamingMerge: a bucketed target self-compacts every compactEvery batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-smc-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-smc-tgt").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smc-ck").toString
+    val batches = Seq(
+      Seq.tabulate(60)(i => (i.toLong, s"n$i", i.toLong)),
+      Seq((100L, "x", 1L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("id", "name", "v"), i)
+    }
+    val stream = spark.readStream
+      .schema("id LONG, name STRING, v LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // AQE off + several shuffle partitions: batch 0's create-write
+      // fragments every bucket; batch 1 (batchId 1, compactEvery 2)
+      // merges and then compacts the whole target
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val q = Streams.streamingMerge(stream, target, Seq("id"),
+          numBuckets = 4, compactEvery = 2)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+    }
+    val bucketDirs = new java.io.File(target).listFiles()
+      .filter(d => d.isDirectory &&
+        d.getName.startsWith(graft.sink.BucketedMergeSink.bucketCol + "="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val n = d.listFiles()
+        .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      assert(n == 1, s"${d.getName} should be compacted to one data file, has $n")
+    }
+    assert(graft.sink.BucketedMergeSink.read(spark, target).count() == 61)
+  }
+
   test("streamingMerge: update and delete load types keep batch semantics") {
     // key column "k", NOT "id": mergeIntoParquet's identifier used to
     // default to the literal name "id", so this pins that streamingMerge
