@@ -512,6 +512,26 @@ object QueriesLlm {
     "q88_dup_span_removal" -> ((s, dir) => {
       Dedup.removeDuplicateSpans(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")
+    }),
+
+    // -- source-priority survivor selection over q50's near-dup clusters
+    //    (keep the most-trusted copy, not an arbitrary member)
+    "q90_cluster_survivors" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, threshold = 0.3)
+      val clusters = Dedup.dedupClusters(docs, pairs)
+      Dedup.keepBestPerCluster(docs, clusters, Seq("src5", "src7"))
+        .orderBy("doc_id")
+    }),
+
+    // -- deterministic per-source token-budget sampling (mixture by
+    //    token counts, not doc counts)
+    "q91_token_budget" -> ((s, dir) => {
+      graft.ops.TrainingPrep.tokenBudgetSample(
+        Tables.load(s, dir, "documents"),
+        budgets = Map("src3" -> 800L, "src8" -> 500L),
+        shards = 8)
+        .orderBy("doc_id")
     }))
 
   /** Empty-result oracle for the audit entries: the invariant is "no
@@ -808,6 +828,64 @@ object QueriesLlm {
         |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         |ORDER BY doc_id""".stripMargin,
+    // q90 = q50's cluster derivation + source-priority survivor choice
+    // (rank: src5 < src7 < everything, ties on smallest doc_id)
+    "q90_cluster_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
+        |  FROM toks),
+        |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
+        |cap AS (SELECT least(10000, greatest(16, (count(*) + 99) // 100)) AS c FROM documents),
+        |freq AS (SELECT shingle FROM posts GROUP BY shingle
+        |         HAVING count(*) >= 2 AND count(*) <= (SELECT c FROM cap)),
+        |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i
+        |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  WHERE round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+        |clu AS (SELECT d.doc_id, d.source, coalesce(c.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |ranked AS (SELECT *, CASE WHEN source = 'src5' THEN 0
+        |  WHEN source = 'src7' THEN 1 ELSE 2 END AS rnk FROM clu),
+        |best AS (SELECT cluster, doc_id AS survivor_id FROM ranked
+        |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY rnk, doc_id) = 1)
+        |SELECT r.doc_id, r.cluster, b.survivor_id,
+        |  r.doc_id = b.survivor_id AS keep
+        |FROM ranked r JOIN best b ON r.cluster = b.cluster
+        |ORDER BY r.doc_id""".stripMargin,
+    // mirrors TrainingPrep.tokenBudgetSample: ONE window per source over
+    // (shard, hash, id) is arithmetically identical to the engine's
+    // shard-offset + within-shard cumsum (same order, same inclusive sum)
+    "q91_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src3', 800), ('src8', 500)),
+        |j AS (SELECT d.doc_id, d.source, d.n_tok, d.h, d.h % 8 AS shard, b.budget
+        |  FROM d JOIN b USING (source)),
+        |c AS (SELECT doc_id, source, n_tok, budget,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY shard, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM j)
+        |SELECT doc_id, source, n_tok, cum_tok FROM c
+        |WHERE cum_tok <= budget ORDER BY doc_id""".stripMargin,
     "q44_text_stats" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,

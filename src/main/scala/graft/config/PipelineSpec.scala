@@ -30,6 +30,8 @@ final case class StageSpec(
     bulkSize: Int = 2000, // Pype.py:16 (unused; kept for config parity)
     buckets: Int = 0, // >0: hash-bucketed target (BucketedMergeSink) — each
                       // load rewrites only the bucket dirs the batch touches
+    compact: Boolean = false, // bucketed targets only: collapse fragmented
+                              // bucket dirs to one file after the load
     debug: Boolean = false)
 
 /** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
@@ -136,6 +138,7 @@ object PipelineSpec {
       postQuery = str("post_query", ""),
       bulkSize = str("bulk_size", "2000").toInt,
       buckets = str("buckets", "0").toInt,
+      compact = str("compact", "false").toBoolean,
       debug = str("debug", "false").toBoolean)
   }
 }

@@ -206,6 +206,16 @@ final class Runner(
       MergeSink.mergeIntoParquet(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
         stage.fieldsExcludedFromUpdate)
+    // `compact: true` runs the bucketed layout's small-file maintenance
+    // after the load; on a flat target it fails loudly instead of
+    // silently doing nothing (the stage author asked for maintenance
+    // that flat layouts don't have or need — full rewrites never fragment)
+    if (stage.compact) {
+      require(graft.sink.BucketedMergeSink.isBucketed(spark, path),
+        s"stage ${stage.name}: compact: true needs a bucketed target " +
+          "(set buckets: N, or point at an existing bucketed layout)")
+      graft.sink.BucketedMergeSink.compact(spark, path)
+    }
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

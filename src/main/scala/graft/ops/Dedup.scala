@@ -490,6 +490,42 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("cluster"))
   }
 
+  /** Survivor selection over near-dup clusters with SOURCE PRIORITY:
+    * real dedup pipelines don't keep an arbitrary cluster member, they
+    * keep the copy from the most trusted source (curated > crawled,
+    * canonical > mirror). `priority` lists source names best-first;
+    * unlisted sources rank after every listed one; ties (same rank)
+    * break on the smallest id, so the default `priority = Nil`
+    * degenerates to [[dedupClusters]]' min-id rule. Output: one row per
+    * doc with its cluster, the cluster's survivor id, and a `keep` flag.
+    *
+    * Scale shape: the survivor per cluster is a min AGGREGATE over
+    * (rank, id) structs — map-side combinable, so even a degenerate
+    * million-member cluster collapses before the shuffle; the flag
+    * join-back is against the clusters-sized survivor table (AQE
+    * broadcasts it when small, skew-splits a hot cluster otherwise).
+    * Never a window over the cluster — its partition would hold every
+    * member of the biggest cluster. */
+  def keepBestPerCluster(
+      df: DataFrame,
+      clusters: DataFrame,
+      priority: Seq[String] = Nil,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val rank = priority.zipWithIndex.foldRight(lit(priority.size): Column) {
+      case ((s, i), e) => when(col(sourceCol) === s, lit(i)).otherwise(e)
+    }
+    val withC = df.select(col(idCol), col(sourceCol))
+      .join(clusters.select(col(idCol), col("cluster")), Seq(idCol))
+      .withColumn("__rank", rank)
+    val best = withC.groupBy("cluster")
+      .agg(min(struct(col("__rank"), col(idCol))).as("b"))
+      .select(col("cluster"), col("b").getField(idCol).as("survivor_id"))
+    withC.join(best, "cluster")
+      .select(col(idCol), col("cluster"), col("survivor_id"),
+        (col(idCol) === col("survivor_id")).as("keep"))
+  }
+
   /** Cross-document duplicate-SPAN removal (the sub-document complement
     * of whole-doc dedup): delete every token covered by a word k-gram
     * that already occurred earlier in the corpus, keeping the first

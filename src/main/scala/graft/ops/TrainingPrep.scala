@@ -274,4 +274,63 @@ object TrainingPrep {
       .filter(col("rank") <= topK)
       .select(col("id").as(idCol), col("rank"), col("term"), col("score"))
   }
+
+  /** Deterministic TOKEN-BUDGET sampling per group: keep documents of
+    * each `groupCol` value (source, language, ...) in a deterministic
+    * pseudo-random order until the group's cumulative token count would
+    * exceed its budget — "give me ~50 B tokens of web, 10 B of code",
+    * the mixture-construction primitive [[rebalanceMixture]]'s
+    * doc-count form can't express (doc counts ≠ token counts when
+    * length distributions differ across sources).
+    *
+    * Order within a group is (shard, idHash, id) — pseudo-random via
+    * the same arithmetic [[idHash]] as every operator here (stable
+    * across runs/partitionings/engines), with the shard as the MAJOR
+    * key so the cumulative sum can run sharded: per-shard token totals
+    * are a tiny aggregate (groups × shards rows, broadcast-joined back
+    * as each shard's starting offset), and the within-shard
+    * cumsum is a window over (group, shard) — `shards` parallel
+    * bounded partitions per group instead of one unbounded partition
+    * holding the whole group (the same sharded-cumsum shape as
+    * [[packChunks]]). A doc is kept iff its inclusive running total
+    * (shard offset + within-shard cumsum) fits the budget — so the
+    * kept set is a deterministic function of ids alone, and a group's
+    * first over-budget doc is the cut, not a probabilistic target like
+    * sample(). Groups absent from `budgets` are dropped. */
+  def tokenBudgetSample(
+      df: DataFrame,
+      budgets: Map[String, Long],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupCol: String = "source",
+      shards: Int = 64): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample needs at least one group budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (e, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(e)
+    }
+    val base = df
+      .select(col(idCol), col(groupCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("__budget", budgetCol)
+      .filter(col("__budget").isNotNull)
+      .withColumn("__shard", shardCol(col(idCol), shards))
+      .withColumn("__h", idHash(col(idCol)))
+    // per-(group, shard) totals: groups × shards rows — driver-safe
+    val offsets = base.groupBy(groupCol, "__shard")
+      .agg(sum(col("n_tok")).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy(groupCol).orderBy(col("__shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__shard"), col("__off"))
+    val w = Window.partitionBy(groupCol, "__shard")
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .join(broadcast(offsets), Seq(groupCol, "__shard"))
+      .withColumn("cum_tok", col("__off") + sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= col("__budget"))
+      .select(col(idCol), col(groupCol), col("n_tok"), col("cum_tok"))
+  }
 }

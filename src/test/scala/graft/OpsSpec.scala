@@ -191,6 +191,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == ((17, 16, "mid")))
   }
 
+  test("keepBestPerCluster: priority source wins; ties break on min id; Nil degenerates to min id") {
+    val docs = Seq(
+      (1L, "crawl"), (2L, "curated"), (3L, "crawl"),   // cluster 1
+      (4L, "crawl"), (5L, "crawl"),                    // cluster 4
+      (6L, "mirror"))                                  // singleton
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.keepBestPerCluster(docs, clusters, Seq("curated"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // cluster 1: curated doc 2 beats smaller-id crawl doc 1
+    assert(out(1L) == ((2L, false)) && out(2L) == ((2L, true)) && out(3L) == ((2L, false)))
+    // cluster 4: same rank → min id 4
+    assert(out(4L) == ((4L, true)) && out(5L) == ((4L, false)))
+    // singleton keeps itself (unlisted source)
+    assert(out(6L) == ((6L, true)))
+    // empty priority = dedupClusters' min-id rule
+    val minId = Dedup.keepBestPerCluster(docs, clusters)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(minId == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   // --------------------------------------------------------- similarity
 
   test("cosine: orthogonal→0, identical→1, anti-parallel→-1") {

@@ -112,6 +112,51 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       .toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("compact: true in stage YAML leaves one data file per bucket; flat target fails loudly") {
+    spark.range(1, 200).selectExpr("id", "id * 2 AS v")
+      .createOrReplaceTempView("src_c")
+    val root = Files.createTempDirectory("graft-runner-c").toString
+    def yaml(compactLine: String, buckets: String) =
+      s"""pypelines:
+         |  p: [sc]
+         |pypes:
+         |  sc:
+         |    extract_query: "SELECT id, v FROM src_c"
+         |    target_table: tgt_cmp
+         |    type: upsert
+         |    key: [id]
+         |$buckets$compactLine
+         |""".stripMargin
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // AQE off + several shuffle partitions so the load fragments the
+      // bucket dirs — compact then has real work to do
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "6")
+      new Runner(spark, PipelineSpec.fromYaml(
+        yaml("    compact: true", "    buckets: 4\n")), Map.empty, root).run("p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+    }
+    val dirs = new java.io.File(s"$root/tgt_cmp").listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    dirs.foreach { b =>
+      val n = b.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      assert(n == 1, s"${b.getName}: expected one data file after compact, got $n")
+    }
+    assert(spark.table("tgt_cmp").count() == 199)
+    // compact on a FLAT target is a config error, not a silent no-op
+    val e = intercept[IllegalArgumentException] {
+      new Runner(spark, PipelineSpec.fromYaml(
+        yaml("    compact: true", "")), Map.empty,
+        Files.createTempDirectory("graft-runner-c2").toString).run("p")
+    }
+    assert(e.getMessage.contains("bucketed target"))
+  }
+
   test("pipeline runs end-to-end: hydrated extract, transformer chain, upsert load") {
     val metrics = freshRunner("tgt_a").run("p")
     assert(metrics.size == 1)

@@ -187,6 +187,42 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(_._1 > 3000000000L).map(_._3).toSet == Set("train", "holdout"))
   }
 
+  test("tokenBudgetSample: kept set is the budget-bounded prefix in (shard, hash, id) order") {
+    val docs = (1L to 60L).map { i =>
+      val src = if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "books"
+      (i, src, ("w " * (i % 9 + 1).toInt).trim)
+    }.toDF("doc_id", "source", "text")
+    val budgets = Map("web" -> 40L, "code" -> 25L) // "books" unbudgeted → dropped
+    val out = TrainingPrep.tokenBudgetSample(docs, budgets, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    // reference: per source, docs ordered by (shard, hash, id); keep the
+    // longest prefix whose inclusive cumsum fits the budget
+    val ref = (1L to 60L).map { i =>
+      val src = if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "books"
+      (i, src, (i % 9 + 1))
+    }.groupBy(_._2).flatMap { case (src, rows) =>
+      budgets.get(src).toSeq.flatMap { budget =>
+        var cum = 0L
+        rows.sortBy { case (id, _, _) => (refShard(id, 4), refHash(id), id) }
+          .flatMap { case (id, s, n) =>
+            cum += n
+            if (cum <= budget) Some((id, s, n.toLong, cum)) else None
+          }
+      }
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == ref)
+    // per-group totals respect the budgets
+    val totals = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    totals.foreach { case (src, t) => assert(t <= budgets(src)) }
+    // and the result is partitioning-independent
+    val out2 = TrainingPrep.tokenBudgetSample(docs.repartition(7), budgets, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out2.toSeq == out.toSeq)
+  }
+
   test("training-prep operators are empty-input safe") {
     val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     assert(TrainingPrep.packChunks(noDocs).count() == 0)
