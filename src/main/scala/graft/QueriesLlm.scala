@@ -16,7 +16,11 @@ object QueriesLlm {
   /** Shared ANN-vs-exact audit (q60/q61): emits rank-dominance and
     * score-recomputation violations — both empty for a correct index. */
   private def annAudit(
-      ann: DataFrame, brute: DataFrame, emb: DataFrame): DataFrame = {
+      ann0: DataFrame, brute: DataFrame, emb: DataFrame): DataFrame = {
+    // both audit legs (rank dominance + re-scoring) read the ANN result;
+    // checkpoint the k×|queries|-row frame so the index pipeline runs
+    // once, not once per union branch
+    val ann = ann0.localCheckpoint(true)
     val dom = ann
       .select(col("query_id"), col("rank"), col("cand_id"), col("cos").as("a_cos"))
       .join(brute.select(col("query_id"), col("rank"), col("cos").as("b_cos")),
@@ -86,14 +90,19 @@ object QueriesLlm {
         Similarity.cosineDupPairsLsh(e, threshold = 0.4, bits = 4),
         Similarity.cosineDupPairs(e, threshold = 0.4),
         Seq("id_a", "id_b"), floor = 0.55))
-      .unionByName(row("ann_lsh",
-        Similarity.lshTopK(q, e, k = 5),
-        Similarity.bruteForceTopK(q, e, k = 5),
-        Seq("query_id", "cand_id"), floor = 0.6))
-      .unionByName(row("ann_ivf",
-        Similarity.ivfTopK(q, e, k = 5),
-        Similarity.bruteForceTopK(q, e, k = 5),
-        Seq("query_id", "cand_id"), floor = 0.6))
+      .unionByName {
+        // the ann_lsh and ann_ivf rows share the SAME exact sibling;
+        // Catalyst does not CSE across union branches, so without the
+        // eager localCheckpoint the full brute-force corpus scan would
+        // run twice (the checkpointed result is k×|queries| rows)
+        val brute = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint(true)
+        row("ann_lsh",
+          Similarity.lshTopK(q, e, k = 5), brute,
+          Seq("query_id", "cand_id"), floor = 0.6)
+          .unionByName(row("ann_ivf",
+            Similarity.ivfTopK(q, e, k = 5), brute,
+            Seq("query_id", "cand_id"), floor = 0.6))
+      }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -138,6 +138,40 @@ class DedupPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: removeDuplicateSpans equals the brute-force first-occurrence rule") {
+    // small k over a tiny vocabulary so duplicate grams genuinely occur
+    val k = 3
+    samples(corpusGen, n = 6).foreach { docs =>
+      // reference: occurrences of each gram ordered by (doc, pos); every
+      // occurrence after the first covers its k tokens for removal
+      val toks = docs.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.trim.split("\\s+").toSeq
+      }
+      val occ = for {
+        (id, ts) <- toks
+        if ts.size >= k
+        p <- 1 to (ts.size - k + 1)
+      } yield (ts.slice(p - 1, p - 1 + k).mkString(" "), id, p)
+      val firsts = occ.groupBy(_._1).view
+        .mapValues(_.map { case (_, id, p) => (id, p) }.min).toMap
+      val covered: Set[(Long, Int)] = occ.collect {
+        case (g, id, p) if firsts(g) != ((id, p)) =>
+          (p until p + k).map(id -> _)
+      }.flatten.toSet
+      val expected = toks.map { case (id, ts) =>
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !covered(id -> (i + 1)) => t
+        }
+        id -> ((ts.size, ts.size - kept.size, kept.mkString(" ")))
+      }.toMap
+
+      val out = Dedup.removeDuplicateSpans(df(docs), k = k).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+        .toMap
+      assert(out == expected, s"corpus: $docs")
+    }
+  }
+
   test("property: connectedComponents matches union-find") {
     val edgesGen: Gen[List[(Long, Long)]] =
       Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))

@@ -13,11 +13,15 @@ object QDebug {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val explain = args.contains("explain")
     // the shipped session, same as Bench/Verify — a plan inspected here
-    // is the plan the battery actually runs
-    val spark = GraftSession.create(configure = _
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false"))
+    // is the plan the battery actually runs. SPARK_GRAFT_SHUFFLE pins
+    // shuffle partitions for A/B runs against the derived default.
+    val spark = GraftSession.create(
+      shufflePartitions =
+        sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse(0),
+      configure = _
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, dir)
     if (explain) df.explain("formatted")
