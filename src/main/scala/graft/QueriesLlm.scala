@@ -541,6 +541,13 @@ object QueriesLlm {
         budgets = Map("src3" -> 800L, "src8" -> 500L),
         shards = 8)
         .orderBy("doc_id")
+    }),
+
+    // -- corpus-trained unigram LM scoring (CCNet-style perplexity
+    //    filtering, self-contained: the corpus is its own LM)
+    "q92_lm_quality" -> ((s, dir) => {
+      TextAnalysis.lmQuality(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
     }))
 
   /** Empty-result oracle for the audit entries: the invariant is "no
@@ -895,6 +902,22 @@ object QueriesLlm {
         |  FROM j)
         |SELECT doc_id, source, n_tok, cum_tok FROM c
         |WHERE cum_tok <= budget ORDER BY doc_id""".stripMargin,
+    // mirrors TextAnalysis.lmQuality: add-one-smoothed corpus unigram LM,
+    // ppl derived from the ROUNDED bits (engine-stable boundary behavior)
+    "q92_lm_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+        |stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |probs AS (SELECT term,
+        |  (CAST(c AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)) AS p
+        |  FROM counts, stats),
+        |d AS (SELECT t.doc_id, count(*) AS n_tokens, sum(log2(p)) AS s
+        |  FROM tok t JOIN probs USING (term) GROUP BY t.doc_id),
+        |b AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  round(-s / n_tokens + 0.000000001, 4) AS bits_per_token FROM d)
+        |SELECT doc_id, n_tokens, bits_per_token,
+        |  round(pow(2, bits_per_token), 2) AS ppl
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q44_text_stats" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,

@@ -205,6 +205,44 @@ object TextAnalysis {
           col("stopword_n") >= minStopwords)
   }
 
+  /** Corpus-trained unigram language-model score per document — the
+    * deterministic core of CCNet-style perplexity filtering (public
+    * recipe: score each doc under a small LM; outliers on either end are
+    * boilerplate or garbage). The LM here is the corpus's own add-one-
+    * smoothed unigram model: P(w) = (count(w)+1) / (N+V), and each doc
+    * reports its mean negative log2 probability (`bits_per_token`) plus
+    * the equivalent perplexity `2^bits` — no external model artifact, so
+    * the score is exactly replayable by any engine.
+    *
+    * Scale shape: term counts are ONE hash aggregate (map-side combine
+    * absorbs a billion-copy stopword before the wire; the result is
+    * vocabulary-sized), the (N, V) totals are a 1-row frame broadcast
+    * into the probability table, and docs score via a token→prob join
+    * (AQE broadcasts the vocab table) followed by a per-doc aggregate.
+    * Deliberately no window anywhere: a window keyed on the term would
+    * pool every occurrence of a stopword in one partition. Perplexity is
+    * derived from the ROUNDED bits so engine and oracle agree. */
+  def lmQuality(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val counts = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val stats = counts.agg(
+      sum(col("c")).as("N"), count(lit(1)).as("V"))
+    val probs = counts.crossJoin(broadcast(stats))
+      .select(col("term"),
+        ((col("c") + lit(1)).cast("double") /
+          (col("N") + col("V")).cast("double")).as("p"))
+    tok.join(probs, "term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n"), sum(log2(col("p"))).as("s"))
+      .select(col(idCol),
+        col("n").cast("int").as("n_tokens"),
+        round(-col("s") / col("n") + lit(1e-9), 4).as("bits_per_token"))
+      .withColumn("ppl", round(pow(lit(2.0), col("bits_per_token")), 2))
+  }
+
   /** Full analysis frame over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val base = df

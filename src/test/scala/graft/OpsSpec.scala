@@ -143,6 +143,17 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("lmQuality: add-one unigram model matches hand-computed bits and perplexity") {
+    // corpus: a×3, b×1 → N=4, V=2; P(a)=4/6, P(b)=2/6
+    val df = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmQuality(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // doc1: -log2(2/3) = 0.585 bits; doc2: (0.585 + 1.585)/2 = 1.085
+    assert(out(1L) == ((2, 0.585, 1.5)))
+    assert(out(2L) == ((2, 1.085, 2.12)))
+  }
+
   test("gopherQuality: each rule can fail independently; flags use rounded signals") {
     val good = Array.fill(30)("word").zipWithIndex
       .map { case (w, i) => w + i }.mkString(" ") + " the a" // 32 varied words, 2 stopwords
