@@ -548,6 +548,14 @@ object QueriesLlm {
     "q92_lm_quality" -> ((s, dir) => {
       TextAnalysis.lmQuality(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")
+    }),
+
+    // -- RAG-style overlapping chunking (32-token chunks, 8 overlap):
+    //    narrow transform + generator, zero shuffles at any corpus size
+    "q93_chunk_overlap" -> ((s, dir) => {
+      graft.ops.TrainingPrep.chunkDocuments(
+        Tables.load(s, dir, "documents"), chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_no")
     }))
 
   /** Empty-result oracle for the audit entries: the invariant is "no
@@ -918,6 +926,19 @@ object QueriesLlm {
         |SELECT doc_id, n_tokens, bits_per_token,
         |  round(pow(2, bits_per_token), 2) AS ppl
         |FROM b ORDER BY doc_id""".stripMargin,
+    // mirrors TrainingPrep.chunkDocuments (chunk=32, overlap=8, stride=24)
+    "q93_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n,
+        |  CASE WHEN len(toks) <= 32 THEN 1
+        |       ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT) END AS nc
+        |  FROM d),
+        |c AS (SELECT x.doc_id, x.toks, x.n, r.i AS chunk_no
+        |  FROM x, LATERAL (SELECT unnest(range(0, nc)) AS i) r)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        |  CAST(least(32, n - chunk_no * 24) AS INT) AS n_tokens,
+        |  array_to_string(toks[CAST(chunk_no * 24 + 1 AS INT):CAST(least(chunk_no * 24 + 32, n) AS INT)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
     "q44_text_stats" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,

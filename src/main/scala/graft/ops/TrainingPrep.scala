@@ -275,6 +275,47 @@ object TrainingPrep {
       .select(col("id").as(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Overlapping fixed-size token chunks per document — the
+    * retrieval/embedding-side sibling of [[packChunks]] (RAG pipelines
+    * chunk with overlap so no answer span straddles a boundary
+    * uncovered; packing concatenates without overlap for pretraining).
+    *
+    * Chunk i covers tokens `[1 + i·stride, min(1 + i·stride + chunk-1, n)]`
+    * with `stride = chunkTokens - overlapTokens`; a doc emits
+    * `1 + ceil((n - chunk)/stride)` chunks (one when it fits whole), so
+    * the final chunk always reaches the last token and consecutive
+    * chunks share exactly `overlapTokens` tokens. A pure narrow
+    * transform + generator — per-doc state only, NO shuffle at any
+    * corpus size; chunk identity depends only on the doc's own tokens. */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 128,
+      overlapTokens: Int = 32): DataFrame = {
+    val stride = chunkTokens - overlapTokens
+    require(stride > 0,
+      s"overlapTokens ($overlapTokens) must be smaller than chunkTokens ($chunkTokens)")
+    val base = df.select(col(idCol),
+      split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nc",
+        when(col("__n") <= chunkTokens, lit(1))
+          .otherwise(ceil((col("__n") - chunkTokens).cast("double") / stride)
+            .cast("int") + 1))
+    base
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_no"))
+      .select(
+        col(idCol),
+        col("chunk_no"),
+        least(lit(chunkTokens), col("__n") - (col("chunk_no") * stride))
+          .cast("int").as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_no") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Deterministic TOKEN-BUDGET sampling per group: keep documents of
     * each `groupCol` value (source, language, ...) in a deterministic
     * pseudo-random order until the group's cumulative token count would

@@ -181,6 +181,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q90/q92: survivor selection and LM scoring are window-free aggregates") {
+    // both key their heavy state on a skewable column (cluster, term);
+    // the survivor/probability tables must be aggregates, never windows.
+    // q92's broadcast of the 1-row (N,V) totals IS a nested-loop join by
+    // construction (no key exists), so only an unbroadcast cartesian is
+    // outlawed there.
+    Seq("q90_cluster_survivors", "q92_lm_quality").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not plan a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+    }
+    assert(!plan("q90_cluster_survivors").contains("NestedLoop"),
+      "q90 must join on keys")
+  }
+
+  test("q91: shard offsets broadcast into the scan — never a sort-merge join") {
+    val p = plan("q91_token_budget")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast offsets join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offsets must not shuffle the corpus:\n$p")
+  }
+
   test("q88: span removal is window-free — a hot gram never lands in one partition") {
     // the first-occurrence table must be an aggregate (map-side
     // combinable), not a row_number window whose per-gram partition

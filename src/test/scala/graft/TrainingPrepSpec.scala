@@ -223,6 +223,29 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out2.toSeq == out.toSeq)
   }
 
+  test("chunkDocuments: overlapping chunks cover every token, last chunk reaches the end") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks → 3 chunks at 4/1
+      (2L, "a b c"),                           // fits whole → 1 chunk
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"))     // 9 toks → short tail chunk
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.chunkDocuments(df, chunkTokens = 4, overlapTokens = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 4, "t7 t8 t9 t10"),
+      (2L, 0, 3, "a b c"),
+      (3L, 0, 4, "x1 x2 x3 x4"),
+      (3L, 1, 4, "x4 x5 x6 x7"),
+      (3L, 2, 3, "x7 x8 x9")))
+    intercept[IllegalArgumentException] {
+      TrainingPrep.chunkDocuments(df, chunkTokens = 4, overlapTokens = 4)
+    }
+  }
+
   test("training-prep operators are empty-input safe") {
     val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     assert(TrainingPrep.packChunks(noDocs).count() == 0)
