@@ -533,6 +533,26 @@ object QueriesRelational {
         .orderBy("event_type")
     }),
 
+    // -- range-clustered layout: files cover disjoint ts ranges (one
+    //    range exchange at write), so the time filter's scan skips
+    //    whole files/row-groups via parquet min/max stats; SourcesSpec
+    //    pins the disjoint-range property
+    "q94_clustered_scan" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val esrc = new java.io.File(s"$dir/events.parquet")
+      val fix = "/tmp/graft-clus-" + java.lang.Long.toHexString(
+        dir.hashCode.toLong ^ esrc.length() ^ esrc.lastModified())
+      if (!new java.io.File(s"$fix/_SUCCESS").exists())
+        graft.sources.Sources.writeClustered(ev, fix, Seq("ts"))
+      s.read.parquet(fix)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+          col("ts") < lit("2024-01-20 00:00:00"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // -- pivot: long→wide with an EXPLICIT value list (letting Spark
     //    discover values adds a collect job and non-deterministic column
     //    order); decimal-exact sums cast to double like every other agg
@@ -988,6 +1008,15 @@ object QueriesRelational {
         |WHERE CAST(ts AS DATE) IN (
         |  SELECT DISTINCT CAST(ts AS DATE) FROM events
         |  WHERE day(CAST(ts AS DATE)) <= 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the clustered layout changes physical order only — the oracle is
+    // the plain range aggregation over the raw table
+    "q94_clustered_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q79_pivot" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,

@@ -101,6 +101,38 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Range-CLUSTERED path write: the third leg of the layout toolkit
+    * (bucketed = exchange-free equi-joins, partitioned = directory
+    * pruning, clustered = ROW-GROUP pruning). `repartitionByRange` on
+    * the cluster columns makes files cover disjoint value ranges and
+    * `sortWithinPartitions` orders rows inside each file, so every
+    * parquet row-group's min/max statistics become tight — a range
+    * filter on the cluster column then skips whole files and row
+    * groups at scan time instead of reading and discarding rows. Use
+    * for high-cardinality range-filtered columns (event time, ids)
+    * where directory partitioning would explode into millions of tiny
+    * dirs; the layout composes with `partitionBy` on a coarser column.
+    * Content is unchanged — only physical order moves (one range
+    * exchange at write time buys every future scan's skipping). */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    require(clusterCols.nonEmpty, "writeClustered needs at least one column")
+    val cols = clusterCols.map(df.col)
+    // numFiles > 0 pins the range-partition (≈ file) count — size it so
+    // files land near the fs block size; 0 lets Spark derive it
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged
+      .sortWithinPartitions(cols: _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Bucketed catalog write: pre-shuffles once at write time so every
     * future equi-join / aggregation on `key` between tables bucketed
     * with the SAME key and bucket count runs WITHOUT an exchange — the

@@ -161,6 +161,31 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("writeClustered: files cover disjoint ranges of the cluster column, content intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-clu").toString + "/t"
+    // scrambled insert order: clustering must impose the physical order
+    val df = spark.range(0, 1000)
+      .select((col("id") * 37 % 1000).as("k"), col("id").as("v"))
+    Sources.writeClustered(df, dir, Seq("k"), numFiles = 5)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("v")).head.getLong(0) == (0L until 1000L).sum)
+    // per-file [min, max] of k must not overlap — that disjointness is
+    // exactly what makes parquet min/max stats skip files under a range
+    // filter
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+      case _ => ()
+    }
+  }
+
   test("saltedJoin matches the plain join on a skewed key distribution") {
     import spark.implicits._
     // 1000 rows of one hot key + a tail; small side has 10 keys
