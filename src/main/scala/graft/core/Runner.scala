@@ -191,6 +191,14 @@ final class Runner(
   private def load(stage: StageSpec, df: DataFrame): Long = {
     if (stage.targetTable.isEmpty) return df.count()
     val path = targetPath(stage.targetTable)
+    // `compact: true` needs a bucketed layout — validate BEFORE the merge
+    // so a misconfigured stage fails before doing its full write, not
+    // after. First-load case: `buckets: N` means the load itself will
+    // establish the layout, so an absent target is fine there.
+    if (stage.compact)
+      require(stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path),
+        s"stage ${stage.name}: compact: true needs a bucketed target " +
+          "(set buckets: N, or point at an existing bucketed layout)")
     // `buckets: N` in the stage YAML stores the target hash-bucketed on
     // the merge key (graft.sink.BucketedMergeSink): an incremental load
     // reads and rewrites only the bucket dirs its keys touch instead of
@@ -207,15 +215,10 @@ final class Runner(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
         stage.fieldsExcludedFromUpdate)
     // `compact: true` runs the bucketed layout's small-file maintenance
-    // after the load; on a flat target it fails loudly instead of
-    // silently doing nothing (the stage author asked for maintenance
-    // that flat layouts don't have or need — full rewrites never fragment)
-    if (stage.compact) {
-      require(graft.sink.BucketedMergeSink.isBucketed(spark, path),
-        s"stage ${stage.name}: compact: true needs a bucketed target " +
-          "(set buckets: N, or point at an existing bucketed layout)")
+    // after the load (validated before the merge above — a flat target
+    // fails loudly BEFORE its write, not silently and not after)
+    if (stage.compact)
       graft.sink.BucketedMergeSink.compact(spark, path)
-    }
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

@@ -7,6 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Bucket-partitioned MERGE target: the incremental-load shape that
   * holds at 100 TB.
@@ -222,53 +223,63 @@ object BucketedMergeSink {
           else batch.columns.head // MergeSink.delete's id-column fallback
         Seq(col(idc).cast(tType(identifier)))
       }
-    val touched: Seq[Int] =
-      if (!canPrune) existing
-      else batch.select(bucketOf(routeExprs, n).as(bucketCol))
-        .distinct().collect().map(_.getInt(0)).toSeq // ≤ numBuckets rows: driver-safe
-    val touchedExisting = touched.intersect(existing)
-    if (touched.isEmpty) return
-    if (loadType == "delete" && touchedExisting.isEmpty) return // nothing to delete
+    // The touched-bucket scan below is an ACTION on the batch, and the
+    // merge/route/write then executes it again; through Runner the batch
+    // is the whole extract→transform chain, so without caching every
+    // bucketed incremental load pays that chain twice. Persist once and
+    // serve both from the cache; a caller who already persisted keeps
+    // ownership of their own cache.
+    val ownPersist = canPrune && batch.storageLevel == StorageLevel.NONE
+    if (ownPersist) batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched: Seq[Int] =
+        if (!canPrune) existing
+        else batch.select(bucketOf(routeExprs, n).as(bucketCol))
+          .distinct().collect().map(_.getInt(0)).toSeq // ≤ numBuckets rows: driver-safe
+      val touchedExisting = touched.intersect(existing)
+      if (touched.isEmpty) return
+      if (loadType == "delete" && touchedExisting.isEmpty) return // nothing to delete
 
-    // the touched slice of the target; `gbucket IN (...)` is a partition
-    // filter — untouched directories are never scanned (PartitionFilters
-    // pinned in BucketedMergeSinkSpec)
-    val target =
-      if (touchedExisting.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-      else spark.read.schema(meta.schema.add(bucketCol, "int")).parquet(path)
-        .filter(col(bucketCol).isin(touchedExisting: _*))
-        .drop(bucketCol)
+      // the touched slice of the target; `gbucket IN (...)` is a partition
+      // filter — untouched directories are never scanned (PartitionFilters
+      // pinned in BucketedMergeSinkSpec)
+      val target =
+        if (touchedExisting.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+        else spark.read.schema(meta.schema.add(bucketCol, "int")).parquet(path)
+          .filter(col(bucketCol).isin(touchedExisting: _*))
+          .drop(bucketCol)
 
-    val bcast = MergeSink.fitsBroadcast(batch)
-    val merged = loadType match {
-      case "upsert" => MergeSink.upsert(target, batch, key, excluded, broadcastBatch = bcast)
-      case "update" => MergeSink.update(target, batch, key, excluded, broadcastBatch = bcast)
-      case "delete" => MergeSink.delete(target, batch, identifier, broadcastIds = bcast)
-    }
-    // re-derive each output row's bucket from the LAYOUT key (surviving
-    // target rows keep their bucket; inserts hash to a touched one)
-    val routed = merged.withColumn(bucketCol, bucketExpr(meta.key, n))
+      val bcast = MergeSink.fitsBroadcast(batch)
+      val merged = loadType match {
+        case "upsert" => MergeSink.upsert(target, batch, key, excluded, broadcastBatch = bcast)
+        case "update" => MergeSink.update(target, batch, key, excluded, broadcastBatch = bcast)
+        case "delete" => MergeSink.delete(target, batch, identifier, broadcastIds = bcast)
+      }
+      // re-derive each output row's bucket from the LAYOUT key (surviving
+      // target rows keep their bucket; inserts hash to a touched one)
+      val routed = merged.withColumn(bucketCol, bucketExpr(meta.key, n))
 
-    val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString)
-    try routed.write.partitionBy(bucketCol).parquet(tmp.toString)
-    catch { case e: Throwable => fs.delete(tmp, true); throw e }
-    // sanity: the merge can only have produced rows in touched buckets
-    val produced = fs.listStatus(tmp).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(bucketCol + "="))
-      .map(_.stripPrefix(bucketCol + "=").toInt)
-    val stray = produced.filterNot(touched.contains)
-    if (stray.nonEmpty) {
+      val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString)
+      try routed.write.partitionBy(bucketCol).parquet(tmp.toString)
+      catch { case e: Throwable => fs.delete(tmp, true); throw e }
+      // sanity: the merge can only have produced rows in touched buckets
+      val produced = fs.listStatus(tmp).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(bucketCol + "="))
+        .map(_.stripPrefix(bucketCol + "=").toInt)
+      val stray = produced.filterNot(touched.contains)
+      if (stray.nonEmpty) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"merge produced rows in untouched buckets ${stray.mkString(",")} — routing bug")
+      }
+      val relevant = if (loadType == "delete") touchedExisting else touched
+      relevant.foreach { b =>
+        swapBucketDir(fs,
+          new Path(tmp, s"$bucketCol=$b"), new Path(path, s"$bucketCol=$b"))
+      }
       fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"merge produced rows in untouched buckets ${stray.mkString(",")} — routing bug")
-    }
-    val relevant = if (loadType == "delete") touchedExisting else touched
-    relevant.foreach { b =>
-      swapBucketDir(fs,
-        new Path(tmp, s"$bucketCol=$b"), new Path(path, s"$bucketCol=$b"))
-    }
-    fs.delete(tmp, true)
+    } finally if (ownPersist) batch.unpersist(false)
   }
 
   /** Compact fragmented bucket directories down to one file each.

@@ -148,13 +148,50 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       assert(n == 1, s"${b.getName}: expected one data file after compact, got $n")
     }
     assert(spark.table("tgt_cmp").count() == 199)
-    // compact on a FLAT target is a config error, not a silent no-op
+    // compact on a FLAT target is a config error, not a silent no-op —
+    // and it must fail BEFORE the load, so the misconfigured stage does
+    // not do its full write first (ADVICE r8)
+    val root2 = Files.createTempDirectory("graft-runner-c2").toString
     val e = intercept[IllegalArgumentException] {
       new Runner(spark, PipelineSpec.fromYaml(
-        yaml("    compact: true", "")), Map.empty,
-        Files.createTempDirectory("graft-runner-c2").toString).run("p")
+        yaml("    compact: true", "")), Map.empty, root2).run("p")
     }
     assert(e.getMessage.contains("bucketed target"))
+    assert(!new java.io.File(s"$root2/tgt_cmp").exists(),
+      "a compact-on-flat misconfiguration must fail before writing the target")
+  }
+
+  test("bucketed incremental load executes the stage plan exactly once " +
+    "(batch persisted across touched-bucket scan + merge)") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .createOrReplaceTempView("src")
+    val root = Files.createTempDirectory("graft-runner-1x").toString
+    val by =
+      s"""pypelines:
+         |  p: [s1]
+         |pypes:
+         |  s1:
+         |    extract_query: "SELECT id, v FROM src WHERE id <= {maxid}"
+         |    transformers: [graft.CountingTransformer]
+         |    target_table: tgt_1x
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(by),
+      placeholders = Map("maxid" -> "3"), targetRoot = root)
+    ExecProbe.rowsSeen.set(0L)
+    runner.run("p") // create path: one write, no touched-bucket scan
+    assert(ExecProbe.rowsSeen.get() == 3L,
+      s"create-path plan ran ${ExecProbe.rowsSeen.get()} row-evaluations for 3 rows")
+    // incremental path: the touched-bucket scan is an action on the batch
+    // and the merge executes it again — the sink must serve the second
+    // use from its persist, not re-run the extract+transform chain
+    ExecProbe.rowsSeen.set(0L)
+    runner.run("p", Map("maxid" -> "4"))
+    assert(ExecProbe.rowsSeen.get() == 4L,
+      s"incremental plan ran ${ExecProbe.rowsSeen.get()} row-evaluations for 4 rows — " +
+        "the bucketed merge re-executed the extract+transform chain")
   }
 
   test("pipeline runs end-to-end: hydrated extract, transformer chain, upsert load") {
