@@ -228,6 +228,71 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact Jaccard pairs with AT LEAST ONE endpoint in a deterministic
+    * idHash probe slice (`xxhash64(id) % probeDenom == 0`), uncapped —
+    * the scale-bounded ground truth for recall gates (q85).
+    *
+    * Why probe-side (one-sided) sampling and not a two-sided doc sample:
+    * near-dup pairs grow LINEARLY with the corpus, so a uniform slice of
+    * s docs retains only s²/n of them — the gate goes vacuous exactly as
+    * data grows. A fixed-size probe slice instead measures "were the
+    * probes' true partners found?", whose expected pair count is
+    * scale-invariant (probes × pairs-per-doc).
+    *
+    * Why it scales where [[jaccardPairs]] uncapped cannot: the pair
+    * generator is a probe-postings ⋈ corpus-postings JOIN on shingle, so
+    * cost is Σ_sh df_probe(sh)·df(sh) ≤ |probe docs| · Σ df — linear in
+    * the corpus — instead of the grouped generator's O(Σ df²), and no
+    * full posting list is ever buffered (no CappedCollect; a hot shingle
+    * is just a skewed join key, which AQE splits). The probe side is
+    * tiny (~probe docs × shingles/doc) so AQE broadcasts it and the
+    * corpus is scanned once per side.
+    *
+    * `probeDenom = 1` makes every doc a probe and reproduces
+    * [[jaccardPairs]] with `maxDocFreq = Long.MaxValue, relativeCap =
+    * false` exactly (pinned in SketchRecallSpec). */
+  def jaccardProbePairs(
+      df: DataFrame,
+      threshold: Double,
+      probeDenom: Long,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(probeDenom >= 1, s"probeDenom must be >= 1, got $probeDenom")
+    def posts(frame: DataFrame, suffix: String) =
+      frame
+        .select(col("id"), size(col("sh")).as("setsize"),
+          explode_outer(col("sh")).as("shingle"))
+        .filter(col("shingle").isNotNull)
+        .select(col("id").as(s"id_$suffix"),
+          col("setsize").as(s"size_$suffix"), col("shingle"))
+    val shingled = widen(df).select(col(idCol).as("id"),
+      shingles(normalize(col(textCol)), k).as("sh"))
+    val corpus = posts(shingled, "c")
+    val probes = posts(
+      shingled.filter(pmod(xxhash64(col("id")), lit(probeDenom)) === 0), "p")
+    probes.join(corpus, "shingle")
+      .filter(col("id_p") =!= col("id_c"))
+      // each unordered pair exactly once: a probe-nonprobe pair has one
+      // generation (probe side fixed); a probe-probe pair has two — keep
+      // the id_p < id_c orientation
+      .filter(pmod(xxhash64(col("id_c")), lit(probeDenom)) =!= 0 ||
+        col("id_p") < col("id_c"))
+      .groupBy(
+        least(col("id_p"), col("id_c")).as("id_a"),
+        greatest(col("id_p"), col("id_c")).as("id_b"),
+        when(col("id_p") < col("id_c"), col("size_p"))
+          .otherwise(col("size_c")).as("size_a"),
+        when(col("id_p") < col("id_c"), col("size_c"))
+          .otherwise(col("size_p")).as("size_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   private val P = 1000000007L

@@ -122,6 +122,42 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Exact cosine pairs with AT LEAST ONE endpoint in a deterministic
+    * idHash probe slice (`xxhash64(id) % probeDenom == 0`) — the
+    * scale-bounded ground truth for the embedding recall gate (q85),
+    * mirroring [[graft.ops.Dedup.jaccardProbePairs]]: a fixed-size probe
+    * slice keeps the expected pair count scale-invariant (pairs grow
+    * linearly with the corpus, so a two-sided sample thins them
+    * quadratically), and the probe side broadcasts so the corpus is
+    * scanned ONCE — O(probes · n) instead of [[cosineDupPairs]]'s
+    * O(n²). `probeDenom = 1` reproduces [[cosineDupPairs]] exactly
+    * (pinned in SketchRecallSpec). */
+  def cosineProbePairs(
+      df: DataFrame,
+      threshold: Double,
+      probeDenom: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(probeDenom >= 1, s"probeDenom must be >= 1, got $probeDenom")
+    val dot = graft.functions.VecDot.dot _
+    val c = Dedup.widen(df)
+      .select(col(idCol).as("id_c"), col(vecCol).as("vc"))
+      .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
+    val p = broadcast(df
+      .filter(pmod(xxhash64(col(idCol)), lit(probeDenom)) === 0)
+      .select(col(idCol).as("id_p"), col(vecCol).as("vp"))
+      .withColumn("np", sqrt(dot(col("vp"), col("vp")))))
+    c.join(p, col("id_p") =!= col("id_c") &&
+        // unordered pair once: probe-probe pairs keep id_p < id_c
+        (pmod(xxhash64(col("id_c")), lit(probeDenom)) =!= 0 ||
+          col("id_p") < col("id_c")))
+      .withColumn("cos",
+        round(dot(col("vp"), col("vc")) / (col("np") * col("nc")), 4))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_p"), col("id_c")).as("id_a"),
+        greatest(col("id_p"), col("id_c")).as("id_b"), col("cos"))
+  }
+
   /** Embedding near-dup pairs at scale: LSH-bucket the corpus (L tables
     * of H-bit hyperplane signatures), generate candidate pairs per
     * bucket by grouped explode (bounded by the bucket-size cap, never a

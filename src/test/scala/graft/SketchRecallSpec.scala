@@ -19,4 +19,41 @@ class SketchRecallSpec extends AnyFunSuite with SparkTestBase {
     val bad = stats.filter(r => r.getDouble(1) < r.getDouble(2))
     assert(bad.isEmpty, s"recall below floor: ${bad.mkString(", ")}")
   }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("jaccardProbePairs(probeDenom=1) reproduces uncapped jaccardPairs exactly") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = pairSet(graft.ops.Dedup.jaccardPairs(docs, threshold = 0.3,
+      maxDocFreq = Long.MaxValue, relativeCap = false))
+    val probed = pairSet(graft.ops.Dedup.jaccardProbePairs(docs,
+      threshold = 0.3, probeDenom = 1))
+    assert(full.nonEmpty)
+    assert(probed == full)
+  }
+
+  test("cosineProbePairs(probeDenom=1) reproduces cosineDupPairs exactly") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val full = pairSet(graft.ops.Similarity.cosineDupPairs(e, threshold = 0.4))
+    val probed = pairSet(graft.ops.Similarity.cosineProbePairs(e,
+      threshold = 0.4, probeDenom = 1))
+    assert(full.nonEmpty)
+    assert(probed == full)
+  }
+
+  test("probeDenom>1 yields exactly the full pairs touching the probe slice") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val d = 4L
+    val full = graft.ops.Dedup.jaccardPairs(docs, threshold = 0.3,
+      maxDocFreq = Long.MaxValue, relativeCap = false)
+    val expected = pairSet(full.filter(
+      pmod(xxhash64(col("id_a")), lit(d)) === 0 ||
+        pmod(xxhash64(col("id_b")), lit(d)) === 0))
+    val probed = pairSet(graft.ops.Dedup.jaccardProbePairs(docs,
+      threshold = 0.3, probeDenom = d))
+    assert(expected.nonEmpty, "probe slice at denom=4 should touch some pairs")
+    assert(probed == expected)
+  }
 }
