@@ -3,46 +3,55 @@ package graft.sink
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.storage.StorageLevel
 
-/** Bucket-partitioned MERGE target: the incremental-load shape that
-  * holds at 100 TB.
+/** Bucket-partitioned MERGE target with MANIFEST commits: the
+  * incremental-load shape that holds at 100 TB, with all-or-nothing
+  * batch visibility.
   *
   * [[MergeSink.mergeIntoParquet]] reads and atomically rewrites the
   * ENTIRE parquet target per batch — semantically right (the reference's
   * own per-batch merge loop, Pype.py:97-148) but O(target) per batch.
-  * This sink stores the target hash-bucketed on the merge key as a
-  * Hive-style partition layout
+  * This sink hash-buckets the target on the merge key so each batch
+  * (1) routes its rows to their buckets, (2) reads ONLY the touched
+  * buckets, (3) runs the exact same [[MergeSink]] upsert/update/delete
+  * semantics against that slice, and (4) publishes only those buckets.
+  * A small batch against a 100 TB target touching k of n buckets costs
+  * O(k/n · target), not O(target).
+  *
+  * Physical layout (v2 — the lakehouse-table shape in miniature):
   *
   * {{{
-  *   path/_graft_buckets        <- layout metadata (bucket count, key, schema)
-  *   path/gbucket=0/  part-....parquet
-  *   path/gbucket=1/  part-....parquet
-  *   ...
+  *   path/_graft_buckets                    <- bucket count, key, schema
+  *   path/_graft_manifest/v000000001        <- bucket -> data-dir map, versioned
+  *   path/data/c<commit>/gbucket=0/ part-*.parquet
+  *   path/data/c<commit>/gbucket=7/ ...
   * }}}
   *
-  * so each batch (1) routes its rows to their buckets with the same hash
-  * the layout was written with, (2) reads ONLY the touched buckets —
-  * `gbucket IN (...)` is a partition filter, so Spark never lists or
-  * scans the untouched directories — (3) runs the exact same
-  * [[MergeSink]] upsert/update/delete semantics against that slice, and
-  * (4) swaps only the touched bucket directories. A small batch against
-  * a 100 TB target touching k of n buckets costs O(k/n · target), not
-  * O(target); the untouched directories are not read, written, or even
-  * stat'ed.
+  * Data directories are IMMUTABLE once written: a batch writes its
+  * touched buckets under a fresh `data/c<uuid>/` dir, then commits by
+  * creating the next manifest version (`fs.create(..., overwrite =
+  * false)` — one atomic file creation) that remaps the touched buckets
+  * to the new dir. Readers resolve the highest manifest version into
+  * explicit leaf-dir paths, so
   *
-  * Commit granularity, stated honestly: each bucket-directory swap is
-  * atomic (same temp-rename dance as [[MergeSink.writeAtomic]]) but the
-  * batch as a whole commits bucket-by-bucket — plain parquet has no
-  * multi-directory transaction. A crash mid-commit leaves some buckets
-  * merged and some not; because upsert/update/delete are idempotent
-  * (MergeSinkPropertySpec), re-running the same batch converges the
-  * target, which is the same at-least-once contract the streaming layer
-  * already assumes for micro-batch replay.
+  *   - a batch is ALL-OR-NOTHING visible: before the manifest file
+  *     exists, readers resolve the old mapping (the new data dir is an
+  *     invisible orphan); after, the new one. There is no intermediate
+  *     state, unlike the v1 bucket-at-a-time directory swap, and no
+  *     rename of live data at all;
+  *   - a crash mid-write leaves only an orphan `data/c*` dir, GC'd at
+  *     the start of the next merge/compact (single-writer contract —
+  *     concurrent WRITERS are out of scope, as they are for the flat
+  *     sink; a concurrent reader holding a superseded manifest may find
+  *     its dirs GC'd and fail loudly, never read mixed data);
+  *   - bucket pruning is PATH-level: a touched-slice or keyed read
+  *     simply never lists the other buckets' directories — stronger
+  *     than a partition filter, which still enumerates the layout.
   *
   * The bucket count is fixed at creation (changing it moves every row);
   * size it so one bucket of the FULL-GROWN target fits comfortably in a
@@ -50,11 +59,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object BucketedMergeSink {
 
-  /** Partition-column name of the layout. Reserved: inputs may not
-    * carry a column with this name. */
+  /** Partition-column name used when WRITING commit dirs (and reserved
+    * in inputs); reads resolve leaf dirs and re-derive it only where
+    * needed. */
   val bucketCol = "gbucket"
 
   private val metaFile = "_graft_buckets" // "_" prefix: invisible to Spark's file index
+  private val manifestDir = "_graft_manifest"
+  private val dataDir = "data"
 
   final case class Meta(numBuckets: Int, key: Seq[String], schema: StructType)
 
@@ -73,6 +85,9 @@ object BucketedMergeSink {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   // --- metadata: one line per field; the schema travels as StructType
   // JSON (stable across Spark versions, unlike DDL round-trips of
   // exotic types). Column names are base64'd per element so a key
@@ -82,7 +97,8 @@ object BucketedMergeSink {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val enc = java.util.Base64.getEncoder
     val body =
-      s"numBuckets=${meta.numBuckets}\n" +
+      "layout=2\n" +
+        s"numBuckets=${meta.numBuckets}\n" +
         s"key=${meta.key.map(k => enc.encodeToString(k.getBytes(StandardCharsets.UTF_8))).mkString(",")}\n" +
         s"schema=${meta.schema.json}\n"
     val out = fs.create(p, true)
@@ -90,19 +106,13 @@ object BucketedMergeSink {
   }
 
   def readMeta(spark: SparkSession, path: String): Meta = {
-    val p = new Path(path, metaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val body = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    val body = readSmallFile(fsOf(spark, path), new Path(path, metaFile))
     val fields = body.linesIterator.filter(_.nonEmpty)
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
+    require(fields.getOrElse("layout", "1") == "2",
+      s"$path holds a pre-manifest (v1) bucketed layout — recreate the " +
+        "target (layouts are rebuilt per run; v1 is not readable by v2)")
     val dec = java.util.Base64.getDecoder
     Meta(
       fields("numBuckets").toInt,
@@ -114,48 +124,148 @@ object BucketedMergeSink {
       DataType.fromJson(fields("schema")).asInstanceOf[StructType])
   }
 
-  /** The target as a DataFrame in its logical schema (no bucket column).
-    * An empty target (all buckets deleted) still has a schema — it is
-    * part of the layout metadata. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val meta = readMeta(spark, path)
-    if (listBuckets(spark, path).isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    else spark.read.schema(meta.schema.add(bucketCol, "int"))
-      .parquet(path).drop(bucketCol)
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
-  private def listBuckets(spark: SparkSession, path: String): Seq[Int] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(bucketCol + "="))
-      .map(_.getPath.getName.stripPrefix(bucketCol + "=").toInt)
+  // ----------------------------------------------------------- manifest
+
+  /** Current bucket -> commit-dir mapping of the target (empty for an
+    * empty target) — the introspection surface for tests and tooling. */
+  def manifest(spark: SparkSession, path: String): Map[Int, String] =
+    readManifest(spark, path)
+
+  /** Absolute path of the live data dir for `bucket`, if it holds rows. */
+  def bucketDataDir(spark: SparkSession, path: String, bucket: Int): Option[String] =
+    readManifest(spark, path).get(bucket)
+      .map(c => leafDir(path, c, bucket).toString)
+
+  /** bucket -> commit-dir name (e.g. 3 -> "c1f2..."), empty for an
+    * empty target. */
+  private[sink] def readManifest(spark: SparkSession, path: String): Map[Int, String] = {
+    val fs = fsOf(spark, path)
+    currentManifestFile(fs, path) match {
+      case None => Map.empty
+      case Some(p) =>
+        readSmallFile(fs, p).linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(b, d) = l.split("\t", 2)
+          b.toInt -> d
+        }.toMap
+    }
   }
 
-  /** Atomically replace ONE bucket directory with the freshly-written
-    * version at `src` (absent `src` = the bucket merged to zero rows →
-    * the directory is removed). */
-  private def swapBucketDir(
-      fs: org.apache.hadoop.fs.FileSystem, src: Path, dst: Path): Unit = {
-    if (!fs.exists(src)) { fs.delete(dst, true); return }
-    if (fs.exists(dst)) {
-      val old = new Path(dst.toString + ".old-" + UUID.randomUUID().toString)
-      require(fs.rename(dst, old), s"could not stage out old $dst")
-      if (!fs.rename(src, dst)) {
-        fs.rename(old, dst) // best-effort rollback, as in writeAtomic
-        throw new IllegalStateException(s"could not commit $dst (rolled back)")
+  private def currentManifestFile(fs: FileSystem, path: String): Option[Path] = {
+    val dir = new Path(path, manifestDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .sorted // v%09d: lexicographic == numeric
+      .lastOption
+      .map(new Path(dir, _))
+  }
+
+  /** Publish `mapping` as the next manifest version. The single
+    * `create(overwrite = false)` is the batch's atomic commit point; a
+    * second writer racing to the same version fails here, loudly. */
+  private def commitManifest(
+      fs: FileSystem, path: String, mapping: Map[Int, String]): Unit = {
+    val dir = new Path(path, manifestDir)
+    val next = currentManifestFile(fs, path)
+      .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(1L)
+    val p = new Path(dir, f"v$next%09d")
+    val body = mapping.toSeq.sorted
+      .map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n")
+    val out = fs.create(p, false) // atomic commit: fails if it exists
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // retain only the committed version: superseded manifests point at
+    // dirs the GC below may remove, so leaving them readable would trade
+    // "old snapshot" for "failing snapshot" without a retention contract
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(q => q.getName.startsWith("v") && q.getName != p.getName)
+      .foreach(fs.delete(_, false))
+  }
+
+  /** Remove data dirs not referenced by the current manifest: leftovers
+    * of a crash between data write and manifest commit, and bucket dirs
+    * superseded by later commits. Runs at the START of each write (so a
+    * crashed batch's orphans die on replay) and after each commit (so
+    * superseded data doesn't accumulate). Single-writer contract. */
+  private def gcUnreferenced(fs: FileSystem, path: String, mapping: Map[Int, String]): Unit = {
+    val dd = new Path(path, dataDir)
+    if (!fs.exists(dd)) return
+    val live: Map[String, Set[Int]] =
+      mapping.groupBy(_._2).map { case (d, m) => d -> m.keySet }
+    fs.listStatus(dd).toSeq.filter(_.isDirectory).foreach { c =>
+      val name = c.getPath.getName
+      live.get(name) match {
+        case None => fs.delete(c.getPath, true) // whole commit superseded/orphaned
+        case Some(liveBuckets) =>
+          fs.listStatus(c.getPath).toSeq.filter(_.isDirectory)
+            .filter(_.getPath.getName.startsWith(bucketCol + "="))
+            .filterNot(s => liveBuckets.contains(
+              s.getPath.getName.stripPrefix(bucketCol + "=").toInt))
+            .foreach(s => fs.delete(s.getPath, true))
       }
-      fs.delete(old, true)
-    } else require(fs.rename(src, dst), s"could not commit $dst")
+    }
   }
+
+  private def leafDir(path: String, commit: String, bucket: Int): Path =
+    new Path(new Path(new Path(path, dataDir), commit), s"$bucketCol=$bucket")
+
+  // --------------------------------------------------------------- read
+
+  /** The whole target as a DataFrame in its logical schema (no bucket
+    * column). An empty target still has a schema — it is part of the
+    * layout metadata. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readBuckets(spark, path, readManifest(spark, path).keys.toSeq)
+
+  /** The given buckets of the target, resolved through the manifest into
+    * explicit leaf dirs — untouched buckets are never even listed
+    * (path-level pruning; pinned in BucketedMergeSinkSpec). */
+  def readBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame = {
+    val meta = readMeta(spark, path)
+    val mapping = readManifest(spark, path)
+    val dirs = buckets.distinct.sorted.flatMap(b =>
+      mapping.get(b).map(c => leafDir(path, c, b).toString))
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(dirs: _*)
+  }
+
+  /** Point-lookup / keyed read: prune to the buckets the given key rows
+    * hash to — the read-side twin of the write-side pruning. `keys` must
+    * carry the layout's key columns (values are cast to the target
+    * types before hashing, same as the merge's routing); the distinct
+    * bucket set is ≤ numBuckets, so the collect is driver-safe. */
+  def readForKeys(spark: SparkSession, path: String, keys: DataFrame): DataFrame = {
+    val meta = readMeta(spark, path)
+    val tType = meta.schema.fields.map(f => f.name -> f.dataType).toMap
+    meta.key.foreach(k => require(keys.columns.contains(k),
+      s"keyed read needs layout key column '$k' (got ${keys.columns.mkString(",")})"))
+    val routeExprs = meta.key.map(k => col(k).cast(tType(k)))
+    val buckets = keys
+      .select(bucketOf(routeExprs, meta.numBuckets).as(bucketCol))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    readBuckets(spark, path, buckets)
+  }
+
+  // -------------------------------------------------------------- merge
 
   /** Merge `batch` into the bucketed target at `path`, creating the
     * layout on first use. Same semantics as
     * [[MergeSink.mergeIntoParquet]] (it routes through the same
     * upsert/update/delete), different physical cost: only the buckets
-    * the batch's keys hash to are read and rewritten.
+    * the batch's keys hash to are read and rewritten, and the batch
+    * becomes visible atomically at the manifest commit.
     *
     * `numBuckets` is only consulted at creation; later calls read it
     * from the layout metadata. Upsert/update must use the layout's key
@@ -177,7 +287,7 @@ object BucketedMergeSink {
       s"unknown load type: $loadType")
     require(!batch.columns.contains(bucketCol),
       s"'$bucketCol' is the reserved bucket column of the layout — rename it in the batch")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
 
     if (!isBucketed(spark, path)) {
       require(!fs.exists(new Path(path)) || fs.listStatus(new Path(path)).isEmpty,
@@ -205,7 +315,10 @@ object BucketedMergeSink {
         s"bucketed target $path is keyed on ${meta.key.mkString(",")} — " +
           s"cannot ${loadType} on ${key.mkString(",")} (rows are routed by the layout key)")
 
-    val existing = listBuckets(spark, path)
+    val mapping = readManifest(spark, path)
+    // clean up any previous crash's orphan data dirs before writing ours
+    gcUnreferenced(fs, path, mapping)
+    val existing = mapping.keys.toSeq
     // which buckets does this batch touch? a delete prunes when the
     // TARGET column it matches is the layout key (a target row with
     // key=v lives in bucket hash(v), whatever the id column in the
@@ -240,15 +353,8 @@ object BucketedMergeSink {
       if (touched.isEmpty) return
       if (loadType == "delete" && touchedExisting.isEmpty) return // nothing to delete
 
-      // the touched slice of the target; `gbucket IN (...)` is a partition
-      // filter — untouched directories are never scanned (PartitionFilters
-      // pinned in BucketedMergeSinkSpec)
-      val target =
-        if (touchedExisting.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-        else spark.read.schema(meta.schema.add(bucketCol, "int")).parquet(path)
-          .filter(col(bucketCol).isin(touchedExisting: _*))
-          .drop(bucketCol)
+      // the touched slice of the target: only its leaf dirs are listed
+      val target = readBuckets(spark, path, touchedExisting)
 
       val bcast = MergeSink.fitsBroadcast(batch)
       val merged = loadType match {
@@ -260,27 +366,32 @@ object BucketedMergeSink {
       // target rows keep their bucket; inserts hash to a touched one)
       val routed = merged.withColumn(bucketCol, bucketExpr(meta.key, n))
 
-      val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString)
-      try routed.write.partitionBy(bucketCol).parquet(tmp.toString)
-      catch { case e: Throwable => fs.delete(tmp, true); throw e }
+      val commit = "c" + UUID.randomUUID().toString
+      val commitPath = new Path(new Path(path, dataDir), commit)
+      try routed.write.partitionBy(bucketCol).parquet(commitPath.toString)
+      catch { case e: Throwable => fs.delete(commitPath, true); throw e }
       // sanity: the merge can only have produced rows in touched buckets
-      val produced = fs.listStatus(tmp).toSeq.map(_.getPath.getName)
+      val produced = fs.listStatus(commitPath).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(bucketCol + "="))
         .map(_.stripPrefix(bucketCol + "=").toInt)
       val stray = produced.filterNot(touched.contains)
       if (stray.nonEmpty) {
-        fs.delete(tmp, true)
+        fs.delete(commitPath, true)
         throw new IllegalStateException(
           s"merge produced rows in untouched buckets ${stray.mkString(",")} — routing bug")
       }
-      val relevant = if (loadType == "delete") touchedExisting else touched
-      relevant.foreach { b =>
-        swapBucketDir(fs,
-          new Path(tmp, s"$bucketCol=$b"), new Path(path, s"$bucketCol=$b"))
-      }
-      fs.delete(tmp, true)
+      // new mapping: touched buckets move to this commit (those merged
+      // to zero rows simply drop out); for a delete, buckets the batch
+      // hashes to but that never existed stay absent
+      val rewritten = (if (loadType == "delete") touchedExisting else touched).toSet
+      val newMapping = (mapping -- rewritten) ++
+        produced.filter(rewritten.contains).map(_ -> commit)
+      commitManifest(fs, path, newMapping) // <- the batch becomes visible HERE
+      gcUnreferenced(fs, path, newMapping)
     } finally if (ownPersist) batch.unpersist(false)
   }
+
+  // ------------------------------------------------------------ compact
 
   /** Compact fragmented bucket directories down to one file each.
     *
@@ -294,38 +405,59 @@ object BucketedMergeSink {
     * compaction.
     *
     * Buckets with more than `maxFiles` data files are rewritten as ONE
-    * job — read with the `gbucket IN (...)` partition filter,
-    * `repartition($"gbucket")` so each bucket lands in exactly one task
-    * (→ exactly one output file per bucket), then the same atomic
-    * per-directory swap the merge path uses. Untouched buckets are not
-    * read or listed beyond the file count. Content is byte-for-byte
-    * row-identical; a crash mid-swap leaves each bucket either old or
-    * new, both complete. Returns the compacted bucket ids. */
+    * job into a fresh commit dir — `repartition($"gbucket")` so each
+    * bucket lands in exactly one task (→ exactly one output file per
+    * bucket) — and published with the same atomic manifest commit as a
+    * merge: readers see the target fully fragmented or fully compacted,
+    * never half. Content is row-identical. Fragmentation discovery
+    * lists only referenced leaf dirs, in parallel across a bounded
+    * thread pool — one driver-side listing per bucket was a serial
+    * bottleneck at 1k+ buckets. Returns the compacted bucket ids. */
   def compact(
       spark: SparkSession,
       path: String,
       maxFiles: Int = 1): Seq[Int] = {
-    val meta = readMeta(spark, path)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fragmented = listBuckets(spark, path).filter { b =>
-      fs.listStatus(new Path(path, s"$bucketCol=$b"))
+    val fs = fsOf(spark, path)
+    val mapping = readManifest(spark, path)
+    gcUnreferenced(fs, path, mapping)
+    val fragmented = listParallel(mapping.toSeq) { case (b, c) =>
+      val files = fs.listStatus(leafDir(path, c, b))
         .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".")) > maxFiles // "."-files: local-fs .crc checksums
-    }.sorted
+          !s.getPath.getName.startsWith(".")) // "."-files: local-fs .crc checksums
+      if (files > maxFiles) Some(b) else None
+    }.flatten.sorted
     if (fragmented.isEmpty) return Nil
-    val slice = spark.read.schema(meta.schema.add(bucketCol, "int")).parquet(path)
-      .filter(col(bucketCol).isin(fragmented: _*))
-    val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString)
+    val meta = readMeta(spark, path)
+    val slice = readBuckets(spark, path, fragmented)
+      .withColumn(bucketCol, bucketExpr(meta.key, meta.numBuckets))
+    val commit = "c" + UUID.randomUUID().toString
+    val commitPath = new Path(new Path(path, dataDir), commit)
     try slice.repartition(col(bucketCol))
-      .write.partitionBy(bucketCol).parquet(tmp.toString)
-    catch { case e: Throwable => fs.delete(tmp, true); throw e }
-    fragmented.foreach { b =>
-      swapBucketDir(fs,
-        new Path(tmp, s"$bucketCol=$b"), new Path(path, s"$bucketCol=$b"))
-    }
-    fs.delete(tmp, true)
+      .write.partitionBy(bucketCol).parquet(commitPath.toString)
+    catch { case e: Throwable => fs.delete(commitPath, true); throw e }
+    val newMapping = mapping ++ fragmented.map(_ -> commit)
+    commitManifest(fs, path, newMapping)
+    gcUnreferenced(fs, path, newMapping)
     fragmented
   }
+
+  /** Driver-side parallel map over per-bucket filesystem metadata calls:
+    * object stores serve ~tens of listings/s per thread, so a serial
+    * loop over 10k buckets takes minutes while 32 threads take seconds.
+    * Bounded pool; propagates the first failure. */
+  private def listParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.sizeIs <= 4) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, items.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(items.map(a =>
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }).asJava)
+        .asScala.toSeq.map(_.get())
+    } finally pool.shutdown()
+  }
+
+  // ------------------------------------------------------------- create
 
   private def createTarget(
       spark: SparkSession,
@@ -337,12 +469,20 @@ object BucketedMergeSink {
       s"key column '$k' missing from batch (${rows.columns.mkString(",")})"))
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString)
+    // meta FIRST: from here the target exists (empty) and every later
+    // state is consistent — a crash before the manifest commit leaves an
+    // established empty layout plus an invisible orphan, and replaying
+    // the same batch converges (meta-last would instead strand a
+    // half-created path that the flat-layout guard then refuses forever)
+    writeMeta(spark, path, Meta(numBuckets, key, rows.schema))
+    val commit = "c" + UUID.randomUUID().toString
+    val commitPath = new Path(new Path(path, dataDir), commit)
     try rows.withColumn(bucketCol, bucketExpr(key, numBuckets))
-      .write.partitionBy(bucketCol).parquet(tmp.toString)
-    catch { case e: Throwable => fs.delete(tmp, true); throw e }
-    writeMeta(spark, tmp.toString, Meta(numBuckets, key, rows.schema))
-    if (fs.exists(dst)) fs.delete(dst, true) // empty dir (guarded above)
-    require(fs.rename(tmp, dst), s"could not commit $path")
+      .write.partitionBy(bucketCol).parquet(commitPath.toString)
+    catch { case e: Throwable => fs.delete(commitPath, true); throw e }
+    val buckets = fs.listStatus(commitPath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(bucketCol + "="))
+      .map(_.stripPrefix(bucketCol + "=").toInt)
+    commitManifest(fs, path, buckets.map(_ -> commit).toMap)
   }
 }

@@ -9,10 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sink.{BucketedMergeSink, MergeSink}
 
-/** Bucket-partitioned merge targets: identical semantics to the flat
-  * [[MergeSink]] path, but a batch reads and rewrites ONLY the buckets
-  * it touches — the claim pinned here by directory listings and mtimes,
-  * not just by results. */
+/** Bucket-partitioned merge targets with manifest commits: identical
+  * semantics to the flat [[MergeSink]] path, but a batch reads and
+  * rewrites ONLY the buckets it touches, and becomes visible
+  * all-or-nothing at the manifest commit — both claims pinned here by
+  * directory listings, manifest diffs, and a simulated crash, not just
+  * by results. */
 class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
@@ -20,13 +22,14 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
   private def tmpTarget(): String =
     Files.createTempDirectory("graft-bms").toString + "/t"
 
-  /** Every data file under a bucket dir as relPath -> (size, mtime). */
-  private def bucketState(path: String, bucket: Int): Map[String, (Long, Long)] = {
-    val dir = new File(path, s"${BucketedMergeSink.bucketCol}=$bucket")
-    if (!dir.isDirectory) Map.empty
-    else dir.listFiles().filter(_.isFile)
-      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
-  }
+  /** Every data file of a bucket's LIVE dir as name -> (size, mtime). */
+  private def bucketState(path: String, bucket: Int): Map[String, (Long, Long)] =
+    BucketedMergeSink.bucketDataDir(spark, path, bucket) match {
+      case None => Map.empty
+      case Some(d) =>
+        new File(d).listFiles().filter(_.isFile)
+          .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
 
   private def seed(n: Int): DataFrame =
     (1 to n).map(i => (i.toLong, s"name$i", i * 10L)).toDF("id", "name", "v")
@@ -57,11 +60,12 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
       MergeSink.delete(afterUpdate, dels, "id").orderBy("id"))
   }
 
-  test("a single-key batch rewrites exactly ONE bucket directory") {
+  test("a single-key batch rewrites exactly ONE bucket (manifest + files)") {
     val path = tmpTarget()
     val n = 4
     BucketedMergeSink.merge(spark, seed(100), path, "upsert", Seq("id"), numBuckets = n)
     val before = (0 until n).map(b => b -> bucketState(path, b)).toMap
+    val manBefore = BucketedMergeSink.manifest(spark, path)
     assert(before.values.forall(_.nonEmpty), "seed should populate all 4 buckets")
 
     val oneKey = Seq((42L, "FORTY-TWO", 0L)).toDF("id", "name", "v")
@@ -70,30 +74,53 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     BucketedMergeSink.merge(spark, oneKey, path, "upsert", Seq("id"))
 
     val after = (0 until n).map(b => b -> bucketState(path, b)).toMap
+    val manAfter = BucketedMergeSink.manifest(spark, path)
     (0 until n).filterNot(_ == hit).foreach { b =>
+      assert(manAfter(b) == manBefore(b), s"untouched bucket $b was remapped")
       assert(after(b) == before(b),
         s"untouched bucket $b was rewritten (files/mtimes changed)")
     }
-    assert(after(hit) != before(hit), s"touched bucket $hit should be rewritten")
+    assert(manAfter(hit) != manBefore(hit), s"touched bucket $hit should move commits")
     // and the merge actually landed
     assert(BucketedMergeSink.read(spark, path)
       .filter(col("id") === 42L).select("name").as[String].head() == "FORTY-TWO")
   }
 
-  test("the touched-bucket read is partition-pruned (PartitionFilters on gbucket)") {
+  test("bucket reads are PATH-pruned: only the requested buckets' dirs are scanned") {
     val path = tmpTarget()
     BucketedMergeSink.merge(spark, seed(100), path, "upsert", Seq("id"), numBuckets = 8)
-    val meta = BucketedMergeSink.readMeta(spark, path)
-    val sliced = spark.read
-      .schema(meta.schema.add(BucketedMergeSink.bucketCol, "int"))
-      .parquet(path)
-      .filter(col(BucketedMergeSink.bucketCol).isin(3))
-    val plan = sliced.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains(BucketedMergeSink.bucketCol),
-      s"expected a partition filter on the bucket column:\n$plan")
+    val sliced = BucketedMergeSink.readBuckets(spark, path, Seq(3))
+    val files = sliced.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"${BucketedMergeSink.bucketCol}=3")),
+      s"slice read files outside bucket 3: ${files.mkString(", ")}")
+    // the rows really are bucket 3's
+    val got = sliced.select("id").as[Long].collect().toSet
+    val expect = seed(100)
+      .withColumn("b", BucketedMergeSink.bucketExpr(Seq("id"), 8))
+      .filter(col("b") === 3).select("id").as[Long].collect().toSet
+    assert(got == expect)
   }
 
-  test("a delete that empties a bucket removes its directory") {
+  test("keyed read prunes to the buckets its keys hash to") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(100), path, "upsert", Seq("id"), numBuckets = 8)
+    val keys = Seq(7L, 42L).toDF("id")
+    val out = BucketedMergeSink.readForKeys(spark, path, keys)
+    val wantBuckets = keys
+      .select(BucketedMergeSink.bucketExpr(Seq("id"), 8).as("b"))
+      .distinct().as[Int].collect().toSet
+    val scanned = out.inputFiles.map { f =>
+      val m = s"${BucketedMergeSink.bucketCol}=(\\d+)".r.findFirstMatchIn(f)
+      m.get.group(1).toInt
+    }.toSet
+    assert(scanned == wantBuckets,
+      s"keyed read scanned buckets $scanned, keys hash to $wantBuckets")
+    // a point filter on top returns exactly the requested rows
+    assert(out.filter(col("id").isin(7L, 42L)).count() == 2)
+  }
+
+  test("a delete that empties a bucket drops it from the manifest and GCs its dir") {
     val path = tmpTarget()
     val rows = seed(40)
     BucketedMergeSink.merge(spark, rows, path, "upsert", Seq("id"), numBuckets = 4)
@@ -103,8 +130,56 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("b") === 2).select("id")
     assert(victims.count() > 0)
     BucketedMergeSink.merge(spark, victims, path, "delete", identifier = "id")
-    assert(bucketState(path, 2).isEmpty, "emptied bucket dir should be gone")
+    assert(!BucketedMergeSink.manifest(spark, path).contains(2),
+      "emptied bucket should leave the manifest")
+    assert(bucketState(path, 2).isEmpty)
     assert(BucketedMergeSink.read(spark, path).count() == 40 - victims.count())
+  }
+
+  test("a batch is invisible until its manifest commit, then fully visible " +
+    "(crash between data write and commit = clean rollback)") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(20), path, "upsert", Seq("id"), numBuckets = 4)
+    val before = canon(BucketedMergeSink.read(spark, path))
+    val manBefore = BucketedMergeSink.manifest(spark, path)
+
+    // simulate the crash window: a fully-written commit dir for a batch
+    // (new id 99 -> some bucket) whose manifest commit never happened
+    val meta = BucketedMergeSink.readMeta(spark, path)
+    val orphan = new File(new File(path, "data"), "c-orphan-crash")
+    Seq((99L, "GHOST", 0L)).toDF("id", "name", "v")
+      .withColumn(BucketedMergeSink.bucketCol,
+        BucketedMergeSink.bucketExpr(Seq("id"), meta.numBuckets))
+      .write.partitionBy(BucketedMergeSink.bucketCol).parquet(orphan.getPath)
+    assert(orphan.isDirectory)
+
+    // readers see the OLD state — the orphan is not reachable through any
+    // manifest version; nothing is half-visible
+    assert(BucketedMergeSink.manifest(spark, path) == manBefore)
+    assert(canon(BucketedMergeSink.read(spark, path)) == before)
+    assert(!BucketedMergeSink.read(spark, path)
+      .filter(col("id") === 99L).limit(1).collect().nonEmpty)
+
+    // the next write GCs the crashed batch's orphan dir and lands normally
+    BucketedMergeSink.merge(spark,
+      Seq((21L, "new", 210L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
+    assert(!orphan.exists(), "next merge should GC the crashed batch's orphan dir")
+    assert(BucketedMergeSink.read(spark, path).count() == 21)
+  }
+
+  test("visibility flips atomically on the manifest version file alone") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(10), path, "upsert", Seq("id"), numBuckets = 2)
+    // "."-files: local-fs .crc checksum siblings, not manifest versions
+    def versions = new File(path, "_graft_manifest").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    val v1 = versions
+    BucketedMergeSink.merge(spark,
+      Seq((11L, "x", 110L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
+    val v2 = versions
+    // exactly one current version file at rest; the name advanced
+    assert(v1.length == 1 && v2.length == 1 && v1.head < v2.head)
+    assert(BucketedMergeSink.read(spark, path).count() == 11)
   }
 
   test("update against an absent target establishes the layout but writes no rows") {

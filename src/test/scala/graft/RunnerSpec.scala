@@ -78,13 +78,8 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.sink.BucketedMergeSink.isBucketed(spark, path))
     // the registered target view reads the LOGICAL relation (no gbucket)
     assert(spark.table("tgt_bkt").columns.toSeq == Seq("id", "v"))
-    // second, incremental run: one new id — only its bucket dir changes
-    def state: Map[String, Long] = {
-      val d = new java.io.File(path)
-      d.listFiles().filter(_.isDirectory)
-        .flatMap(b => b.listFiles().filter(_.isFile)
-          .map(f => s"${b.getName}/${f.getName}" -> f.lastModified())).toMap
-    }
+    // second, incremental run: one new id — only its bucket is remapped
+    def state: Map[Int, String] = graft.sink.BucketedMergeSink.manifest(spark, path)
     runner.run("p", Map("maxid" -> "4")) // ids 1-3 unchanged, 4 is new...
     // but upsert re-merges ids 1-4: touched = buckets of 1,2,3,4. To pin
     // the one-bucket claim through the YAML surface, run a delete stage
@@ -106,7 +101,6 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     val after = state
     val changed = (mid.keySet ++ after.keySet)
       .filter(k => mid.get(k) != after.get(k))
-      .map(_.split("/").head)
     assert(changed.size == 1, s"delete of one id should touch exactly one bucket: $changed")
     assert(spark.table("tgt_bkt").select("id").as[Long].collect().sorted
       .toSeq == Seq(1L, 2L, 3L))
@@ -140,12 +134,14 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.shuffle.partitions", sp)
     }
-    val dirs = new java.io.File(s"$root/tgt_cmp").listFiles().filter(_.isDirectory)
-    assert(dirs.nonEmpty)
-    dirs.foreach { b =>
-      val n = b.listFiles().count(f => f.isFile &&
+    val man = graft.sink.BucketedMergeSink.manifest(spark, s"$root/tgt_cmp")
+    assert(man.nonEmpty)
+    man.keys.foreach { b =>
+      val d = graft.sink.BucketedMergeSink
+        .bucketDataDir(spark, s"$root/tgt_cmp", b).get
+      val n = new java.io.File(d).listFiles().count(f => f.isFile &&
         !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      assert(n == 1, s"${b.getName}: expected one data file after compact, got $n")
+      assert(n == 1, s"bucket $b: expected one data file after compact, got $n")
     }
     assert(spark.table("tgt_cmp").count() == 199)
     // compact on a FLAT target is a config error, not a silent no-op —

@@ -317,14 +317,13 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.shuffle.partitions", sp)
     }
-    val bucketDirs = new java.io.File(target).listFiles()
-      .filter(d => d.isDirectory &&
-        d.getName.startsWith(graft.sink.BucketedMergeSink.bucketCol + "="))
-    assert(bucketDirs.nonEmpty)
-    bucketDirs.foreach { d =>
-      val n = d.listFiles()
+    val man = graft.sink.BucketedMergeSink.manifest(spark, target)
+    assert(man.nonEmpty)
+    man.keys.foreach { b =>
+      val d = graft.sink.BucketedMergeSink.bucketDataDir(spark, target, b).get
+      val n = new java.io.File(d).listFiles()
         .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      assert(n == 1, s"${d.getName} should be compacted to one data file, has $n")
+      assert(n == 1, s"bucket $b should be compacted to one data file, has $n")
     }
     assert(graft.sink.BucketedMergeSink.read(spark, target).count() == 61)
   }
