@@ -38,6 +38,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Bound plan-string generation: Spark stringifies the physical
+      // plan for every SQL execution event and AGAIN on every AQE
+      // replan; with machine-generated plans that embed large literal
+      // trees (LSH hyperplane arrays, minhash permutations, wide CASE
+      // chains) the DRIVER otherwise burns seconds-to-minutes per query
+      // building multi-MB strings nobody reads (measured: the recall
+      // gate at 37 s vs 368 s run-to-run — the variance was exactly
+      // this, AQE replan count × plan size). 64 KB keeps explain output
+      // humanly complete while capping the cost.
+      .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
       .withExtensions(new graft.functions.GraftExtensions)
     if (shufflePartitions > 0)
       b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
