@@ -63,7 +63,7 @@ object QueriesEngine {
       val dels = o.filter(col("o_orderkey").between(100, 200))
         .select("o_orderkey")
       // deterministic per-sf path, cleared up front (same rationale as q33)
-      val tmp = "/tmp/graft-bm-" + Integer.toHexString(dir.hashCode)
+      val tmp = Tables.scratchPath("graft-bm", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       graft.sink.BucketedMergeSink.merge(s, target, tmp, "upsert",
         Seq("o_orderkey"), numBuckets = 8)
@@ -94,7 +94,7 @@ object QueriesEngine {
       // (repeated verify/bench rounds would accumulate unbounded /tmp
       // parquet) — but cleared up front so a target left by a PREVIOUS
       // round can never leak stale rows into this run's merge
-      val tmp = "/tmp/graft-run-" + Integer.toHexString(dir.hashCode)
+      val tmp = Tables.scratchPath("graft-run", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
         Map("cutoff" -> "1996-01-01"), tmp)
@@ -121,7 +121,7 @@ object QueriesEngine {
           |    key: [l_orderkey, l_linenumber]
           |    buckets: 16
           |""".stripMargin
-      val tmp = "/tmp/graft-runb-" + Integer.toHexString(dir.hashCode)
+      val tmp = Tables.scratchPath("graft-runb", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
         Map("cutoff" -> "1996-01-01"), tmp)
@@ -162,12 +162,10 @@ object QueriesEngine {
     //    SourceSpec path, exercised LIVE by q35 against embedded Derby)
     "q34_source_csv_json" -> ((s, dir) => {
       // fixtures: csv/json/orc copies of dim tables, derived from the
-      // parquet testdata once per sf dir (deterministic content)
-      // fixture path keyed on the source parquet's identity (len+mtime),
-      // not just the dir name: regenerated testdata gets fresh fixtures
-      val nsrc = new java.io.File(s"$dir/nation.parquet")
-      val fix = "/tmp/graft-fix-" + java.lang.Long.toHexString(
-        dir.hashCode.toLong ^ nsrc.length() ^ nsrc.lastModified())
+      // parquet testdata once per sf dir (deterministic content);
+      // path keyed on the source parquet's file listing + pid — see
+      // Tables.fixturePath for the staleness/race rationale
+      val fix = Tables.fixturePath("graft-fix", s"$dir/nation.parquet")
       // existence-guarded so the fixtures really are written once per sf
       // dir (deterministic content; bench invokes every query twice).
       // The guard keys on the LAST artifact written: guarding on an
@@ -218,7 +216,7 @@ object QueriesEngine {
     //    pins the physical effect (file counts, untouched-bucket mtimes)
     "q89_bucket_compaction" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer")
-      val tmp = "/tmp/graft-bc-" + Integer.toHexString(dir.hashCode)
+      val tmp = Tables.scratchPath("graft-bc", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val b1 = c.filter(col("c_custkey") <= 400)
       val b2 = c.filter(col("c_custkey").between(200, 600))

@@ -517,9 +517,7 @@ object QueriesRelational {
       val ev = T(s, dir, "events")
       // fixture keyed on the source parquet's identity, written once per
       // sf dir (same pattern + rationale as q34's csv/json fixtures)
-      val esrc = new java.io.File(s"$dir/events.parquet")
-      val fix = "/tmp/graft-part-" + java.lang.Long.toHexString(
-        dir.hashCode.toLong ^ esrc.length() ^ esrc.lastModified())
+      val fix = Tables.fixturePath("graft-part", s"$dir/events.parquet")
       if (!new java.io.File(s"$fix/_SUCCESS").exists())
         graft.sources.Sources.writePartitioned(
           ev.withColumn("event_date", to_date(col("ts"))), fix, Seq("event_date"))
@@ -539,9 +537,7 @@ object QueriesRelational {
     //    pins the disjoint-range property
     "q94_clustered_scan" -> ((s, dir) => {
       val ev = T(s, dir, "events")
-      val esrc = new java.io.File(s"$dir/events.parquet")
-      val fix = "/tmp/graft-clus-" + java.lang.Long.toHexString(
-        dir.hashCode.toLong ^ esrc.length() ^ esrc.lastModified())
+      val fix = Tables.fixturePath("graft-clus", s"$dir/events.parquet")
       if (!new java.io.File(s"$fix/_SUCCESS").exists())
         graft.sources.Sources.writeClustered(ev, fix, Seq("ts"))
       s.read.parquet(fix)

@@ -36,4 +36,29 @@ object Tables {
     * same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** /tmp path for a CACHED fixture derived from `src` (a testdata file
+    * or directory). Keyed on the source's full file listing — names,
+    * sizes, mtimes; Spark part-file names carry writer UUIDs, so any
+    * regeneration moves the key even on filesystems with coarse mtimes
+    * where (length ^ mtime) alone could collide — and on this JVM's
+    * pid, so concurrent batteries sharing /tmp (e.g. a Verify and a
+    * Bench in separate processes) can never race on a half-written
+    * fixture. Within one process the fixture still builds once and is
+    * reused across passes. */
+  def fixturePath(prefix: String, src: String): String = {
+    val f = new java.io.File(src)
+    val files =
+      (if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq
+       else Seq(f)).filter(_.isFile)
+        .map(x => s"${x.getName}:${x.length}:${x.lastModified}").sorted
+    val h = scala.util.hashing.MurmurHash3.orderedHash(files :+ src)
+    s"/tmp/$prefix-${ProcessHandle.current().pid()}-${Integer.toHexString(h)}"
+  }
+
+  /** /tmp path for a REBUILT-per-invocation scratch target (callers
+    * deleteQuietly it up front): pid-scoped so concurrent processes
+    * cannot delete each other's target mid-read. */
+  def scratchPath(prefix: String, dir: String): String =
+    s"/tmp/$prefix-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
 }

@@ -168,7 +168,13 @@ object Streams {
       loadType: String = "upsert",
       excluded: Seq[String] = Nil,
       numBuckets: Int = 0,
-      compactEvery: Int = 32): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      // OPT-IN (default off): compactEvery = N runs BucketedMergeSink
+      // .compact inside foreachBatch on every Nth micro-batch — a
+      // synchronous whole-target small-file pass, i.e. a deliberate
+      // latency cliff on that one trigger in exchange for bounded
+      // files-per-bucket. Leave 0 and compact out-of-band if the
+      // stream's latency SLO can't absorb the periodic spike.
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // fail at construction, not inside the first micro-batch: key.head
     // on Nil, an unknown loadType, or a silently-partial composite
     // delete key would otherwise surface as an obscure streaming-query
@@ -224,8 +230,10 @@ object Streams {
     * acceptable for moderate corpora or coarse cadences. The merge
     * semantics are identical in both layouts
     * (BucketedMergeSinkSpec pins it). Bucketed targets self-compact
-    * every 32 micro-batches (streamingMerge's `compactEvery` default),
-    * bounding small-file growth for the life of the stream. */
+    * every 32 micro-batches (passed explicitly to streamingMerge, whose
+    * own default leaves compaction opt-in), bounding small-file growth
+    * for the life of the stream at the cost of a periodic latency
+    * spike on the compacting trigger. */
   def dedupCorpusStream(
       stream: DataFrame,
       path: String,
@@ -240,7 +248,7 @@ object Streams {
     streamingMerge(withNorm, path, key = Seq("norm_text"),
       loadType = "upsert",
       excluded = withNorm.columns.filterNot(_ == "norm_text").toSeq,
-      numBuckets = numBuckets)
+      numBuckets = numBuckets, compactEvery = 32)
   }
 
   /** Watermarked stream-stream interval join: each left row matches
