@@ -296,8 +296,11 @@ object TrainingPrep {
     val stride = chunkTokens - overlapTokens
     require(stride > 0,
       s"overlapTokens ($overlapTokens) must be smaller than chunkTokens ($chunkTokens)")
+    // the SAME tokenizer as TextAnalysis.tokenCount, by construction:
+    // chunk counts and token budgets must agree on what a token is
+    // (an inline split would silently diverge on odd whitespace)
     val base = df.select(col(idCol),
-      split(col(textCol), " ").as("__toks"))
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .withColumn("__nc",
         when(col("__n") <= chunkTokens, lit(1))

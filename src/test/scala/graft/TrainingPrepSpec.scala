@@ -246,6 +246,41 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: chunkDocuments tokenization agrees with tokenCount " +
+    "(same tokenizer, odd whitespace included)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 30L).map { i =>
+      // deliberately hostile whitespace: double spaces, leading/trailing
+      val sep = () => if (rnd.nextInt(4) == 0) "  " else " "
+      val body = (0 until 1 + rnd.nextInt(12))
+        .map(j => s"w${rnd.nextInt(9)}$j").reduceLeft(_ + sep() + _)
+      (i, if (rnd.nextBoolean()) s" $body" else body)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val chunkTokens = 5; val overlap = 2; val stride = chunkTokens - overlap
+    val chunks = TrainingPrep.chunkDocuments(df,
+        chunkTokens = chunkTokens, overlapTokens = overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    val counts = df.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")))
+      .as[(Long, Int)].collect().toMap
+    docs.foreach { case (id, _) =>
+      val cs = chunks(id).sortBy(_._2)
+      val n = counts(id)
+      // every chunk's token count follows the coverage formula off the
+      // SAME token definition tokenCount uses...
+      cs.foreach { case (_, no, nTok, _) =>
+        assert(nTok == math.min(chunkTokens, n - no * stride),
+          s"doc $id chunk $no: n_tokens $nTok vs tokenCount $n")
+      }
+      // ...and the last chunk reaches exactly the last token
+      val (_, lastNo, lastTok, _) = cs.last
+      assert(lastNo * stride + lastTok == n,
+        s"doc $id: chunks cover ${lastNo * stride + lastTok} of $n tokens")
+    }
+  }
+
   test("training-prep operators are empty-input safe") {
     val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     assert(TrainingPrep.packChunks(noDocs).count() == 0)
