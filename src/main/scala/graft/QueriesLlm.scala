@@ -593,6 +593,40 @@ object QueriesLlm {
       graft.ops.TrainingPrep.chunkDocuments(
         Tables.load(s, dir, "documents"), chunkTokens = 32, overlapTokens = 8)
         .orderBy("doc_id", "chunk_no")
+    }),
+
+    // -- near-SUPERSET dedup: containment = |A∩B|/min(|A|,|B|) catches a
+    //    snippet embedded in a longer doc, which Jaccard structurally
+    //    misses (score ~|A|/|B|). The corpus is documents plus derived
+    //    prefix-snippet docs (every 7th doc's first third, id+1e6 —
+    //    mirrored in the oracle) so the containment-only pairs exist to
+    //    be caught: ~30 of the pairs here are invisible to q41's 0.3
+    //    Jaccard gate.
+    "q95_containment_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = split(Dedup.normalize(col("text")), " ")
+      val snippets = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(lit(3), (size(toks) / lit(3)).cast("int")))).as("text"))
+      Dedup.containmentPairs(
+        docs.select("doc_id", "text").unionByName(snippets), threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- Bloom-prefiltered exact decontamination: which TRAIN docs
+    //    duplicate a holdout doc (the drop-before-training direction).
+    //    The holdout norms build a broadcast Bloom filter; the corpus
+    //    scan drops non-members before any shuffle and the exact join
+    //    runs on the surviving sliver — same plain-SQL-checkable result
+    //    as q69, different (100 TB) mechanism. Canary injection as q69.
+    "q96_bloom_decontamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            lit("shared canary document for leakage checks"))
+            .otherwise(col("text")))
+      graft.ops.TrainingPrep.bloomDecontaminate(docs).orderBy("doc_id")
     }))
 
   /** Empty-result oracle for the audit entries: the invariant is "no
@@ -976,6 +1010,63 @@ object QueriesLlm {
         |  CAST(least(32, n - chunk_no * 24) AS INT) AS n_tokens,
         |  array_to_string(toks[CAST(chunk_no * 24 + 1 AS INT):CAST(least(chunk_no * 24 + 32, n) AS INT)], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    // mirrors q95's snippet injection (every 7th doc's first third,
+    // id+1e6) + Dedup.containmentPairs (word 3-grams, q41's df caps,
+    // score = i/min(sa,sb))
+    "q95_containment_pairs" ->
+      """WITH snip AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))[1:greatest(3, len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) // 3)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM snip),
+        |toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
+        |  FROM toks),
+        |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
+        |cap AS (SELECT least(10000, greatest(16, (count(*) + 99) // 100)) AS c FROM corpus),
+        |freq AS (SELECT shingle FROM posts GROUP BY shingle
+        |         HAVING count(*) >= 2 AND count(*) <= (SELECT c FROM cap)),
+        |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i
+        |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / least(sa, sb), 6) AS containment
+        |FROM inter
+        |WHERE round(CAST(i AS DOUBLE) / least(sa, sb), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // mirrors q96: canary injection (as q69) + exact train-side matches
+    // against holdout norms — the Bloom prefilter is invisible in the
+    // result (no false negatives; the join removes false positives)
+    "q96_bloom_decontamination" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN 'shared canary document for leakage checks'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90
+        |      THEN 'train' ELSE 'holdout' END AS split,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM inj),
+        |h AS (SELECT norm, count(*) AS n_holdout, min(doc_id) AS first_holdout
+        |      FROM d WHERE split = 'holdout' GROUP BY norm)
+        |SELECT d.doc_id, CAST(h.n_holdout AS BIGINT) AS n_holdout,
+        |  h.first_holdout
+        |FROM d JOIN h USING (norm) WHERE d.split = 'train'
+        |ORDER BY doc_id""".stripMargin,
     "q44_text_stats" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,

@@ -155,6 +155,33 @@ object Dedup {
         charShingles(normalize(col(textCol)), k).as("sh")),
       threshold, maxDocFreq, relativeCap = false)
 
+  /** Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) >= threshold
+    * over word k-gram shingle sets (Broder 1997's containment, the
+    * resemblance measure's asymmetric sibling). Catches near-SUPERSET
+    * duplication that Jaccard structurally cannot: a snippet embedded in
+    * a longer document scores containment ~1.0 but Jaccard ~|A|/|B|, so
+    * a 3x-longer superset doc hides from a 0.5 Jaccard gate forever.
+    * Quote-heavy web corpora and chunk-then-recombine pipelines produce
+    * exactly this shape, and the shorter side is the doc a dedup pass
+    * should drop (it adds no novel text).
+    *
+    * Same grouped posting-list machinery, df caps, and scale bounds as
+    * [[jaccardPairs]] — only the final score differs, so the pair
+    * fan-out guarantees are identical. */
+  def containmentPairs(
+      df: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Long = 10000L,
+      relativeCap: Boolean = true): DataFrame =
+    pairsFromShingles(
+      widen(df).select(col(idCol).as("id"),
+        shingles(normalize(col(textCol)), k).as("sh")),
+      threshold, maxDocFreq, relativeCap,
+      (i, sa, sb) => i / least(sa, sb), "containment")
+
   /** Shared pair-generation core over a pre-shingled `(id, sh)` frame.
     *
     * With `relativeCap` on, the df filter tightens `maxDocFreq` to 1% of
@@ -170,7 +197,19 @@ object Dedup {
       shingled: DataFrame,
       threshold: Double,
       maxDocFreq: Long,
-      relativeCap: Boolean): DataFrame = {
+      relativeCap: Boolean): DataFrame =
+    pairsFromShingles(shingled, threshold, maxDocFreq, relativeCap,
+      (i, sa, sb) => i / (sa + sb - i), "jaccard")
+
+  /** @param score similarity from (|A∩B|, |A|, |B|) double columns;
+    * @param scoreName output column name for the rounded score */
+  private def pairsFromShingles(
+      shingled: DataFrame,
+      threshold: Double,
+      maxDocFreq: Long,
+      relativeCap: Boolean,
+      score: (Column, Column, Column) => Column,
+      scoreName: String): DataFrame = {
     val sizes = shingled.withColumn("setsize", size(col("sh")))
     // explode_OUTER, then drop nulls: plain explode makes Catalyst infer a
     // `size(sh)>0 AND isnotnull(sh)` filter (InferFiltersFromGenerate)
@@ -221,11 +260,11 @@ object Dedup {
         col("a.v").as("size_a"), col("b.v").as("size_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn(scoreName,
+        round(score(col("inter").cast("double"),
+          col("size_a").cast("double"), col("size_b").cast("double")), 6))
+      .filter(col(scoreName) >= threshold)
+      .select("id_a", "id_b", scoreName)
   }
 
   /** Exact Jaccard pairs with AT LEAST ONE endpoint in a deterministic

@@ -117,6 +117,58 @@ object TrainingPrep {
       .select(col("id").as(idCol), col("n_train_dups"), col("first_train_dup"))
   }
 
+  /** The same contamination semantics pointed the direction a 100 TB
+    * pretraining run needs: which TRAIN documents duplicate a
+    * holdout/benchmark document (and must be dropped before training),
+    * found with a broadcast Bloom-filter prefilter over the benchmark
+    * set.
+    *
+    * Scale shape: the holdout side is benchmark-sized (thousands to
+    * millions of rows), the train side is the 100 TB corpus. A plain
+    * join ships every distinct train text through a shuffle just to
+    * discard ~all of them; instead the holdout norms build one Bloom
+    * filter (driver-side via `DataFrameStatFunctions.bloomFilter`, ~1.2
+    * MB per million entries at 1% fpp) that broadcasts to every
+    * executor, and the corpus scan drops non-members BEFORE any
+    * exchange — the only shuffled rows are the Bloom survivors: true
+    * hits plus an fpp-sized sliver. The exact join that follows runs on
+    * that sliver alone and removes the false positives, so the RESULT is
+    * exact (Bloom filters have no false negatives; the battery's q96
+    * hash-verifies it against the plain-SQL oracle). The membership
+    * probe is a Scala UDF — non-codegen, but it replaces a shuffle of
+    * the corpus, not a scalar column op in a hot loop.
+    *
+    * Emits each contaminated train doc with the number of holdout
+    * matches and the smallest matching holdout id. */
+  def bloomDecontaminate(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trainPct: Int = 90,
+      fpp: Double = 0.01): DataFrame = {
+    val d = df.select(col(idCol).as("id"),
+      splitCol(col(idCol), trainPct).as("split"),
+      Dedup.normalize(col(textCol)).as("__norm"))
+    val holdout = d.filter(col("split") === "holdout")
+      .groupBy("__norm")
+      .agg(count(lit(1)).as("n_holdout"), min(col("id")).as("first_holdout"))
+    val train = d.filter(col("split") === "train")
+    // the count also sizes the filter exactly (post-groupBy = distinct
+    // norms); stat.bloomFilter NPEs on an empty frame, and with no
+    // holdout rows there is nothing to prefilter anyway
+    val nHoldout = holdout.count()
+    val prefiltered = if (nHoldout == 0L) train else {
+      val bf = holdout.stat.bloomFilter("__norm", nHoldout, fpp)
+      val bcBf = df.sparkSession.sparkContext.broadcast(bf)
+      val mightContain =
+        udf((s: String) => s != null && bcBf.value.mightContainString(s))
+      train.filter(mightContain(col("__norm"))) // narrow prefilter, no shuffle
+    }
+    prefiltered
+      .join(holdout, "__norm") // exact: kills Bloom false positives
+      .select(col("id").as(idCol), col("n_holdout"), col("first_holdout"))
+  }
+
   /** N-gram train/holdout contamination (the GPT-3 13-gram rule): for
     * each holdout document, how many of its distinct word `k`-grams also
     * appear in ANY train document. Near-dup leakage that exact matching

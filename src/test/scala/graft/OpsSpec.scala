@@ -45,6 +45,20 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("containmentPairs: an embedded snippet scores ~1.0 where jaccard misses it") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18"
+    val docs = Seq(
+      (1L, base),
+      (2L, "w1 w2 w3 w4 w5 w6"), // prefix snippet: contained, low jaccard
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, threshold = 0.9)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to a 0.5 jaccard gate (4 shared grams
+    // of 16+4 distinct) — the asymmetry containment exists to catch
+    assert(Dedup.jaccardPairs(docs, threshold = 0.5).count() == 0)
+  }
+
   test("minhash LSH: identical docs always collide; jaccard is exact on the pair") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -66,6 +66,35 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((holdoutId, 2L, trainIds.min)))
   }
 
+  test("bloomDecontaminate: flags exactly the train docs matching a holdout norm " +
+    "(Bloom prefilter invisible in the result, even at an absurd fpp)") {
+    val ids = (1L to 300L)
+    val holdoutIds = ids.filter(refSplit(_) == "holdout").take(2)
+    val trainDups = ids.filter(refSplit(_) == "train").take(3)
+    val dupText = "Shared  Benchmark   Text" // whitespace the normalizer folds
+    val docs = ids.map { i =>
+      val text = if (holdoutIds.contains(i) || trainDups.contains(i)) dupText
+        else s"unique text $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = TrainingPrep.bloomDecontaminate(docs)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == trainDups.sorted.map(i => (i, 2L, holdoutIds.min)))
+    // a near-useless Bloom filter (50% fpp) changes nothing: false
+    // positives die in the exact join, false negatives cannot exist
+    val sloppy = TrainingPrep.bloomDecontaminate(docs, fpp = 0.5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(sloppy == out)
+    // no cross-split duplication -> empty
+    val clean = ids.map(i => (i, s"unique text $i")).toDF("doc_id", "text")
+    assert(TrainingPrep.bloomDecontaminate(clean).count() == 0)
+    // an all-train corpus (EMPTY holdout side) must not crash building
+    // the filter (stat.bloomFilter NPEs on an empty frame; we skip the prefilter)
+    val allTrain = ids.filter(refSplit(_) == "train")
+      .map(i => (i, s"t $i")).toDF("doc_id", "text")
+    assert(TrainingPrep.bloomDecontaminate(allTrain).count() == 0)
+  }
+
   test("ngramContamination: shared k-gram spans flag holdout docs; unique docs don't") {
     val ids = (1L to 100L)
     val holdoutId = ids.find(refSplit(_) == "holdout").get
