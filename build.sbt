@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the committed heap: G1 uncommits after full GCs (the bench
+  // settles with System.gc() between queries), and re-faulting
+  // gigabytes of heap from 32 executor threads serializes in the
+  // kernel — measured as minutes-long 99%-sys-time stalls that made
+  // random bench passes 8-15x slower; a fixed heap never uncommits
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -49,6 +49,20 @@ object GraftSession {
       // humanly complete while capping the cost.
       .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
       .withExtensions(new graft.functions.GraftExtensions)
+    // Shuffle/spill scratch on tmpfs when one is mounted and nothing
+    // else claims the dirs: local-fs shuffle churn (write then delete
+    // thousands of small files per stage) can serialize in the kernel —
+    // on this sandbox's root fs (ext4 mounted with synchronous
+    // `discard`, virtio) it measured as minutes-long 99%-sys-time
+    // windows that made random bench passes 8-15x slower, with executor
+    // threads pinned in ext4 block-allocation paths. RAM-backed dirs
+    // take the filesystem out of the hot path entirely. On a real
+    // cluster the manager provisions SPARK_LOCAL_DIRS (env beats this
+    // conf in Spark's resolution order), so production behavior is
+    // unchanged.
+    if (!sys.env.contains("SPARK_LOCAL_DIRS") &&
+        new java.io.File("/dev/shm").isDirectory)
+      b.config("spark.local.dir", "/dev/shm/graft-local")
     if (shufflePartitions > 0)
       b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     else b
