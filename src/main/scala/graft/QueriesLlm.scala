@@ -614,6 +614,17 @@ object QueriesLlm {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- leakage-safe split: a doc's split comes from its near-dup
+    //    CLUSTER label, so a holdout doc's 0.9-Jaccard twin can never
+    //    land in train (the id-hash split leaks it ~90% of the time;
+    //    q70 then has to find it after the fact)
+    "q97_cluster_safe_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.TrainingPrep.clusterSafeSplit(
+        docs, Dedup.jaccardPairs(docs, threshold = 0.3))
+        .orderBy("doc_id")
+    }),
+
     // -- Bloom-prefiltered exact decontamination: which TRAIN docs
     //    duplicate a holdout doc (the drop-before-training direction).
     //    The holdout norms build a broadcast Bloom filter; the corpus
@@ -1045,6 +1056,44 @@ object QueriesLlm {
         |FROM inter
         |WHERE round(CAST(i AS DOUBLE) / least(sa, sb), 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // q97 = q50's recursive-CTE cluster derivation + the arithmetic
+    // split hash applied to the CLUSTER label instead of the doc id
+    "q97_cluster_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
+        |  FROM toks),
+        |posts AS (SELECT id, len(sh) AS setsize, unnest(sh) AS shingle FROM sh),
+        |cap AS (SELECT least(10000, greatest(16, (count(*) + 99) // 100)) AS c FROM documents),
+        |freq AS (SELECT shingle FROM posts GROUP BY shingle
+        |         HAVING count(*) >= 2 AND count(*) <= (SELECT c FROM cap)),
+        |f AS (SELECT p.* FROM posts p JOIN freq USING (shingle)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.setsize AS sa, b.setsize AS sb, count(*) AS i
+        |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  WHERE round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+        |cl AS (
+        |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN ((cluster % 1000003) * 2654435761) % 1000003 % 100 < 90
+        |    THEN 'train' ELSE 'holdout' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
     // mirrors q96: canary injection (as q69) + exact train-side matches
     // against holdout norms — the Bloom prefilter is invisible in the
     // result (no false negatives; the join removes false positives)

@@ -205,6 +205,31 @@ object TrainingPrep {
       .select(col("id").as(idCol), col("n_grams"), col("n_contaminated"))
   }
 
+  /** Leakage-safe train/holdout split: assign every document the split
+    * of its NEAR-DUP CLUSTER representative, so a whole cluster lands
+    * in one split by construction. The plain id-hash split
+    * ([[splitCol]]) leaks through near-duplicates — a holdout doc's
+    * 0.9-Jaccard twin lands in train ~90% of the time, and n-gram
+    * decontamination (q70) then has to find and drop it after the
+    * fact; hashing the cluster label instead makes that class of
+    * leakage impossible up front (the standard fix, cf. the
+    * dedup-before-split recipe in Lee et al. 2022 §4).
+    *
+    * `pairs` is any near-dup pair frame (`id_a`, `id_b`) — exact
+    * Jaccard, MinHash-LSH, SimHash, embedding dedup all produce the
+    * shape. Cost at scale = the connected-components pass itself
+    * ([[Dedup.dedupClusters]]: near-dup graphs are diameter-2/3, a
+    * couple of join+agg rounds); the split is then one more hash
+    * column. Singletons keep their own id as cluster, so docs with no
+    * near-dup split exactly as [[splitCol]] would. */
+  def clusterSafeSplit(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      trainPct: Int = 90): DataFrame =
+    Dedup.dedupClusters(df, pairs, idCol)
+      .withColumn("split", splitCol(col("cluster"), trainPct))
+
   /** End-to-end corpus preparation — the composed cleanup a release
     * pipeline runs in one call: exact dedup (smallest-id survivor per
     * normalized text), quality-score filter, PII redaction, and the

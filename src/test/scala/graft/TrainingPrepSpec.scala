@@ -95,6 +95,28 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(TrainingPrep.bloomDecontaminate(allTrain).count() == 0)
   }
 
+  test("clusterSafeSplit: a near-dup cluster lands whole in one split; " +
+    "singletons split exactly as splitCol") {
+    // ids chosen so a naive id-hash split WOULD separate the pair
+    val ids = (1L to 200L)
+    val a = ids.find(refSplit(_) == "train").get
+    val b = ids.find(refSplit(_) == "holdout").get
+    val docs = ids.map(i => (i, s"unique text $i")).toDF("doc_id", "text")
+    val pairs = Seq((math.min(a, b), math.max(a, b))).toDF("id_a", "id_b")
+    val out = TrainingPrep.clusterSafeSplit(docs, pairs)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // the pair collapses to one cluster (min id) and ONE split — the
+    // leakage the operator exists to prevent
+    val rep = math.min(a, b)
+    assert(out(a) == (rep, refSplit(rep)) && out(b) == (rep, refSplit(rep)))
+    assert(refSplit(a) != refSplit(b), "test ids must disagree under the id split")
+    // everyone else: own cluster, plain id-hash split
+    ids.filterNot(i => i == a || i == b).foreach { i =>
+      assert(out(i) == (i, refSplit(i)))
+    }
+  }
+
   test("ngramContamination: shared k-gram spans flag holdout docs; unique docs don't") {
     val ids = (1L to 100L)
     val holdoutId = ids.find(refSplit(_) == "holdout").get
