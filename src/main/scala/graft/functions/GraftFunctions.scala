@@ -56,6 +56,12 @@ object GraftFunctions {
       CharGramMinHash(args(0),
         litInt("char_gram_minhash", "k", args(1)),
         litInt("char_gram_minhash", "numHashes", args(2)))
+    },
+    "word_gram_minhash" -> { args =>
+      arity("word_gram_minhash", 3, args)
+      WordGramMinHash(args(0),
+        litInt("word_gram_minhash", "k", args(1)),
+        litInt("word_gram_minhash", "numHashes", args(2)))
     })
 
   /** Register every kernel on a live session (temp functions, session

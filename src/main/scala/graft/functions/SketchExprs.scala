@@ -32,7 +32,73 @@ object SketchExprs {
   def charGramMinhash(text: Column, k: Int, numHashes: Int): Column =
     GraftSqlBridge.column(CharGramMinHash(GraftSqlBridge.expression(text), k, numHashes))
 
+  def wordGramMinhash(text: Column, k: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(WordGramMinHash(GraftSqlBridge.expression(text), k, numHashes))
+
   private val P = 1000000007L
+
+  /** Update every affine-permutation minimum with one gram hash — the
+    * shared inner step of [[charGramSig]] / [[wordGramSig]] (arithmetic
+    * identical to [[MinHashSig]], so fused and chained signatures are
+    * bit-identical). */
+  private def feedMins(mins: Array[Long], raw: Long): Unit = {
+    var h = raw % P
+    if (h < 0) h += P
+    var j = 0
+    while (j < mins.length) {
+      var v = (h * (2L * j + 1) + (12345L * j + 7)) % P
+      if (v < 0) v += P
+      if (v < mins(j)) mins(j) = v
+      j += 1
+    }
+  }
+
+  /** MinHash signature straight off WORD k-grams of a space-separated
+    * text, without materializing gram strings: on a normalized document
+    * the k-gram joined with " " IS a contiguous byte range of the text
+    * (UTF-8 multibyte sequences never contain 0x20, so byte-scanning
+    * for spaces segments ANY script correctly), and xxhash64 of that
+    * byte range is bit-identical to hashing the concatenated gram
+    * string. One boundary scan + one hash per gram, zero allocation
+    * beyond the signature itself; duplicates need no array_distinct
+    * (min is duplicate-insensitive). Texts with fewer than k tokens
+    * hash as one whole-text gram, mirroring Dedup.shingles. */
+  def wordGramSig(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nBytes = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var spaces = 0
+    var i = 0
+    while (i < nBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTokens = spaces + 1
+    if (nTokens < k) {
+      feedMins(mins, org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off, nBytes, 42L))
+    } else {
+      val starts = new Array[Int](nTokens)
+      var t = 1
+      i = 0
+      while (i < nBytes) {
+        if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+          starts(t) = i + 1; t += 1
+        }
+        i += 1
+      }
+      var g = 0
+      while (g <= nTokens - k) {
+        val start = starts(g)
+        val end = if (g + k < nTokens) starts(g + k) - 1 else nBytes
+        feedMins(mins, org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + start, end - start, 42L))
+        g += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
 
   /** MinHash signature straight off a sliding character window: for each
     * k-char gram, xxhash64 (seed 42, byte-identical to the SQL function)
@@ -44,17 +110,7 @@ object SketchExprs {
     * text gram, mirroring Dedup.charShingles. Callable from codegen. */
   def charGramSig(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    def feed(raw: Long): Unit = {
-      var h = raw % P
-      if (h < 0) h += P
-      var j = 0
-      while (j < numHashes) {
-        var v = (h * (2L * j + 1) + (12345L * j + 7)) % P
-        if (v < 0) v += P
-        if (v < mins(j)) mins(j) = v
-        j += 1
-      }
-    }
+    def feed(raw: Long): Unit = feedMins(mins, raw)
     val nChars = s.numChars()
     if (nChars < k) {
       feed(tokenHash(s))
@@ -242,6 +298,35 @@ case class CharGramMinHash(child: Expression, k: Int, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.SketchExprs.charGramSig($a, $k, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-signature fusion of shingles → hashShingles → MinHashSig for
+  * the WORD-gram LSH path (see [[SketchExprs.wordGramSig]] for the
+  * byte-range argument): one boundary scan + one hash per gram instead
+  * of three materialized array projections (token array, gram-string
+  * array, hashed array) per document. Signatures are bit-identical to
+  * the chained form (pinned in GraftFunctionsSpec). */
+case class WordGramMinHash(child: Expression, k: Int, numHashes: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_gram_minhash requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchExprs.wordGramSig(input.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchExprs.wordGramSig($a, $k, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

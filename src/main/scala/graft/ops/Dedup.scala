@@ -370,8 +370,12 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     minhashLshFromShingler(df, threshold,
       t => shingles(normalize(t), k),
-      t => minhashSignature(
-        hashShingles(shingles(normalize(t), k)), bands * rowsPerBand),
+      // fused native signer (bit-identical to the shingle→hash→sig
+      // projection chain, pinned in GraftFunctionsSpec): one boundary
+      // scan + one hash per gram — no token array, no gram-string
+      // array, no hashed array per document
+      t => graft.functions.SketchExprs.wordGramMinhash(
+        normalize(t), k, bands * rowsPerBand),
       bands, rowsPerBand, idCol, textCol)
 
   /** MinHash-LSH over CHARACTER k-grams — the scale path for char-level

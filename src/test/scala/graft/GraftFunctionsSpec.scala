@@ -39,6 +39,30 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(dot == 11.0)
   }
 
+  test("wordGramMinhash: fused signer is bit-identical to the " +
+    "shingle→hash→sig chain, hostile inputs included") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox", // exactly > k tokens
+      "a b c",               // exactly k tokens -> one gram
+      "a b",                 // < k tokens -> whole-text gram
+      "solo",                // single token
+      "",                    // empty text
+      "a  b   c d",          // multi-space (un-normalized callers)
+      "日本語 テキスト の 例 です",  // multi-byte UTF-8 tokens
+      "dup dup dup dup dup") // duplicate grams (distinct-insensitivity)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val fused = df.select(col("id"),
+      graft.functions.SketchExprs.wordGramMinhash(col("text"), 3, 32).as("sig"))
+    val chained = df.select(col("id"),
+      Dedup.minhashSignature(
+        Dedup.hashShingles(Dedup.shingles(col("text"), 3)), 32).as("sig"))
+    assertSameRows(
+      fused.select(col("id"), concat_ws(",", col("sig")).as("s")),
+      chained.select(col("id"), concat_ws(",", col("sig")).as("s")))
+  }
+
   test("cardinality args must be integer literals — loud failure otherwise") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
