@@ -614,6 +614,15 @@ object QueriesLlm {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- fastText-style hashed linear classifier scoring: per-token
+    //    feature-hash slot -> weight, integer-exact per-doc sum, one
+    //    explode + one agg shuffle; the synthetic weight artifact makes
+    //    the full scoring path hash-verifiable in plain SQL
+    "q98_hashed_classifier" -> ((s, dir) => {
+      TextAnalysis.hashedLinearScore(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     // -- leakage-safe split: a doc's split comes from its near-dup
     //    CLUSTER label, so a holdout doc's 0.9-Jaccard twin can never
     //    land in train (the id-hash split leaks it ~90% of the time;
@@ -1056,6 +1065,29 @@ object QueriesLlm {
         |FROM inter
         |WHERE round(CAST(i AS DOUBLE) / least(sa, sb), 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // mirrors hashedLinearScore: per-token positional char hash mod
+    // 1024 -> centered integer weight, exact long sum, one division
+    "q98_hashed_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fp AS (
+        |  SELECT doc_id, tok,
+        |    coalesce(list_sum([ascii(tok[i]) * ((i * 2654435761) % 1000003) for i in range(1, len(tok) + 1)]), 0) AS f
+        |  FROM tok),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((((f % 1024) + 1024) % 1024) * 2654435761) % 1000003 - 501501 AS wi
+        |  FROM fp),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n, CAST(sum(wi) AS BIGINT) AS s
+        |  FROM w GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |    round(CAST(s AS DOUBLE) / (n * 501501.0) + 0.000000001, 4) AS margin
+        |  FROM agg)
+        |SELECT doc_id, n_tokens, margin,
+        |  round(1.0 / (1.0 + exp(-margin)) + 0.000000001, 4) AS p_keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q97 = q50's recursive-CTE cluster derivation + the arithmetic
     // split hash applied to the CLUSTER label instead of the doc id
     "q97_cluster_safe_split" ->

@@ -243,6 +243,53 @@ object TextAnalysis {
       .withColumn("ppl", round(pow(lit(2.0), col("bits_per_token")), 2))
   }
 
+  /** Model-based quality scoring with the feature-hashing trick — the
+    * engine side of a fastText-style linear classifier (the standard
+    * LLM-pipeline quality gate, cf. CCNet/LLaMA data filtering;
+    * hashing trick per Weinberger et al. 2009): each token hashes to
+    * one of `buckets` feature slots, the document's margin is the mean
+    * of its tokens' slot weights, and `p_keep` is the logistic of the
+    * margin.
+    *
+    * The WEIGHTS here are a deterministic stand-in artifact (a
+    * multiplicative hash of the slot index, centered on zero) — real
+    * deployments train them offline and ship a `buckets`-sized array;
+    * swapping the synthetic weight expression for a broadcast weight
+    * lookup changes nothing structural. What this operator pins down
+    * is the engine mechanism, built to be replayable anywhere:
+    *
+    *   - the token→slot hash is the positional char hash
+    *     ([[fingerprint]]) mod `buckets` — plain-SQL expressible, so
+    *     the battery's q98 hash-verifies the whole scoring path;
+    *   - per-doc aggregation stays in INTEGER space (slot weights are
+    *     integers summed as longs) until a single final division, so
+    *     the result is independent of partitioning and FP addition
+    *     order — a double-sum here would make the gate flaky;
+    *   - shape at scale: one narrow explode + ONE hash-agg shuffle,
+    *     no joins, no windows — identical to q44's cost envelope.
+    *
+    * Output: (id, n_tokens, margin in ~[-1,1], p_keep in (0,1)). */
+  def hashedLinearScore(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val tok = df.select(col(idCol), explode_outer(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isNotNull)
+    val slot = pmod(fingerprint(col("__tok")), lit(buckets.toLong))
+    val wi = pmod(slot * lit(2654435761L), lit(1000003L)) - lit(501501L)
+    tok.withColumn("__wi", wi)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__n"), sum(col("__wi")).as("__s"))
+      .select(col(idCol),
+        col("__n").cast("int").as("n_tokens"),
+        round(col("__s").cast("double") / (col("__n") * lit(501501.0))
+          + lit(1e-9), 4).as("margin"))
+      .withColumn("p_keep",
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))) + lit(1e-9), 4))
+  }
+
   /** Full analysis frame over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val base = df

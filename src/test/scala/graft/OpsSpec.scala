@@ -168,6 +168,36 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == ((2, 1.085, 2.12)))
   }
 
+  test("hashedLinearScore matches a hand-rolled reference; partitioning-independent") {
+    def refFp(tok: String): Long =
+      tok.zipWithIndex.map { case (c, i) =>
+        c.toLong * math.floorMod((i + 1L) * 2654435761L, 1000003L)
+      }.sum
+    def refW(tok: String): Long =
+      math.floorMod(math.floorMod(refFp(tok), 1024L) * 2654435761L, 1000003L) - 501501L
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "one two three four five"),
+      (3L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.hashedLinearScore(docs)
+      .select("doc_id", "n_tokens", "margin", "p_keep")
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    Seq((1L, "alpha beta gamma"), (2L, "one two three four five"),
+      (3L, "alpha alpha alpha")).foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val s = toks.map(refW).sum
+      val margin = BigDecimal(s.toDouble / (toks.size * 501501.0) + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val p = BigDecimal(1.0 / (1.0 + math.exp(-margin)) + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id) == ((id, toks.size, margin, p)), s"doc $id")
+    }
+    // integer-space aggregation => identical under any partitioning
+    val repart = graft.ops.TextAnalysis.hashedLinearScore(docs.repartition(7))
+      .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+    assert(out.keySet.forall(id => repart(id) == out(id)._3))
+  }
+
   test("gopherQuality: each rule can fail independently; flags use rounded signals") {
     val good = Array.fill(30)("word").zipWithIndex
       .map { case (w, i) => w + i }.mkString(" ") + " the a" // 32 varied words, 2 stopwords
