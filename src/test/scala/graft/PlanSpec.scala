@@ -212,4 +212,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"q88 must join on keys:\n$p")
   }
+
+  test("q96: the Bloom prefilter runs below any exchange — the corpus is " +
+    "filtered before it shuffles") {
+    // the point of the operator: at 100 TB the corpus-side scan must
+    // drop non-members BEFORE the join's exchange, so the UDF filter
+    // has to sit under the first Exchange on the train-side branch
+    val p = plan("q96_bloom_decontamination")
+    val udfAt = p.indexOf("UDF")
+    assert(udfAt >= 0, s"expected the Bloom-membership UDF in the plan:\n$p")
+    // walk upward from the filter: the plan string lists parents before
+    // children, so every Exchange ABOVE the filter appears at a smaller
+    // index; the train branch's own scan (below it) must carry no
+    // exchange between scan and filter — i.e. no Exchange line between
+    // the UDF filter and the next scan below it
+    val below = p.substring(udfAt)
+    val nextScan = below.indexOf("Scan parquet")
+    assert(nextScan >= 0, s"expected the corpus scan below the filter:\n$p")
+    assert(!below.substring(0, nextScan).contains("Exchange"),
+      s"Bloom filter must apply before the corpus shuffles:\n$p")
+  }
+
+  test("q98: hashed classifier is one explode + one aggregate — no join, " +
+    "no window") {
+    val p = plan("q98_hashed_classifier")
+    assert(!p.contains("Window"), s"q98 must not plan a window:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"q98 must not plan a join:\n$p")
+  }
 }
