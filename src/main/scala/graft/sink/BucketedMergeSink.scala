@@ -47,8 +47,13 @@ import org.apache.spark.storage.StorageLevel
   *   - a crash mid-write leaves only an orphan `data/c*` dir, GC'd at
   *     the start of the next merge/compact (single-writer contract —
   *     concurrent WRITERS are out of scope, as they are for the flat
-  *     sink; a concurrent reader holding a superseded manifest may find
-  *     its dirs GC'd and fail loudly, never read mixed data);
+  *     sink). With the default `retainVersions = 1` a concurrent
+  *     reader holding a superseded manifest may find its dirs GC'd and
+  *     fail loudly, never read mixed data; a writer that passes
+  *     `retainVersions = N` keeps the last N manifests AND every dir
+  *     any of them references, so readers get N-deep snapshot
+  *     isolation ([[readVersion]] time travel) at the cost of retained
+  *     storage;
   *   - bucket pruning is PATH-level: a touched-slice or keyed read
   *     simply never lists the other buckets' directories — stronger
   *     than a partition filter, which still enumerates the layout.
@@ -153,30 +158,66 @@ object BucketedMergeSink {
     val fs = fsOf(spark, path)
     currentManifestFile(fs, path) match {
       case None => Map.empty
-      case Some(p) =>
-        readSmallFile(fs, p).linesIterator.filter(_.nonEmpty).map { l =>
-          val Array(b, d) = l.split("\t", 2)
-          b.toInt -> d
-        }.toMap
+      case Some(p) => parseManifest(fs, p)
     }
   }
 
-  private def currentManifestFile(fs: FileSystem, path: String): Option[Path] = {
+  private def parseManifest(fs: FileSystem, p: Path): Map[Int, String] =
+    readSmallFile(fs, p).linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(b, d) = l.split("\t", 2)
+      b.toInt -> d
+    }.toMap
+
+  private def manifestFiles(fs: FileSystem, path: String): Seq[Path] = {
     val dir = new Path(path, manifestDir)
-    if (!fs.exists(dir)) None
+    if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("v"))
       .sorted // v%09d: lexicographic == numeric
-      .lastOption
       .map(new Path(dir, _))
+  }
+
+  private def currentManifestFile(fs: FileSystem, path: String): Option[Path] =
+    manifestFiles(fs, path).lastOption
+
+  /** The manifest versions currently retained, oldest first — each one
+    * a consistent snapshot readable via [[readVersion]]. */
+  def manifestVersions(spark: SparkSession, path: String): Seq[Long] =
+    manifestFiles(fsOf(spark, path), path)
+      .map(_.getName.stripPrefix("v").toLong)
+
+  /** SNAPSHOT READ of a retained manifest version: the target exactly as
+    * the batch that committed `version` left it. With the default
+    * `retainVersions = 1` only the newest version exists; a writer that
+    * passes `retainVersions = N` keeps the last N snapshots readable —
+    * a reader holding a retained version never sees mixed or vanished
+    * data, because GC only removes dirs unreferenced by EVERY retained
+    * manifest. */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    val meta = readMeta(spark, path)
+    val p = new Path(new Path(path, manifestDir), f"v$version%09d")
+    require(fs.exists(p),
+      s"manifest version $version is not retained at $path " +
+        s"(have: ${manifestVersions(spark, path).mkString(",")})")
+    val mapping = parseManifest(fs, p)
+    val dirs = mapping.toSeq.sortBy(_._1)
+      .map { case (b, c) => leafDir(path, c, b).toString }
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(dirs: _*)
   }
 
   /** Publish `mapping` as the next manifest version. The single
     * `create(overwrite = false)` is the batch's atomic commit point; a
-    * second writer racing to the same version fails here, loudly. */
+    * second writer racing to the same version fails here, loudly.
+    * Afterwards only the newest `retain` versions are kept: superseded
+    * manifests beyond the retention window point at dirs the GC may
+    * remove, so leaving them listed would trade "old snapshot" for
+    * "failing snapshot". */
   private def commitManifest(
-      fs: FileSystem, path: String, mapping: Map[Int, String]): Unit = {
+      fs: FileSystem, path: String, mapping: Map[Int, String], retain: Int): Unit = {
     val dir = new Path(path, manifestDir)
     val next = currentManifestFile(fs, path)
       .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(1L)
@@ -185,24 +226,24 @@ object BucketedMergeSink {
       .map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n")
     val out = fs.create(p, false) // atomic commit: fails if it exists
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // retain only the committed version: superseded manifests point at
-    // dirs the GC below may remove, so leaving them readable would trade
-    // "old snapshot" for "failing snapshot" without a retention contract
-    fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(q => q.getName.startsWith("v") && q.getName != p.getName)
-      .foreach(fs.delete(_, false))
+    val files = manifestFiles(fs, path)
+    files.dropRight(math.max(1, retain)).foreach(fs.delete(_, false))
   }
 
-  /** Remove data dirs not referenced by the current manifest: leftovers
+  /** Remove data dirs not referenced by ANY retained manifest: leftovers
     * of a crash between data write and manifest commit, and bucket dirs
-    * superseded by later commits. Runs at the START of each write (so a
-    * crashed batch's orphans die on replay) and after each commit (so
-    * superseded data doesn't accumulate). Single-writer contract. */
-  private def gcUnreferenced(fs: FileSystem, path: String, mapping: Map[Int, String]): Unit = {
+    * superseded past the retention window. Runs at the START of each
+    * write (so a crashed batch's orphans die on replay) and after each
+    * commit (so superseded data doesn't accumulate). Single-writer
+    * contract. */
+  private def gcUnreferenced(fs: FileSystem, path: String): Unit = {
     val dd = new Path(path, dataDir)
     if (!fs.exists(dd)) return
-    val live: Map[String, Set[Int]] =
-      mapping.groupBy(_._2).map { case (d, m) => d -> m.keySet }
+    val retained: Seq[Map[Int, String]] =
+      manifestFiles(fs, path).map(p => parseManifest(fs, p))
+    val live: Map[String, Set[Int]] = retained
+      .flatMap(_.toSeq)
+      .groupBy(_._2).map { case (d, m) => d -> m.map(_._1).toSet }
     fs.listStatus(dd).toSeq.filter(_.isDirectory).foreach { c =>
       val name = c.getPath.getName
       live.get(name) match {
@@ -282,7 +323,8 @@ object BucketedMergeSink {
       key: Seq[String] = Seq("id"),
       identifier: String = "id",
       excluded: Seq[String] = Nil,
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64,
+      retainVersions: Int = 1): Unit = {
     require(Set("upsert", "update", "delete")(loadType),
       s"unknown load type: $loadType")
     require(!batch.columns.contains(bucketCol),
@@ -300,9 +342,9 @@ object BucketedMergeSink {
           // update-only against an absent target affects zero rows, but
           // it DOES establish the layout (schema + key), like
           // mergeIntoParquet's limit(0) write
-          createTarget(spark, MergeSink.dedupeBatch(batch, key).limit(0), path, key, numBuckets)
+          createTarget(spark, MergeSink.dedupeBatch(batch, key).limit(0), path, key, numBuckets, retainVersions)
         case "upsert" =>
-          createTarget(spark, MergeSink.dedupeBatch(batch, key), path, key, numBuckets)
+          createTarget(spark, MergeSink.dedupeBatch(batch, key), path, key, numBuckets, retainVersions)
       }
       return
     }
@@ -317,7 +359,7 @@ object BucketedMergeSink {
 
     val mapping = readManifest(spark, path)
     // clean up any previous crash's orphan data dirs before writing ours
-    gcUnreferenced(fs, path, mapping)
+    gcUnreferenced(fs, path)
     val existing = mapping.keys.toSeq
     // which buckets does this batch touch? a delete prunes when the
     // TARGET column it matches is the layout key (a target row with
@@ -386,8 +428,8 @@ object BucketedMergeSink {
       val rewritten = (if (loadType == "delete") touchedExisting else touched).toSet
       val newMapping = (mapping -- rewritten) ++
         produced.filter(rewritten.contains).map(_ -> commit)
-      commitManifest(fs, path, newMapping) // <- the batch becomes visible HERE
-      gcUnreferenced(fs, path, newMapping)
+      commitManifest(fs, path, newMapping, retainVersions) // <- the batch becomes visible HERE
+      gcUnreferenced(fs, path)
     } finally if (ownPersist) batch.unpersist(false)
   }
 
@@ -416,10 +458,11 @@ object BucketedMergeSink {
   def compact(
       spark: SparkSession,
       path: String,
-      maxFiles: Int = 1): Seq[Int] = {
+      maxFiles: Int = 1,
+      retainVersions: Int = 1): Seq[Int] = {
     val fs = fsOf(spark, path)
     val mapping = readManifest(spark, path)
-    gcUnreferenced(fs, path, mapping)
+    gcUnreferenced(fs, path)
     val fragmented = listParallel(mapping.toSeq) { case (b, c) =>
       val files = fs.listStatus(leafDir(path, c, b))
         .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
@@ -436,8 +479,8 @@ object BucketedMergeSink {
       .write.partitionBy(bucketCol).parquet(commitPath.toString)
     catch { case e: Throwable => fs.delete(commitPath, true); throw e }
     val newMapping = mapping ++ fragmented.map(_ -> commit)
-    commitManifest(fs, path, newMapping)
-    gcUnreferenced(fs, path, newMapping)
+    commitManifest(fs, path, newMapping, retainVersions)
+    gcUnreferenced(fs, path)
     fragmented
   }
 
@@ -464,7 +507,8 @@ object BucketedMergeSink {
       rows: DataFrame,
       path: String,
       key: Seq[String],
-      numBuckets: Int): Unit = {
+      numBuckets: Int,
+      retainVersions: Int): Unit = {
     key.foreach(k => require(rows.columns.contains(k),
       s"key column '$k' missing from batch (${rows.columns.mkString(",")})"))
     val dst = new Path(path)
@@ -483,6 +527,6 @@ object BucketedMergeSink {
     val buckets = fs.listStatus(commitPath).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(bucketCol + "="))
       .map(_.stripPrefix(bucketCol + "=").toInt)
-    commitManifest(fs, path, buckets.map(_ -> commit).toMap)
+    commitManifest(fs, path, buckets.map(_ -> commit).toMap, retainVersions)
   }
 }

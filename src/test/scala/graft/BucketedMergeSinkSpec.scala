@@ -182,6 +182,33 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(BucketedMergeSink.read(spark, path).count() == 11)
   }
 
+  test("retainVersions=2: the previous snapshot stays readable after a commit " +
+    "(time travel), and retention rolls forward") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(20), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 2)
+    val v1 = BucketedMergeSink.manifestVersions(spark, path).last
+    BucketedMergeSink.merge(spark,
+      Seq((21L, "x", 210L)).toDF("id", "name", "v"), path, "upsert", Seq("id"),
+      retainVersions = 2)
+    // both versions retained; v1 is the pre-batch snapshot, intact
+    assert(BucketedMergeSink.manifestVersions(spark, path).size == 2)
+    assert(BucketedMergeSink.readVersion(spark, path, v1).count() == 20)
+    assert(BucketedMergeSink.read(spark, path).count() == 21)
+    // third commit rolls the window: v1 drops out (file gone, its
+    // exclusive dirs GC'd), v2 remains readable
+    BucketedMergeSink.merge(spark,
+      Seq((22L, "y", 220L)).toDF("id", "name", "v"), path, "upsert", Seq("id"),
+      retainVersions = 2)
+    val vs = BucketedMergeSink.manifestVersions(spark, path)
+    assert(vs.size == 2 && !vs.contains(v1))
+    assert(BucketedMergeSink.readVersion(spark, path, vs.head).count() == 21)
+    assert(BucketedMergeSink.read(spark, path).count() == 22)
+    intercept[IllegalArgumentException] {
+      BucketedMergeSink.readVersion(spark, path, v1)
+    }
+  }
+
   test("update against an absent target establishes the layout but writes no rows") {
     val path = tmpTarget()
     val batch = Seq((1L, "a", 1L)).toDF("id", "name", "v")
