@@ -14,14 +14,21 @@ import scala.jdk.CollectionConverters._
   *     isolated) — GC-settle between queries cannot undo that;
   *     process isolation can. The parent holds no SparkSession.
   *   - CHILD (`--family name1,name2,... --out file`): creates the
-  *     shipped session, does the untimed warmup, runs 2 passes over
-  *     its subset, writes one TSV row per query plus a #meta row.
+  *     shipped session, does the untimed warmup, runs
+  *     `SPARK_GRAFT_PASSES` (default 2) passes over its subset, writes
+  *     one TSV row per query plus `#meta` and per-pass `#work` rows.
   *
-  * The parent prints the driver-facing one-line JSON on stdout AND
-  * writes the identical JSON to `BENCH_FULL.json` (override with
-  * SPARK_GRAFT_BENCH_OUT) — the driver's artifact keeps only the last
-  * 4 KB of output, which truncated r8's per-query history for q01–q64;
-  * the repo file is the durable record.
+  * Report contract (round 9's verdict asks #1/#2/#6):
+  *   - stdout carries a COMPACT one-line JSON (headline values only,
+  *     ~3.3 KB — sized for the driver's 4 KB output tail), printed
+  *     once when ready and AGAIN as the strict last act;
+  *   - `BENCH_FULL.json` (override with SPARK_GRAFT_BENCH_OUT) is the
+  *     complete measurement of record: all raw pass arrays, isolated
+  *     re-run passes, and per-query-per-pass WORK metrics (task cpu,
+  *     input rows/bytes, shuffle read/write, spill, peak memory) from
+  *     a SparkListener — the adjudicator for wall-clock anomalies.
+  *     It is committed AS MEASURED, storms and all; a calm rerun worth
+  *     keeping goes in an additional dated file, never in its place.
   *
   * If spawning children fails (classpath oddities under a nonstandard
   * launcher), the parent falls back to the single-JVM in-process run so
@@ -49,6 +56,72 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
 
+  /** Per-query-per-pass WORK metrics (summed over the pass's tasks).
+    * Wall-clock alone cannot distinguish a host stall from a real plan
+    * regression (r9: q56 measured 3.9–43.8 s for the identical plan on
+    * identical data); cpu/input/shuffle volumes can — identical work
+    * with scattered wall-clock = external interference, diverging work
+    * = a real data/plan sensitivity. */
+  private[graft] final case class Work(
+      cpuS: Double, runS: Double, inputMb: Double, inputRows: Long,
+      shReadMb: Double, shWriteMb: Double, spillMb: Double,
+      peakMemMb: Double, tasks: Long) {
+    def tsv: String = f"$cpuS%.3f\t$runS%.3f\t$inputMb%.3f\t$inputRows\t" +
+      f"$shReadMb%.3f\t$shWriteMb%.3f\t$spillMb%.3f\t$peakMemMb%.3f\t$tasks"
+    def json: String = f"""{"cpu_s":$cpuS%.3f,"run_s":$runS%.3f,""" +
+      f""""input_mb":$inputMb%.3f,"input_rows":$inputRows,""" +
+      f""""sh_read_mb":$shReadMb%.3f,"sh_write_mb":$shWriteMb%.3f,""" +
+      f""""spill_mb":$spillMb%.3f,"peak_mem_mb":$peakMemMb%.3f,"tasks":$tasks}"""
+  }
+  private[graft] object Work {
+    def fromTsv(p: Array[String]): Work = Work(
+      p(0).toDouble, p(1).toDouble, p(2).toDouble, p(3).toLong,
+      p(4).toDouble, p(5).toDouble, p(6).toDouble, p(7).toDouble, p(8).toLong)
+  }
+
+  /** SparkListener accumulating task metrics. The listener bus is async,
+    * so callers [[drain]] (poll until the end-event counter is stable)
+    * before [[reset]] / [[snapshot]] — both happen OFF the timed
+    * window, between queries. */
+  private[graft] final class WorkListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val ended = new AtomicLong // drain watches this
+    private val cpuNs, runMs, inBytes, inRows, shRead, shWrite, spill = new AtomicLong
+    private val peakMem, nTasks = new AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        nTasks.incrementAndGet()
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+        inBytes.addAndGet(m.inputMetrics.bytesRead)
+        inRows.addAndGet(m.inputMetrics.recordsRead)
+        shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+      }
+      ended.incrementAndGet()
+    }
+    def reset(): Unit =
+      Seq(cpuNs, runMs, inBytes, inRows, shRead, shWrite, spill, peakMem, nTasks)
+        .foreach(_.set(0))
+    def snapshot: Work = Work(
+      cpuNs.get / 1e9, runMs.get / 1e3, inBytes.get / 1048576.0, inRows.get,
+      shRead.get / 1048576.0, shWrite.get / 1048576.0, spill.get / 1048576.0,
+      peakMem.get / 1048576.0, nTasks.get)
+    /** Wait until no task-end event has arrived for ~150 ms (cap 2 s). */
+    def drain(): Unit = {
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 2000) {
+        val c = ended.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(50); waited += 50
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val fi = args.indexOf("--family")
     if (fi >= 0) {
@@ -71,6 +144,15 @@ object Bench {
 
   // ------------------------------------------------------------- parent
 
+  /** One family/JVM run's output: per-query pass wall-clocks, session
+    * meta, per-query pass work metrics. */
+  private type FamilyRun =
+    (Seq[(String, Seq[Double])], Map[String, String], Map[String, Seq[Work]])
+
+  private def batteryPasses =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+  private val isolatedPassCount = 3
+
   private def runParent(): Unit = {
     val names = batteryNames
     val nFam = math.max(1, math.min(names.size,
@@ -82,10 +164,10 @@ object Bench {
         names.grouped(per).toSeq
       }
     var spawned = true
-    val results: Seq[(Seq[(String, Seq[Double])], Map[String, String])] =
+    val results: Seq[FamilyRun] =
       if (nFam == 1) { spawned = false; Seq(runInProcess(names)) }
       else {
-        try fams.map(f => spawnFamily(f))
+        try fams.map(f => spawnFamily(f, passes = batteryPasses))
         catch { case e: Throwable =>
           System.err.println(s"[bench] family spawn failed (${e.getMessage}); " +
             "falling back to single-JVM in-process run")
@@ -95,10 +177,11 @@ object Bench {
       }
     val passesByName: Seq[(String, Seq[Double])] = results.flatMap(_._1)
     val meta = results.head._2
+    val workByName: Map[String, Seq[Work]] = results.flatMap(_._3).toMap
     // fresh-JVM re-runs of the heavy tail (see scaladoc); skipped when
     // children can't spawn or in single-family local iteration
     val nIso = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "5").toInt
-    val isolated: Map[String, Seq[Double]] =
+    val isolatedRuns: Map[String, FamilyRun] =
       if (!spawned || nIso <= 0) Map.empty
       else passesByName
         .map { case (n, ts) => n -> ts.filter(_ >= 0) }
@@ -106,19 +189,21 @@ object Bench {
         .sortBy { case (_, ok) => -ok.min }
         .take(nIso)
         .flatMap { case (n, _) =>
-          try Some(n -> spawnFamily(Seq(n), passes = 3)._1.head._2)
+          try Some(n -> spawnFamily(Seq(n), passes = isolatedPassCount))
           catch { case e: Throwable =>
             System.err.println(s"[bench] isolated re-run of $n failed: ${e.getMessage}")
             None
           }
         }.toMap
-    emit(passesByName, meta, families = results.size, isolated)
+    val isolated = isolatedRuns.map { case (n, r) => n -> r._1.head._2 }
+    val isolatedWork = isolatedRuns.flatMap { case (n, r) => r._3.get(n).map(n -> _) }
+    emit(passesByName, meta, families = results.size, isolated,
+      workByName, isolatedWork, batteryPassCount = batteryPasses)
   }
 
-  /** Run one family in a fresh JVM; returns (per-query pass times, meta). */
-  private def spawnFamily(
-      names: Seq[String],
-      passes: Int = 2): (Seq[(String, Seq[Double])], Map[String, String]) = {
+  /** Run one family in a fresh JVM; returns (per-query pass times, meta,
+    * per-query pass work metrics). */
+  private def spawnFamily(names: Seq[String], passes: Int): FamilyRun = {
     val out = java.io.File.createTempFile("graft-bench-", ".tsv")
     out.deleteOnExit()
     val javaBin = new java.io.File(
@@ -134,6 +219,10 @@ object Bench {
       "graft.Bench", "--family", names.mkString(","), "--out", out.getPath)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_GRAFT_PASSES", passes.toString)
+    // bench-harness-only: RAM-backed scratch (see GraftSession scaladoc —
+    // the library default stays on-disk; the bench opts in to take the
+    // sandbox's ext4-discard stalls out of the measurement)
+    pb.environment().put("SPARK_GRAFT_TMPFS_SCRATCH", "1")
     pb.redirectErrorStream(false)
     pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -152,33 +241,54 @@ object Bench {
       val p = l.split("\t")
       p(0) -> p.drop(1).map(_.toDouble).toSeq
     }
+    // "#work\t<name>\t<pass-ordinal>\t<Work.tsv fields>" — one row per
+    // query per pass, in pass order
+    val work: Map[String, Seq[Work]] = lines.filter(_.startsWith("#work\t"))
+      .map { l =>
+        val p = l.split("\t")
+        (p(1), p(2).toInt, Work.fromTsv(p.drop(3)))
+      }
+      .groupBy(_._1)
+      .map { case (n, ws) => n -> ws.sortBy(_._2).map(_._3).toSeq }
     val missing = names.toSet -- rows.map(_._1).toSet
     require(missing.isEmpty, s"bench family lost queries: ${missing.mkString(",")}")
-    (rows, meta)
+    (rows, meta, work)
   }
 
   // ------------------------------------------------------------- child
 
   private def runChild(names: Seq[String], outPath: String): Unit = {
-    val (rows, meta) = runInProcess(names)
+    val (rows, meta, work) = runInProcess(names)
     val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
     try {
       w.println("#meta\t" + meta.map { case (k, v) => s"$k=$v" }.mkString("\t"))
       rows.foreach { case (n, ts) => w.println((n +: ts.map(_.toString)).mkString("\t")) }
+      work.foreach { case (n, ws) =>
+        ws.zipWithIndex.foreach { case (wk, i) => w.println(s"#work\t$n\t$i\t${wk.tsv}") }
+      }
     } finally w.close()
   }
 
-  /** Warmup + 2 timed passes over `names` in THIS JVM with the shipped
-    * session. Returns per-query pass times (−1 = that pass failed). */
-  private def runInProcess(names: Seq[String]): (Seq[(String, Seq[Double])], Map[String, String]) = {
+  /** Warmup + `SPARK_GRAFT_PASSES` timed passes over `names` in THIS JVM
+    * with the shipped session. Returns per-query pass times (−1 = that
+    * pass failed) and per-query pass work metrics. */
+  private def runInProcess(names: Seq[String]): FamilyRun = {
     // Bench the SHIPPED session: GraftSession.create (AQE + skew-join +
     // UTC + GraftExtensions kernels + shuffle partitions derived from
     // the live parallelism) — a hand-built session here would measure a
     // config no library user actually gets.
-    val spark = GraftSession.create(configure = _
-      .master(s"local[$cpus]")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false"))
+    val spark = GraftSession.create(configure = b => {
+      val c = b.master(s"local[$cpus]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+      // tmpfs scratch is opt-in in GraftSession (a library user must not
+      // inherit RAM-backed spill silently); the bench ALWAYS wants it —
+      // also when run directly without the parent's env var
+      if (!sys.env.contains("SPARK_LOCAL_DIRS") &&
+          new java.io.File("/dev/shm").isDirectory)
+        c.config("spark.local.dir", "/dev/shm/graft-local")
+      else c
+    })
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: first jobs in a fresh JVM pay classloading, codegen
     // compiler init and parquet footer reads; without this the first
@@ -189,7 +299,9 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     }
-    def onePass(): Seq[(String, Double)] =
+    val work = new WorkListener
+    spark.sparkContext.addSparkListener(work)
+    def onePass(): Seq[(String, (Double, Work))] =
       names.map { name =>
         // Evict the PREVIOUS query's leaked executor-memory state before
         // timing this one: several battery entries localCheckpoint/persist
@@ -208,6 +320,10 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         System.gc()
         Thread.sleep(100)
+        // settle the async listener bus, then zero the work counters so
+        // this window's metrics belong to this query alone — all off the
+        // timed window
+        work.drain(); work.reset()
         val t0 = System.nanoTime()
         // noop write: computes and consumes every output column (a count()
         // would let Catalyst prune projections/sorts and under-measure the
@@ -216,19 +332,24 @@ object Bench {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] $name $sec%.1f s") // live progress
-          name -> sec
+          work.drain()
+          val wk = work.snapshot
+          System.err.println(f"[bench] $name $sec%.1f s " +
+            f"(cpu ${wk.cpuS}%.1f s, sh ${wk.shReadMb + wk.shWriteMb}%.0f MB)")
+          name -> (sec, wk)
         } catch { case e: Throwable =>
           // visible sentinel: a swallowed failure must not masquerade as
           // the fastest query in the report
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+          work.drain()
+          name -> (-1.0, work.snapshot)
         }
       }
     val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     val runs = Seq.fill(nPasses)(onePass())
     val byName = runs.map(_.toMap)
-    val rows = names.map(n => n -> byName.map(_.apply(n)))
+    val rows = names.map(n => n -> byName.map(_.apply(n)._1))
+    val workRows = names.map(n => n -> byName.map(_.apply(n)._2)).toMap
     val rt = Runtime.getRuntime
     val gcNames = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getName).mkString("+")
@@ -237,7 +358,7 @@ object Bench {
       "gc" -> gcNames,
       "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"))
     spark.stop()
-    (rows, meta)
+    (rows, meta, workRows)
   }
 
   // ------------------------------------------------------------- report
@@ -246,7 +367,10 @@ object Bench {
       passesByName: Seq[(String, Seq[Double])],
       meta: Map[String, String],
       families: Int,
-      isolatedPasses: Map[String, Seq[Double]]): Unit = {
+      isolatedPasses: Map[String, Seq[Double]],
+      workByName: Map[String, Seq[Work]],
+      isolatedWork: Map[String, Seq[Work]],
+      batteryPassCount: Int): Unit = {
     // best-of-passes: identical plans vary up to ~2x run-to-run on a
     // shared box; the per-query minimum is the standard noise-resistant
     // estimate. For isolated entries the min ALSO spans the fresh-JVM
@@ -296,16 +420,47 @@ object Bench {
     val iso = isolatedPasses.toSeq.sortBy(_._1).map { case (n, ts) =>
       s"\"" + n + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"isolated":$iso,"sf":"$sfDir","runs":2,"agg":"min","jvm":$jvm,"data":$fp}"""
-    println(json)
-    // durable full report: the driver's BENCH artifact keeps only a 4 KB
-    // tail, which lost r8's q01–q64 per-query history
+    // per-query per-pass work metrics (battery JVMs and isolated JVMs
+    // kept separate): the adjudicator for wall-clock anomalies —
+    // identical work + scattered wall-clock = host storm, diverging
+    // work = real sensitivity (r9's q56 question)
+    def workJson(m: Map[String, Seq[Work]]): String =
+      m.toSeq.sortBy(_._1).map { case (n, ws) =>
+        s"\"" + n + "\":[" + ws.map(_.json).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    // real pass counts, not a hardcoded literal: battery from
+    // SPARK_GRAFT_PASSES, isolated fixed at 3 (0 when no entry
+    // qualified or children could not spawn)
+    val runsJson = s"""{"battery":$batteryPassCount,""" +
+      s""""isolated":${if (isolatedPasses.nonEmpty) isolatedPassCount else 0}}"""
+    val common = s""""unit":"sec","sf":"$sfDir","runs":$runsJson,"agg":"min","jvm":$jvm"""
+    val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
+      s""""passes":$passes,"isolated":$iso,"work":${workJson(workByName)},""" +
+      s""""work_isolated":${workJson(isolatedWork)},"data":$fp}"""
+    // The driver keeps only the LAST 4 KB of output and parses a JSON
+    // line out of it; the full report (~15 KB with passes + work) can
+    // never fit, so stdout carries a COMPACT line — headline values
+    // rounded to 3 decimals, no pass arrays — that does (~3.3 KB),
+    // while BENCH_FULL.json holds the complete record.
+    val qsCompact = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,$common,"queries":$qsCompact,"full_report":"BENCH_FULL.json"}"""
+    println(compact)
+    // durable full report: the measurement of record. Committed AS RUN —
+    // storms and all (the per-pass arrays + work metrics let a reader
+    // discount storms); never replaced by a hand-picked calm window.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(outFile, "UTF-8")
-      try w.println(json) finally w.close()
+      try w.println(full) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // printed AGAIN as the strict last act: the driver's 4 KB tail then
+    // contains one complete compact JSON line even when earlier stdout
+    // (this line's first printing, Spark warnings) pushes bytes out of
+    // the window — only sbt's own epilogue follows.
+    println(compact)
   }
 }

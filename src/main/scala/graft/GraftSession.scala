@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** True when the host explicitly opted in to RAM-backed Spark scratch
+    * dirs (see the builder's tmpfs block). */
+  private def tmpfsScratchOptIn: Boolean =
+    sys.env.get("SPARK_GRAFT_TMPFS_SCRATCH")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
   /** Builder with every static knob set. `shufflePartitions <= 0` (the
     * default) leaves `spark.sql.shuffle.partitions` to be derived from
     * the live cluster — use [[create]], which finishes that step; a
@@ -49,18 +55,21 @@ object GraftSession {
       // humanly complete while capping the cost.
       .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
       .withExtensions(new graft.functions.GraftExtensions)
-    // Shuffle/spill scratch on tmpfs when one is mounted and nothing
-    // else claims the dirs: local-fs shuffle churn (write then delete
-    // thousands of small files per stage) can serialize in the kernel —
-    // on this sandbox's root fs (ext4 mounted with synchronous
-    // `discard`, virtio) it measured as minutes-long 99%-sys-time
-    // windows that made random bench passes 8-15x slower, with executor
-    // threads pinned in ext4 block-allocation paths. RAM-backed dirs
-    // take the filesystem out of the hot path entirely. On a real
-    // cluster the manager provisions SPARK_LOCAL_DIRS (env beats this
-    // conf in Spark's resolution order), so production behavior is
-    // unchanged.
-    if (!sys.env.contains("SPARK_LOCAL_DIRS") &&
+    // Shuffle/spill scratch on tmpfs — OPT-IN via
+    // SPARK_GRAFT_TMPFS_SCRATCH=1 (the bench harness sets it): local-fs
+    // shuffle churn (write then delete thousands of small files per
+    // stage) can serialize in the kernel — on this sandbox's root fs
+    // (ext4 mounted with synchronous `discard`, virtio) it measured as
+    // minutes-long 99%-sys-time windows that made random bench passes
+    // 8-15x slower, with executor threads pinned in ext4
+    // block-allocation paths. RAM-backed dirs take the filesystem out
+    // of the hot path entirely. NOT the library default: tmpfs is
+    // typically capped at half of RAM, so a large job spilling there
+    // can ENOSPC mid-shuffle or pressure host memory — a host
+    // application opts in only when it knows its spill volume. On a
+    // real cluster the manager provisions SPARK_LOCAL_DIRS (env beats
+    // this conf in Spark's resolution order) either way.
+    if (tmpfsScratchOptIn && !sys.env.contains("SPARK_LOCAL_DIRS") &&
         new java.io.File("/dev/shm").isDirectory)
       b.config("spark.local.dir", "/dev/shm/graft-local")
     if (shufflePartitions > 0)

@@ -46,7 +46,43 @@ object Tables {
     * Bench in separate processes) can never race on a half-written
     * fixture. Within one process the fixture still builds once and is
     * reused across passes. */
+  /** Every fixture/scratch dir is pid-scoped (see below), so nothing
+    * cleans one process's dirs while another reads them — but that also
+    * means every fresh JVM (a bench run spawns up to ~9) builds fixtures
+    * under NEW /tmp paths, and without cleanup /tmp grows without bound
+    * across rounds. Two-sided fix, installed once per JVM on first
+    * fixture/scratch use:
+    *   - a shutdown hook deletes THIS pid's `graft-*` dirs on clean exit;
+    *   - startup pruning deletes `graft-*` dirs whose embedded pid is no
+    *     longer alive (kill -9 and OOM-kills skip shutdown hooks).
+    * Live processes' dirs are never touched. */
+  private val dirName = """^graft-[A-Za-z0-9]+-(\d+)-[0-9a-fA-F]+$""".r
+  private lazy val cleanupInstalled: Unit = {
+    val self = ProcessHandle.current().pid()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    def sweep(keep: Long => Boolean): Unit =
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .foreach { f =>
+          f.getName match {
+            case dirName(pid) if !keep(pid.toLong) =>
+              try rm(f) catch { case _: Throwable => () }
+            case _ => ()
+          }
+        }
+    def alive(pid: Long): Boolean = {
+      val oh = ProcessHandle.of(pid)
+      oh.isPresent && oh.get.isAlive
+    }
+    sweep(pid => pid == self || alive(pid))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sweep(pid => pid != self)))
+  }
+
   def fixturePath(prefix: String, src: String): String = {
+    cleanupInstalled
     val f = new java.io.File(src)
     val files =
       (if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq
@@ -59,6 +95,8 @@ object Tables {
   /** /tmp path for a REBUILT-per-invocation scratch target (callers
     * deleteQuietly it up front): pid-scoped so concurrent processes
     * cannot delete each other's target mid-read. */
-  def scratchPath(prefix: String, dir: String): String =
+  def scratchPath(prefix: String, dir: String): String = {
+    cleanupInstalled
     s"/tmp/$prefix-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+  }
 }

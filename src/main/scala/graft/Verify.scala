@@ -9,10 +9,17 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the SHIPPED session (GraftSession.create), same as Bench: results
     // must come from the config a library user actually gets
-    val spark = GraftSession.create(configure = _
-      .master(s"local[$cpus]")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false"))
+    val spark = GraftSession.create(configure = b => {
+      val c = b.master(s"local[$cpus]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+      // like Bench: the harness opts in to RAM-backed scratch (the
+      // library default stays on-disk — GraftSession scaladoc)
+      if (!sys.env.contains("SPARK_LOCAL_DIRS") &&
+          new java.io.File("/dev/shm").isDirectory)
+        c.config("spark.local.dir", "/dev/shm/graft-local")
+      else c
+    })
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query filter for local iteration (unset =

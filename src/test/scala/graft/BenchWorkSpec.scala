@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's work-metrics listener (Bench.WorkListener): the
+  * per-query cpu/input/shuffle numbers in BENCH_FULL.json are what make
+  * wall-clock anomalies adjudicable (host storm vs real regression), so
+  * the listener itself must demonstrably measure — a silently-zero
+  * metric would read as "no work" and mislead the adjudication. */
+class BenchWorkSpec extends AnyFunSuite with SparkTestBase {
+
+  test("WorkListener captures cpu, input and shuffle volume for a real job") {
+    val l = new Bench.WorkListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      l.drain(); l.reset()
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+      df.write.format("noop").mode("overwrite").save()
+      l.drain()
+      val w = l.snapshot
+      assert(w.tasks > 0, s"no tasks observed: $w")
+      assert(w.cpuS > 0, s"zero cpu: $w")
+      assert(w.inputRows > 0 && w.inputMb > 0, s"no input observed: $w")
+      assert(w.shWriteMb > 0 && w.shReadMb > 0,
+        s"groupBy must show shuffle volume: $w")
+      // reset zeroes every counter — a stale value would attribute one
+      // query's work to the next
+      l.drain(); l.reset()
+      val z = l.snapshot
+      assert(z.tasks == 0 && z.cpuS == 0 && z.inputRows == 0 &&
+        z.shReadMb == 0 && z.peakMemMb == 0, s"reset left state: $z")
+      // TSV round-trip: the child→parent handoff must not lose fields
+      val rt = Bench.Work.fromTsv(w.tsv.split("\t"))
+      assert(rt.inputRows == w.inputRows && rt.tasks == w.tasks)
+      assert(math.abs(rt.cpuS - w.cpuS) < 0.002)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+}
