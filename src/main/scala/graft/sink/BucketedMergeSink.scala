@@ -352,6 +352,11 @@ object BucketedMergeSink {
     val meta = readMeta(spark, path)
     val n = meta.numBuckets
     val mergeKey = if (loadType == "delete") Seq(identifier) else key
+    // schema-evolution contract (MergeSink.validateBatchSchema scaladoc):
+    // checked BEFORE any routing/persist work — the routing cast below
+    // must never be the thing that silently narrows a batch column
+    if (loadType != "delete")
+      MergeSink.validateBatchSchema(meta.schema, batch.schema, mergeKey)
     if (loadType != "delete")
       require(key == meta.key,
         s"bucketed target $path is keyed on ${meta.key.mkString(",")} — " +

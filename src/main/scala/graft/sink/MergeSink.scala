@@ -57,6 +57,52 @@ object MergeSink {
   private def keyCond(key: Seq[String]): Column =
     key.map(k => col(s"t.$k") <=> col(s"b.$k")).reduce(_ && _)
 
+  /** THE schema-evolution contract for both merge sinks (flat and
+    * bucketed), matching the reference's by-name, target-authoritative
+    * coercion (`json_populate_recordset(null::t, %s)`, Pype.py:107,126):
+    *
+    *   - a batch column UNKNOWN to the target is IGNORED (the reference
+    *     drops JSON keys that aren't table columns);
+    *   - a target column MISSING from the batch keeps its target value
+    *     on match and loads NULL on insert (absent JSON key → NULL);
+    *   - a shared column whose batch type up-casts LOSSLESSLY to the
+    *     target type is coerced (int→long, float→double, decimal
+    *     widening — `Cast.canUpCast`);
+    *   - anything LOSSY or incompatible (double→long, string→int,
+    *     mismatched nesting) REFUSES LOUDLY here. Postgres would raise
+    *     on such a batch; a silent truncating cast is data loss — the
+    *     failure mode this check exists to kill. A caller who intends
+    *     the narrowing casts the batch explicitly first;
+    *   - every merge-key column must be present in the batch — a merge
+    *     without its key is meaningless.
+    *
+    * Called by [[upsert]] and [[update]] (and via them, the bucketed
+    * sink); [[delete]] checks only the identifier column. */
+  def validateBatchSchema(
+      target: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType,
+      key: Seq[String]): Unit = {
+    val tTypes = target.fields.map(f => f.name -> f.dataType).toMap
+    val missingKey = key.filterNot(k => batch.fieldNames.contains(k))
+    require(missingKey.isEmpty,
+      s"merge batch lacks key column(s) ${missingKey.mkString(", ")} " +
+        s"(batch columns: ${batch.fieldNames.mkString(", ")})")
+    val lossy = batch.fields.toSeq.flatMap { f =>
+      tTypes.get(f.name) match {
+        case Some(t) if f.dataType == t => None
+        case Some(t) if org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(f.dataType, t) => None
+        case Some(t) =>
+          Some(s"${f.name} (batch ${f.dataType.simpleString} -> target ${t.simpleString})")
+        case None => None // unknown to the target: ignored by contract
+      }
+    }
+    if (lossy.nonEmpty) throw new IllegalArgumentException(
+      "merge batch column(s) would need a lossy/incompatible cast to the " +
+        "target type — refusing silent data loss; cast the batch " +
+        "explicitly if the narrowing is intended: " + lossy.mkString("; "))
+  }
+
   /** Size-gated broadcast decision for a merge batch: true iff the
     * optimizer's size estimate fits under
     * `spark.sql.autoBroadcastJoinThreshold` (false when broadcasting is
@@ -101,6 +147,7 @@ object MergeSink {
       key: Seq[String] = Seq("id"),
       excluded: Seq[String] = Nil,
       broadcastBatch: Boolean = false): DataFrame = {
+    validateBatchSchema(target.schema, batch.schema, key)
     val cleanBatch = dedupeBatch(batch, key)
     val batchCols = cleanBatch.columns.toSet
     // the TARGET schema is authoritative (json_populate_recordset
@@ -164,6 +211,7 @@ object MergeSink {
       key: Seq[String] = Seq("id"),
       excluded: Seq[String] = Nil,
       broadcastBatch: Boolean = false): DataFrame = {
+    validateBatchSchema(target.schema, batch.schema, key)
     val cleanBatch = dedupeBatch(batch, key)
     val b0 = if (broadcastBatch) broadcast(cleanBatch) else cleanBatch
     val t = target.alias("t")
@@ -198,6 +246,25 @@ object MergeSink {
       identifier: String = "id",
       broadcastIds: Boolean = true): DataFrame = {
     val idCol = if (ids.columns.contains(identifier)) identifier else ids.columns.head
+    // same loud-failure stance as validateBatchSchema: an id column that
+    // can't compare losslessly with the target identifier (e.g. string
+    // ids vs a long target key) would silently delete nothing
+    for (tf <- target.schema.fields.find(_.name == identifier);
+         bf <- ids.schema.fields.find(_.name == idCol)) {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.StringType
+      // canUpCast alone is too lax here: it blesses anything→string, but
+      // comparing string ids against a numeric key (or vice versa) is
+      // exactly the silent-no-match case being guarded
+      val comparable = bf.dataType == tf.dataType ||
+        ((bf.dataType == StringType) == (tf.dataType == StringType) &&
+          (Cast.canUpCast(bf.dataType, tf.dataType) ||
+            Cast.canUpCast(tf.dataType, bf.dataType)))
+      require(comparable,
+        s"delete id column $idCol (${bf.dataType.simpleString}) is not " +
+          s"losslessly comparable with target $identifier " +
+          s"(${tf.dataType.simpleString}) — cast the ids explicitly")
+    }
     val dk = ids.select(col(idCol).as("__del_id"))
       .filter(col("__del_id").isNotNull).distinct()
     val d = if (broadcastIds) broadcast(dk) else dk

@@ -252,6 +252,33 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(col("id") === 7L).select("name").as[String].head() == "SEVEN")
   }
 
+  test("schema evolution: extra batch column dropped, missing one NULL on insert, " +
+    "widening coerced, lossy refused BEFORE any write") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(20), path, "upsert", Seq("id"), numBuckets = 4)
+    // extra column ignored; missing 'v' keeps target value on match, NULL on insert
+    val evolved = Seq((7L, "SEVEN", "x"), (999L, "new", "y"))
+      .toDF("id", "name", "extra")
+    BucketedMergeSink.merge(spark, evolved, path, "upsert", Seq("id"))
+    val out = BucketedMergeSink.read(spark, path)
+    assert(!out.columns.contains("extra"))
+    assert(out.filter(col("id") === 7L).select("v").as[Long].head() == 70L,
+      "missing batch column must keep the target value on match")
+    assert(out.filter(col("id") === 999L).select("v").isEmpty
+      || out.filter(col("id") === 999L).filter(col("v").isNull).count() == 1,
+      "missing batch column must load NULL on insert")
+    // widening: int v -> long v coerces (covered in the routing test too);
+    // lossy: double v -> long v refuses loudly, and refuses BEFORE
+    // touching the target (no partial commit, manifest unchanged)
+    val before = BucketedMergeSink.manifest(spark, path)
+    val lossy = Seq((7L, "SEVEN", 7.5)).toDF("id", "name", "v")
+    val e = intercept[IllegalArgumentException](
+      BucketedMergeSink.merge(spark, lossy, path, "upsert", Seq("id")))
+    assert(e.getMessage.contains("lossy"))
+    assert(BucketedMergeSink.manifest(spark, path) == before,
+      "a refused batch must leave the manifest untouched")
+  }
+
   test("mergeIntoParquet auto-delegates when pointed at a bucketed layout") {
     val path = tmpTarget()
     BucketedMergeSink.merge(spark, seed(20), path, "upsert", Seq("id"), numBuckets = 4)

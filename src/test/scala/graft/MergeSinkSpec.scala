@@ -202,19 +202,60 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(path).exists()) // nothing was written
   }
 
-  test("upsert/update: batch values cast to the TARGET column type (schema authority)") {
+  // ---- schema-evolution contract (MergeSink.validateBatchSchema) ----
+
+  test("schema evolution: a WIDENING batch type coerces to the target type, " +
+    "both join shapes") {
     import spark.implicits._
     val t = Seq((1L, 10L), (2L, 20L)).toDF("id", "v") // v: LONG
-    val b = Seq((1L, 99.9), (3L, 33.3)).toDF("id", "v") // v: DOUBLE
+    val b = Seq((1, 99), (3, 33)).toDF("id", "v") // id, v: INT — lossless up-cast
     for (bc <- Seq(true, false)) {
       val up = MergeSink.upsert(t, b, broadcastBatch = bc)
       assert(up.schema("v").dataType == org.apache.spark.sql.types.LongType,
-        s"broadcastBatch=$bc: batch double must cast to target long, " +
+        s"broadcastBatch=$bc: batch int must cast to target long, " +
           s"got ${up.schema("v").dataType}")
       assert(canon(up) == canon(Seq((1L, 99L), (2L, 20L), (3L, 33L)).toDF("id", "v")))
     }
     val upd = MergeSink.update(t, b)
     assert(upd.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(canon(upd) == canon(Seq((1L, 99L), (2L, 20L)).toDF("id", "v")))
+  }
+
+  test("schema evolution: a LOSSY batch type refuses loudly (no silent truncation)") {
+    import spark.implicits._
+    val t = Seq((1L, 10L)).toDF("id", "v") // v: LONG
+    val bDouble = Seq((1L, 99.9)).toDF("id", "v") // double -> long: lossy
+    val bString = Seq((1L, "99")).toDF("id", "v") // string -> long: not coercible
+    for (b <- Seq(bDouble, bString); bc <- Seq(true, false)) {
+      val e = intercept[IllegalArgumentException](
+        MergeSink.upsert(t, b, broadcastBatch = bc))
+      assert(e.getMessage.contains("lossy") && e.getMessage.contains("v ("),
+        s"error must name the offending column: ${e.getMessage}")
+      intercept[IllegalArgumentException](MergeSink.update(t, b, broadcastBatch = bc))
+    }
+    // the caller stays in control: an EXPLICIT cast in the batch is the
+    // documented opt-in to narrowing
+    val explicit = MergeSink.upsert(t,
+      bDouble.withColumn("v", col("v").cast("long")))
+    assert(canon(explicit) == canon(Seq((1L, 99L)).toDF("id", "v")))
+  }
+
+  test("schema evolution: a batch without the merge key refuses loudly") {
+    import spark.implicits._
+    val t = Seq((1L, "a")).toDF("id", "v")
+    val b = Seq(("x")).toDF("v")
+    val e = intercept[IllegalArgumentException](MergeSink.upsert(t, b, Seq("id")))
+    assert(e.getMessage.contains("key column"))
+  }
+
+  test("delete: id column not losslessly comparable with the target key refuses loudly") {
+    import spark.implicits._
+    val t = Seq((1L, "a")).toDF("id", "v")
+    val ids = Seq("1").toDF("id") // string ids vs long key: silent no-match
+    val e = intercept[IllegalArgumentException](MergeSink.delete(t, ids))
+    assert(e.getMessage.contains("comparable"))
+    // widening id types compare fine (int ids against a long key)
+    assert(MergeSink.delete(t, Seq(1).toDF("id")).count() == 0)
   }
 
   test("mergeIntoParquet: update against an absent target affects zero rows, not insert") {
