@@ -32,6 +32,10 @@ final case class StageSpec(
                       // load rewrites only the bucket dirs the batch touches
     compact: Boolean = false, // bucketed targets only: collapse fragmented
                               // bucket dirs to one file after the load
+    retainVersions: Int = 0, // bucketed targets only: snapshot retention
+                             // persisted into the layout at creation (0 =
+                             // layout default of 1); readers pin a retained
+                             // snapshot via a `bucketed` source's `version`
     debug: Boolean = false)
 
 /** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
@@ -139,6 +143,7 @@ object PipelineSpec {
       bulkSize = str("bulk_size", "2000").toInt,
       buckets = str("buckets", "0").toInt,
       compact = str("compact", "false").toBoolean,
+      retainVersions = str("retain_versions", "0").toInt,
       debug = str("debug", "false").toBoolean)
   }
 }

@@ -199,6 +199,13 @@ final class Runner(
       require(stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path),
         s"stage ${stage.name}: compact: true needs a bucketed target " +
           "(set buckets: N, or point at an existing bucketed layout)")
+    // retention is likewise a bucketed-layout capability — a flat target
+    // has no snapshots to retain, so a retain_versions on one is a
+    // misconfiguration to surface, not ignore
+    if (stage.retainVersions != 0)
+      require(stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path),
+        s"stage ${stage.name}: retain_versions needs a bucketed target " +
+          "(set buckets: N, or point at an existing bucketed layout)")
     // `buckets: N` in the stage YAML stores the target hash-bucketed on
     // the merge key (graft.sink.BucketedMergeSink): an incremental load
     // reads and rewrites only the bucket dirs its keys touch instead of
@@ -209,7 +216,10 @@ final class Runner(
     if (stage.buckets > 0)
       graft.sink.BucketedMergeSink.merge(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
-        stage.fieldsExcludedFromUpdate, numBuckets = stage.buckets)
+        stage.fieldsExcludedFromUpdate, numBuckets = stage.buckets,
+        // persisted into the layout at creation; on an existing target a
+        // non-zero value must match the layout's (sink contract)
+        retainVersions = stage.retainVersions)
     else
       MergeSink.mergeIntoParquet(
         spark, df, path, stage.loadType, stage.key, stage.identifier,

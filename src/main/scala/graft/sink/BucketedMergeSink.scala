@@ -47,11 +47,13 @@ import org.apache.spark.storage.StorageLevel
   *   - a crash mid-write leaves only an orphan `data/c*` dir, GC'd at
   *     the start of the next merge/compact (single-writer contract —
   *     concurrent WRITERS are out of scope, as they are for the flat
-  *     sink). With the default `retainVersions = 1` a concurrent
-  *     reader holding a superseded manifest may find its dirs GC'd and
-  *     fail loudly, never read mixed data; a writer that passes
-  *     `retainVersions = N` keeps the last N manifests AND every dir
-  *     any of them references, so readers get N-deep snapshot
+  *     sink). Retention is a LAYOUT property persisted at creation
+  *     (pass `retainVersions = N` to the creating merge; change later
+  *     with [[setRetention]]) and honored by every merge/compact: with
+  *     the default of 1 a concurrent reader holding a superseded
+  *     manifest may find its dirs GC'd and fail loudly, never read
+  *     mixed data; with N the last N manifests AND every dir any of
+  *     them references are kept, so readers get N-deep snapshot
   *     isolation ([[readVersion]] time travel) at the cost of retained
   *     storage;
   *   - bucket pruning is PATH-level: a touched-slice or keyed read
@@ -73,7 +75,16 @@ object BucketedMergeSink {
   private val manifestDir = "_graft_manifest"
   private val dataDir = "data"
 
-  final case class Meta(numBuckets: Int, key: Seq[String], schema: StructType)
+  /** Layout metadata. `retainVersions` is a LAYOUT property, persisted
+    * at creation like `numBuckets`: retention is a promise to READERS
+    * (how deep their snapshot isolation reaches), so it cannot depend on
+    * whichever writer happens to commit next — a default-parameter
+    * writer silently truncating the window to 1 would delete snapshots
+    * readVersion callers were promised. Change it explicitly with
+    * [[setRetention]]. */
+  final case class Meta(
+      numBuckets: Int, key: Seq[String], schema: StructType,
+      retainVersions: Int = 1)
 
   /** Deterministic bucket of a row: Murmur3 `hash()` of the key columns
     * mod the bucket count — the same expression at creation and on every
@@ -104,6 +115,7 @@ object BucketedMergeSink {
     val body =
       "layout=2\n" +
         s"numBuckets=${meta.numBuckets}\n" +
+        s"retainVersions=${meta.retainVersions}\n" +
         s"key=${meta.key.map(k => enc.encodeToString(k.getBytes(StandardCharsets.UTF_8))).mkString(",")}\n" +
         s"schema=${meta.schema.json}\n"
     val out = fs.create(p, true)
@@ -126,7 +138,39 @@ object BucketedMergeSink {
         case s => s.split(",").toSeq
           .map(k => new String(dec.decode(k), StandardCharsets.UTF_8))
       },
-      DataType.fromJson(fields("schema")).asInstanceOf[StructType])
+      DataType.fromJson(fields("schema")).asInstanceOf[StructType],
+      // absent in layouts created before retention was persisted -> the
+      // historical default
+      fields.get("retainVersions").map(_.toInt).getOrElse(1))
+  }
+
+  /** Change the layout's retention window. Takes effect at the NEXT
+    * commit (an enlarged window fills as new versions land; a shrunken
+    * one trims then). Single-writer contract, like every other write. */
+  def setRetention(spark: SparkSession, path: String, retainVersions: Int): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val meta = readMeta(spark, path)
+    writeMeta(spark, path, meta.copy(retainVersions = retainVersions))
+  }
+
+  /** The retention the layout promises readers at `path`. */
+  def retention(spark: SparkSession, path: String): Int =
+    readMeta(spark, path).retainVersions
+
+  /** Resolve a caller's `retainVersions` argument against the layout's
+    * persisted value: 0 (the default) = the layout's; a positive value
+    * must MATCH it — silently honoring a different value would either
+    * delete promised snapshots (smaller) or silently change the
+    * contract (larger). */
+  private def resolveRetention(requested: Int, meta: Meta, path: String): Int = {
+    if (requested == 0) meta.retainVersions
+    else {
+      require(requested == meta.retainVersions,
+        s"retainVersions=$requested conflicts with the layout's persisted " +
+          s"retention ${meta.retainVersions} at $path — retention is a " +
+          "layout property; change it with BucketedMergeSink.setRetention")
+      requested
+    }
   }
 
   private def readSmallFile(fs: FileSystem, p: Path): String = {
@@ -188,10 +232,10 @@ object BucketedMergeSink {
       .map(_.getName.stripPrefix("v").toLong)
 
   /** SNAPSHOT READ of a retained manifest version: the target exactly as
-    * the batch that committed `version` left it. With the default
-    * `retainVersions = 1` only the newest version exists; a writer that
-    * passes `retainVersions = N` keeps the last N snapshots readable —
-    * a reader holding a retained version never sees mixed or vanished
+    * the batch that committed `version` left it. With the default layout
+    * retention of 1 only the newest version exists; a layout created
+    * with `retainVersions = N` keeps the last N snapshots readable — a
+    * reader holding a retained version never sees mixed or vanished
     * data, because GC only removes dirs unreferenced by EVERY retained
     * manifest. */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
@@ -324,9 +368,11 @@ object BucketedMergeSink {
       identifier: String = "id",
       excluded: Seq[String] = Nil,
       numBuckets: Int = 64,
-      retainVersions: Int = 1): Unit = {
+      retainVersions: Int = 0): Unit = {
     require(Set("upsert", "update", "delete")(loadType),
       s"unknown load type: $loadType")
+    require(retainVersions >= 0,
+      s"retainVersions must be >= 0 (0 = the layout's persisted value), got $retainVersions")
     require(!batch.columns.contains(bucketCol),
       s"'$bucketCol' is the reserved bucket column of the layout — rename it in the batch")
     val fs = fsOf(spark, path)
@@ -336,15 +382,18 @@ object BucketedMergeSink {
         s"$path exists but is not a bucketed target (no $metaFile) — " +
           "refusing to overwrite a flat layout; use MergeSink.mergeIntoParquet there")
       require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+      // creation is where a retention request becomes the LAYOUT's
+      // retention (0 = the historical default of 1)
+      val createRetain = if (retainVersions == 0) 1 else retainVersions
       loadType match {
         case "delete" => return // nothing to delete from
         case "update" =>
           // update-only against an absent target affects zero rows, but
           // it DOES establish the layout (schema + key), like
           // mergeIntoParquet's limit(0) write
-          createTarget(spark, MergeSink.dedupeBatch(batch, key).limit(0), path, key, numBuckets, retainVersions)
+          createTarget(spark, MergeSink.dedupeBatch(batch, key).limit(0), path, key, numBuckets, createRetain)
         case "upsert" =>
-          createTarget(spark, MergeSink.dedupeBatch(batch, key), path, key, numBuckets, retainVersions)
+          createTarget(spark, MergeSink.dedupeBatch(batch, key), path, key, numBuckets, createRetain)
       }
       return
     }
@@ -433,7 +482,8 @@ object BucketedMergeSink {
       val rewritten = (if (loadType == "delete") touchedExisting else touched).toSet
       val newMapping = (mapping -- rewritten) ++
         produced.filter(rewritten.contains).map(_ -> commit)
-      commitManifest(fs, path, newMapping, retainVersions) // <- the batch becomes visible HERE
+      commitManifest(fs, path, newMapping,
+        resolveRetention(retainVersions, meta, path)) // <- the batch becomes visible HERE
       gcUnreferenced(fs, path)
     } finally if (ownPersist) batch.unpersist(false)
   }
@@ -464,7 +514,7 @@ object BucketedMergeSink {
       spark: SparkSession,
       path: String,
       maxFiles: Int = 1,
-      retainVersions: Int = 1): Seq[Int] = {
+      retainVersions: Int = 0): Seq[Int] = {
     val fs = fsOf(spark, path)
     val mapping = readManifest(spark, path)
     gcUnreferenced(fs, path)
@@ -484,7 +534,7 @@ object BucketedMergeSink {
       .write.partitionBy(bucketCol).parquet(commitPath.toString)
     catch { case e: Throwable => fs.delete(commitPath, true); throw e }
     val newMapping = mapping ++ fragmented.map(_ -> commit)
-    commitManifest(fs, path, newMapping, retainVersions)
+    commitManifest(fs, path, newMapping, resolveRetention(retainVersions, meta, path))
     gcUnreferenced(fs, path)
     fragmented
   }
@@ -523,7 +573,7 @@ object BucketedMergeSink {
     // established empty layout plus an invisible orphan, and replaying
     // the same batch converges (meta-last would instead strand a
     // half-created path that the flat-layout guard then refuses forever)
-    writeMeta(spark, path, Meta(numBuckets, key, rows.schema))
+    writeMeta(spark, path, Meta(numBuckets, key, rows.schema, retainVersions))
     val commit = "c" + UUID.randomUUID().toString
     val commitPath = new Path(new Path(path, dataDir), commit)
     try rows.withColumn(bucketCol, bucketExpr(key, numBuckets))

@@ -7,7 +7,9 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
   * `Pype.py:1-2`, source connection used at `Pype.py:33-36` — so a real
   * replacement must read more than parquet).
   *
-  * `format`: parquet | orc | csv | json | jdbc.
+  * `format`: parquet | orc | csv | json | jdbc | bucketed (a
+  *   BucketedMergeSink layout; `options: {version: N}` pins a retained
+  *   snapshot — the time-travel read hook).
   * `path`: file-format location (dir or file); unused for jdbc.
   * `schema`: optional DDL string ("id LONG, name STRING"). For csv/json
   *   this should ALWAYS be set in production: schema inference reads the
@@ -41,6 +43,19 @@ object Sources {
       case f if fileFormats(f) =>
         require(spec.path.nonEmpty, s"source format '$f' requires a path")
         reader.format(f).load(spec.path)
+      case "bucketed" =>
+        // a BucketedMergeSink layout as a declared input — the read-side
+        // hook for snapshot retention: `options: {version: N}` pins a
+        // RETAINED manifest version (time travel; readVersion fails
+        // loudly on one outside the layout's window), absent = current
+        require(spec.path.nonEmpty, "source format 'bucketed' requires a path")
+        require(spec.schema.isEmpty,
+          "bucketed sources carry their schema in the layout metadata — " +
+            "remove the 'schema' field")
+        spec.options.get("version") match {
+          case Some(v) => graft.sink.BucketedMergeSink.readVersion(spark, spec.path, v.toLong)
+          case None => graft.sink.BucketedMergeSink.read(spark, spec.path)
+        }
       case "jdbc" =>
         require(spec.schema.isEmpty,
           "jdbc sources take their schema from the database — " +
@@ -53,7 +68,8 @@ object Sources {
         reader.format("jdbc").load()
       case other =>
         throw new IllegalArgumentException(
-          s"unknown source format: '$other' (expected ${fileFormats.mkString("/")}/jdbc)")
+          s"unknown source format: '$other' " +
+            s"(expected ${fileFormats.mkString("/")}/jdbc/bucketed)")
     }
   }
 

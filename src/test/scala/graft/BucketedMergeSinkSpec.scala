@@ -187,16 +187,20 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     val path = tmpTarget()
     BucketedMergeSink.merge(spark, seed(20), path, "upsert", Seq("id"),
       numBuckets = 4, retainVersions = 2)
+    // retention is PERSISTED at creation — a later writer using the
+    // DEFAULT parameter must inherit it, not truncate the window to 1
+    // and delete snapshots readVersion callers were promised
+    assert(BucketedMergeSink.retention(spark, path) == 2)
     val v1 = BucketedMergeSink.manifestVersions(spark, path).last
     BucketedMergeSink.merge(spark,
-      Seq((21L, "x", 210L)).toDF("id", "name", "v"), path, "upsert", Seq("id"),
-      retainVersions = 2)
+      Seq((21L, "x", 210L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
     // both versions retained; v1 is the pre-batch snapshot, intact
     assert(BucketedMergeSink.manifestVersions(spark, path).size == 2)
     assert(BucketedMergeSink.readVersion(spark, path, v1).count() == 20)
     assert(BucketedMergeSink.read(spark, path).count() == 21)
     // third commit rolls the window: v1 drops out (file gone, its
-    // exclusive dirs GC'd), v2 remains readable
+    // exclusive dirs GC'd), v2 remains readable. An explicit MATCHING
+    // retainVersions is accepted...
     BucketedMergeSink.merge(spark,
       Seq((22L, "y", 220L)).toDF("id", "name", "v"), path, "upsert", Seq("id"),
       retainVersions = 2)
@@ -207,6 +211,23 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       BucketedMergeSink.readVersion(spark, path, v1)
     }
+    // ...a CONFLICTING one refuses loudly instead of silently rewriting
+    // the promise (setRetention is the explicit path)
+    val e = intercept[IllegalArgumentException] {
+      BucketedMergeSink.merge(spark,
+        Seq((23L, "z", 230L)).toDF("id", "name", "v"), path, "upsert", Seq("id"),
+        retainVersions = 5)
+    }
+    assert(e.getMessage.contains("setRetention"))
+    // compact honors the layout's window too (no truncation to 1)
+    BucketedMergeSink.compact(spark, path, maxFiles = 0)
+    assert(BucketedMergeSink.manifestVersions(spark, path).size == 2)
+    // and setRetention changes the promise explicitly
+    BucketedMergeSink.setRetention(spark, path, 3)
+    assert(BucketedMergeSink.retention(spark, path) == 3)
+    BucketedMergeSink.merge(spark,
+      Seq((24L, "w", 240L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
+    assert(BucketedMergeSink.manifestVersions(spark, path).size == 3)
   }
 
   test("update against an absent target establishes the layout but writes no rows") {

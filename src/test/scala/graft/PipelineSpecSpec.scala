@@ -43,6 +43,18 @@ class PipelineSpecSpec extends AnyFunSuite {
     assert(a.debug)
   }
 
+  test("parses retain_versions (default 0 = the layout's own window)") {
+    val y =
+      """pypes:
+        |  s:
+        |    extract_query: "SELECT 1"
+        |    buckets: 8
+        |    retain_versions: 3
+        |""".stripMargin
+    assert(PipelineSpec.fromYaml(y).stages("s").retainVersions == 3)
+    assert(PipelineSpec.fromYaml(yaml).stages("stage_a").retainVersions == 0)
+  }
+
   test("applies reference defaults when fields are omitted") {
     val b = PipelineSpec.fromYaml(yaml).stages("stage_b")
     assert(b.loadType == "delete")

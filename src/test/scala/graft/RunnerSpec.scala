@@ -106,6 +106,74 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       .toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("retain_versions: 2 in stage YAML persists into the layout; a bucketed " +
+    "source pinned to version N reads the pre-batch snapshot") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .createOrReplaceTempView("src")
+    val root = Files.createTempDirectory("graft-runner-rv").toString
+    val ry =
+      s"""pypelines:
+         |  p: [sr]
+         |pypes:
+         |  sr:
+         |    extract_query: "SELECT id, v FROM src WHERE id <= {maxid}"
+         |    target_table: tgt_rv
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    retain_versions: 2
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "3"), targetRoot = root)
+    runner.run("p")
+    val path = s"$root/tgt_rv"
+    // persisted at creation — the layout, not the call, owns the window
+    assert(graft.sink.BucketedMergeSink.retention(spark, path) == 2)
+    val v1 = graft.sink.BucketedMergeSink.manifestVersions(spark, path).last
+    runner.run("p", Map("maxid" -> "4")) // second batch adds id 4
+    assert(spark.table("tgt_rv").count() == 4)
+    // the READ hook: a `bucketed` source with `version: v1` sees the
+    // pre-batch snapshot (3 rows) while the live target has 4
+    val readYaml =
+      s"""pypelines:
+         |  r: [sread]
+         |pypes:
+         |  sread:
+         |    extract_query: "SELECT id FROM tgt_snapshot"
+         |    sources:
+         |      tgt_snapshot:
+         |        format: bucketed
+         |        path: $path
+         |        options:
+         |          version: "$v1"
+         |""".stripMargin
+    val m = new Runner(spark, PipelineSpec.fromYaml(readYaml), Map.empty, root).run("r")
+    assert(m.head.rows == 3,
+      s"version-pinned read must see the pre-batch snapshot, got ${m.head.rows}")
+  }
+
+  test("retain_versions on a flat target fails loudly before the load") {
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("src")
+    val root = Files.createTempDirectory("graft-runner-rvflat").toString
+    val y =
+      s"""pypelines:
+         |  p: [sf]
+         |pypes:
+         |  sf:
+         |    extract_query: "SELECT id, v FROM src"
+         |    target_table: tgt_flat_rv
+         |    type: upsert
+         |    key: [id]
+         |    retain_versions: 2
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      new Runner(spark, PipelineSpec.fromYaml(y), Map.empty, root).run("p")
+    }
+    assert(e.getMessage.contains("retain_versions"))
+    assert(!new java.io.File(s"$root/tgt_flat_rv").exists(),
+      "misconfigured stage must fail before writing anything")
+  }
+
   test("compact: true in stage YAML leaves one data file per bucket; flat target fails loudly") {
     spark.range(1, 200).selectExpr("id", "id * 2 AS v")
       .createOrReplaceTempView("src_c")
