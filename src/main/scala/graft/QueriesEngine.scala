@@ -229,6 +229,27 @@ object QueriesEngine {
       graft.sink.BucketedMergeSink.merge(s, b3, tmp, "upsert", Seq("c_custkey"))
       graft.sink.BucketedMergeSink.compact(s, tmp)
       graft.sink.BucketedMergeSink.read(s, tmp).orderBy("c_custkey")
+    }),
+
+    // -- q99: keyed POINT-LOOKUP over a bucketed layout (readForKeys):
+    //    the serving-side read shape — resolve the manifest, hash the
+    //    requested keys, and list/scan ONLY their buckets' dirs (path
+    //    pruning; untouched buckets are never listed — pinned in
+    //    PlanSpec). readForKeys returns the touched-bucket slice
+    //    (superset); the point filter on top yields the exact rows, with
+    //    scan cost O(touched buckets), not O(target).
+    "q99_keyed_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.load(s, dir, "customer")
+      val tmp = Tables.scratchPath("graft-kl", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      graft.sink.BucketedMergeSink.merge(s, c, tmp, "upsert",
+        Seq("c_custkey"), numBuckets = 16)
+      val keyVals = Seq(7L, 42L, 101L, 555L, 998L)
+      val keys = keyVals.toDF("c_custkey")
+      graft.sink.BucketedMergeSink.readForKeys(s, tmp, keys)
+        .filter(col("c_custkey").isin(keyVals: _*))
+        .orderBy("c_custkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +344,12 @@ object QueriesEngine {
         |  PARTITION BY l_orderkey, l_linenumber
         |  ORDER BY l_quantity, l_extendedprice, l_discount, l_returnflag, revenue) = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the looked-up rows are exactly the key list's rows of the source
+    // table (the bucketed layout holds customer verbatim)
+    "q99_keyed_lookup" ->
+      """SELECT * FROM customer
+        |WHERE c_custkey IN (7, 42, 101, 555, 998)
+        |ORDER BY c_custkey""".stripMargin,
     "q34_source_csv_json" ->
       """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name,
         |  CAST(coalesce(sp.n_supp, 0) AS BIGINT) AS n_supp

@@ -239,4 +239,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Window"), s"q98 must not plan a window:\n$p")
     assert(!p.toLowerCase.contains("join"), s"q98 must not plan a join:\n$p")
   }
+
+  test("q99: keyed lookup scans ONLY the buckets its keys hash to — " +
+    "untouched buckets' dirs are never listed") {
+    val df = SparkEntry.queries("q99_keyed_lookup")(spark, dir)
+    // the buckets the battery's key list hashes to (16-bucket layout)
+    import spark.implicits._
+    val expect = Seq(7L, 42L, 101L, 555L, 998L).toDF("c_custkey")
+      .select(graft.sink.BucketedMergeSink.bucketExpr(Seq("c_custkey"), 16).as("b"))
+      .distinct().as[Int].collect().toSet
+    val scanned = df.inputFiles.map { f =>
+      val m = s"${graft.sink.BucketedMergeSink.bucketCol}=(\\d+)".r.findFirstMatchIn(f)
+      assert(m.isDefined, s"q99 scanned a non-bucket path: $f")
+      m.get.group(1).toInt
+    }.toSet
+    assert(scanned == expect,
+      s"q99 scanned buckets $scanned but its keys hash to $expect " +
+        "(untouched bucket dirs must never be listed)")
+    assert(expect.size < 16, "key list should touch a strict subset of buckets")
+  }
 }
