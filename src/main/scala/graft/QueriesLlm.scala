@@ -108,8 +108,15 @@ object QueriesLlm {
     }
     // configs mirror the battery entries exactly (q42/q52/q49/q53); the
     // exact siblings are uncapped for TRUE ground truth (see q57),
-    // bounded to the probe slice's partners
-    val q = e.filter(col("vec_id") < 10)
+    // bounded to the probe slice's partners.
+    // 50 gate queries, not the battery entries' 10: recall here is a
+    // GATE statistic, and with 10 queries × k=5 the denominator (50
+    // pairs) moved the measured value by ~0.15 across testdata
+    // regenerations — wider than the band the floor guards. 250 pairs
+    // pins the corpus-draw variance so the floor can sit closer to the
+    // steady state (the brute sibling stays one broadcast pass; its
+    // cost is the shared corpus scan, not the query count).
+    val q = e.filter(col("vec_id") < 50)
     row("minhash_lsh",
       probeTouching(Dedup.minhashLshPairs(docs, threshold = 0.3), dDocs),
       Dedup.jaccardProbePairs(docs, threshold = 0.3, probeDenom = dDocs),
@@ -129,13 +136,15 @@ object QueriesLlm {
         // run twice (the checkpointed result is k×|queries| rows)
         val brute = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint(true)
         row("ann_lsh",
-          // floor 0.5, not 0.6: measured 0.80 (r8 corpus) and 0.64 (r9
-          // corpus) on regenerated sf0.1 data — per-round corpus draw
-          // moves this one by ~0.15, and the failure mode the floor
-          // exists to catch (near-dup-width signatures at mid cosine)
-          // measured 0.06, far below any draw
+          // floor 0.55 under the 50-query set (r10): with 10 queries the
+          // measured value swung 0.64-0.80 across testdata regenerations
+          // (50-pair denominator), forcing the floor down to 0.5; at 250
+          // pairs the draw moves ~±0.09 (3σ) and the r10 measurements sit
+          // at 0.664 (sf0.01) / 0.720 (sf0.1), so 0.55 is ≥4σ below the
+          // observed minimum while the failure mode the floor exists to
+          // catch (near-dup-width signatures at mid cosine) measured 0.06
           Similarity.lshTopK(q, e, k = 5), brute,
-          Seq("query_id", "cand_id"), floor = 0.5)
+          Seq("query_id", "cand_id"), floor = 0.55)
           .unionByName(row("ann_ivf",
             Similarity.ivfTopK(q, e, k = 5), brute,
             Seq("query_id", "cand_id"), floor = 0.6))

@@ -31,15 +31,22 @@ object TrainingPrep {
     * assignments at any corpus size that fits in 32 bits, and
     * well-defined determinism beyond.
     *
-    * Precondition: ids are NON-NEGATIVE (every testdata/battery id is).
-    * For a negative id this pmod form yields a non-negative hash while
-    * plain SQL `%` (truncated remainder, as in the battery's DuckDB
-    * oracle forms) yields a negative one — so an engine-vs-oracle
-    * comparison over negative ids would diverge even though both sides
-    * are individually deterministic. Hash negative id spaces through an
-    * explicit `abs`/offset first. */
+    * Precondition, ENFORCED: ids are NON-NEGATIVE (every testdata/
+    * battery id is). For a negative id this pmod form yields a
+    * non-negative hash while plain SQL `%` (truncated remainder, as in
+    * the battery's DuckDB oracle forms) yields a negative one — so an
+    * engine-vs-oracle comparison over negative ids would diverge even
+    * though both sides are individually deterministic, silently
+    * mis-splitting/mis-sharding the corpus. The guard raises at the
+    * first negative id instead (one codegen'd branch per row — noise
+    * next to the multiply); hash negative id spaces through an explicit
+    * `abs`/offset first. */
   def idHash(id: Column): Column =
-    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000003L))
+    when(id < 0, raise_error(concat(
+      lit("idHash requires non-negative ids (negative ids hash "),
+      lit("differently under SQL truncated-remainder oracles); got "),
+      id.cast("string"))))
+      .otherwise(pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000003L)))
 
   /** Deterministic train/holdout assignment from an integer id — same
     * arithmetic hash as the battery's q66 split, factored for reuse.

@@ -238,6 +238,17 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(_._1 > 3000000000L).map(_._3).toSet == Set("train", "holdout"))
   }
 
+  test("idHash: a negative id raises instead of silently diverging from " +
+    "truncated-remainder oracles") {
+    val e = intercept[Exception] {
+      Seq(5L, -3L).toDF("doc_id")
+        .select(TrainingPrep.idHash($"doc_id")).collect()
+    }
+    // Spark wraps the raise_error in a SparkRuntimeException whose
+    // message carries our text
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
+
   test("tokenBudgetSample: kept set is the budget-bounded prefix in (shard, hash, id) order") {
     val docs = (1L to 60L).map { i =>
       val src = if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "books"
