@@ -182,6 +182,42 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(BucketedMergeSink.read(spark, path).count() == 11)
   }
 
+  test("shrinking retention trims superseded snapshots at the next commit; " +
+    "a crash after commit but before GC self-heals on the next write") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(10), path, "upsert", Seq("id"),
+      numBuckets = 2, retainVersions = 3)
+    BucketedMergeSink.merge(spark,
+      Seq((11L, "x", 110L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
+    BucketedMergeSink.merge(spark,
+      Seq((12L, "y", 120L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
+    assert(BucketedMergeSink.manifestVersions(spark, path).size == 3)
+    // shrink the promise: takes effect at the NEXT commit
+    BucketedMergeSink.setRetention(spark, path, 1)
+    assert(BucketedMergeSink.manifestVersions(spark, path).size == 3,
+      "setRetention alone must not delete anything")
+    BucketedMergeSink.merge(spark,
+      Seq((13L, "z", 130L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
+    val vs = BucketedMergeSink.manifestVersions(spark, path)
+    assert(vs.size == 1, s"window must trim to 1 at the commit, got $vs")
+    assert(BucketedMergeSink.read(spark, path).count() == 13)
+    // crash-after-commit-before-GC: superseded commit dirs linger on
+    // disk (simulated by planting an unreferenced commit dir, which is
+    // exactly what such a crash leaves); the next write GCs it and the
+    // target stays intact
+    val orphan = new File(new File(path, "data"), "c-crashed-gc")
+    Seq((99L, "GHOST", 0L)).toDF("id", "name", "v")
+      .withColumn(BucketedMergeSink.bucketCol,
+        BucketedMergeSink.bucketExpr(Seq("id"), 2))
+      .write.partitionBy(BucketedMergeSink.bucketCol).parquet(orphan.getPath)
+    BucketedMergeSink.merge(spark,
+      Seq((14L, "w", 140L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
+    assert(!orphan.exists(), "next write must GC the crash leftover")
+    assert(BucketedMergeSink.read(spark, path)
+      .filter(col("id") === 99L).count() == 0)
+    assert(BucketedMergeSink.read(spark, path).count() == 14)
+  }
+
   test("retainVersions=2: the previous snapshot stays readable after a commit " +
     "(time travel), and retention rolls forward") {
     val path = tmpTarget()

@@ -95,4 +95,44 @@ class MergeSinkPropertySpec extends AnyFunSuite with SparkTestBase {
       assert(canon(a) == canon(c))
     }
   }
+
+  test("property: schema-evolution contract over a 5-type lattice — the " +
+    "accept/refuse decision is identical in BOTH join shapes, acceptance " +
+    "always preserves the target type, and the headline cases hold") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val types: Seq[(String, DataType)] = Seq(
+      ("int", IntegerType), ("long", LongType),
+      ("float", FloatType), ("double", DoubleType), ("string", StringType))
+    val t0 = Seq((1L, 10)).toDF("id", "v")
+    val decisions = for ((bn, bt) <- types; (tn, tt) <- types) yield {
+      val target = t0.select(col("id"), col("v").cast(tt).as("v"))
+      val batch = t0.select(col("id"), col("v").cast(bt).as("v"))
+      val results = Seq(true, false).map { bc =>
+        scala.util.Try(MergeSink.upsert(target, batch, broadcastBatch = bc))
+      }
+      withClue(s"batch $bn -> target $tn: ") {
+        // both physical shapes make the SAME accept/refuse decision
+        assert(results.map(_.isSuccess).distinct.size == 1,
+          "broadcast and full-outer shapes disagree on validity")
+        // acceptance always yields the target's type (schema authority)
+        results.foreach(_.foreach(out => assert(out.schema("v").dataType == tt)))
+        // refusal is always the loud contract error, nothing else
+        results.foreach(_.failed.foreach(e =>
+          assert(e.isInstanceOf[IllegalArgumentException] &&
+            e.getMessage.contains("lossy"), e.getMessage)))
+      }
+      (bn, tn, results.head.isSuccess)
+    }
+    val ok = decisions.collect { case (b, t, true) => s"$b->$t" }.toSet
+    // headline cases, pinned concretely (ANSI store-assignment rules:
+    // numeric-precedence widening and atomic→string are safe; everything
+    // narrowing or string→numeric refuses)
+    Seq("int->long", "int->double", "float->double", "long->string")
+      .foreach(c => assert(ok.contains(c), s"$c must coerce"))
+    Seq("double->long", "long->int", "double->float", "string->long",
+      "string->double")
+      .foreach(c => assert(!ok.contains(c), s"$c must refuse"))
+    types.foreach { case (n, _) => assert(ok.contains(s"$n->$n")) }
+  }
 }
