@@ -32,6 +32,9 @@ final case class StageSpec(
                       // load rewrites only the bucket dirs the batch touches
     compact: Boolean = false, // bucketed targets only: collapse fragmented
                               // bucket dirs to one file after the load
+    compactMaxFiles: Int = 1, // compact buckets exceeding this many data
+                              // files (the LSM threshold: higher = less
+                              // write amplification, more small files)
     retainVersions: Int = 0, // bucketed targets only: snapshot retention
                              // persisted into the layout at creation (0 =
                              // layout default of 1); readers pin a retained
@@ -143,6 +146,7 @@ object PipelineSpec {
       bulkSize = str("bulk_size", "2000").toInt,
       buckets = str("buckets", "0").toInt,
       compact = str("compact", "false").toBoolean,
+      compactMaxFiles = str("compact_max_files", "1").toInt,
       retainVersions = str("retain_versions", "0").toInt,
       debug = str("debug", "false").toBoolean)
   }

@@ -228,7 +228,8 @@ final class Runner(
     // after the load (validated before the merge above — a flat target
     // fails loudly BEFORE its write, not silently and not after)
     if (stage.compact)
-      graft.sink.BucketedMergeSink.compact(spark, path)
+      graft.sink.BucketedMergeSink.compact(spark, path,
+        maxFiles = stage.compactMaxFiles)
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

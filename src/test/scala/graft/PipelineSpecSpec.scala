@@ -43,16 +43,20 @@ class PipelineSpecSpec extends AnyFunSuite {
     assert(a.debug)
   }
 
-  test("parses retain_versions (default 0 = the layout's own window)") {
+  test("parses retain_versions (default 0 = the layout's own window) and " +
+    "compact_max_files (default 1)") {
     val y =
       """pypes:
         |  s:
         |    extract_query: "SELECT 1"
         |    buckets: 8
         |    retain_versions: 3
+        |    compact_max_files: 4
         |""".stripMargin
     assert(PipelineSpec.fromYaml(y).stages("s").retainVersions == 3)
+    assert(PipelineSpec.fromYaml(y).stages("s").compactMaxFiles == 4)
     assert(PipelineSpec.fromYaml(yaml).stages("stage_a").retainVersions == 0)
+    assert(PipelineSpec.fromYaml(yaml).stages("stage_a").compactMaxFiles == 1)
   }
 
   test("applies reference defaults when fields are omitted") {
