@@ -36,4 +36,22 @@ class BenchWorkSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(rt.cpuS - w.cpuS) < 0.002)
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("the compact stdout headline stays inside the driver's 4 KB tail " +
+    "as the battery grows") {
+    // the driver keeps only the last 4 KB of bench output; the compact
+    // line carries one `"<name>":<sec>` entry per battery query plus
+    // fixed overhead, and sbt's epilogue (~100 B) follows it. Model the
+    // worst case (8 bytes for a 3-decimal seconds value ≥ 100 s) and
+    // fail BEFORE a battery addition silently pushes the line past the
+    // window, which would regress the parsed-artifact fix.
+    val names = SparkEntry.queries.keys.toSeq
+    val perQuery = names.map(_.length + 12).sum // "name":123.456, per entry
+    val overhead = 600 // metric/value/unit/sf/runs/agg/jvm/full_report
+    val epilogue = 200 // sbt [success] line + newline slack
+    assert(perQuery + overhead + epilogue < 4096,
+      s"compact bench line would be ~${perQuery + overhead} B for " +
+        s"${names.size} queries — shorten names or split the line " +
+        "before the driver's 4 KB tail truncates it again")
+  }
 }
