@@ -221,9 +221,14 @@ final class Runner(
         // non-zero value must match the layout's (sink contract)
         retainVersions = stage.retainVersions)
     else
+      // retention rides along: the target may already BE a bucketed
+      // layout (validated above when retain_versions != 0), and
+      // mergeIntoParquet delegates to the bucketed sink in that case —
+      // dropping the stage's value here would silently shrink the
+      // retention window the user configured
       MergeSink.mergeIntoParquet(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
-        stage.fieldsExcludedFromUpdate)
+        stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions)
     // `compact: true` runs the bucketed layout's small-file maintenance
     // after the load (validated before the merge above — a flat target
     // fails loudly BEFORE its write, not silently and not after)

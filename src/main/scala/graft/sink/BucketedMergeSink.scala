@@ -401,11 +401,22 @@ object BucketedMergeSink {
     val meta = readMeta(spark, path)
     val n = meta.numBuckets
     val mergeKey = if (loadType == "delete") Seq(identifier) else key
+    // a conflicting retainVersions must fail HERE, not at commit time
+    // after the whole extract→route→write job has run (same placement
+    // rationale as the schema check below)
+    val retention = resolveRetention(retainVersions, meta, path)
     // schema-evolution contract (MergeSink.validateBatchSchema scaladoc):
     // checked BEFORE any routing/persist work — the routing cast below
     // must never be the thing that silently narrows a batch column
     if (loadType != "delete")
       MergeSink.validateBatchSchema(meta.schema, batch.schema, mergeKey)
+    else
+      // BEFORE bucket pruning: a mis-typed id column must fail loudly
+      // even when its (mis-cast) ids all route to absent buckets — the
+      // early returns below would otherwise turn it into a silent no-op,
+      // which the flat sink refuses
+      MergeSink.validateDeleteIds(meta.schema, batch.schema, identifier,
+        MergeSink.deleteIdColumn(batch, identifier))
     if (loadType != "delete")
       require(key == meta.key,
         s"bucketed target $path is keyed on ${meta.key.mkString(",")} — " +
@@ -483,7 +494,7 @@ object BucketedMergeSink {
       val newMapping = (mapping -- rewritten) ++
         produced.filter(rewritten.contains).map(_ -> commit)
       commitManifest(fs, path, newMapping,
-        resolveRetention(retainVersions, meta, path)) // <- the batch becomes visible HERE
+        retention) // <- the batch becomes visible HERE (retention resolved pre-job)
       gcUnreferenced(fs, path)
     } finally if (ownPersist) batch.unpersist(false)
   }
@@ -516,6 +527,10 @@ object BucketedMergeSink {
       maxFiles: Int = 1,
       retainVersions: Int = 0): Seq[Int] = {
     val fs = fsOf(spark, path)
+    val meta = readMeta(spark, path)
+    // conflicting retention fails before the discovery listing and the
+    // rewrite job, not after them at commit time (merge does the same)
+    val retention = resolveRetention(retainVersions, meta, path)
     val mapping = readManifest(spark, path)
     gcUnreferenced(fs, path)
     val fragmented = listParallel(mapping.toSeq) { case (b, c) =>
@@ -525,7 +540,6 @@ object BucketedMergeSink {
       if (files > maxFiles) Some(b) else None
     }.flatten.sorted
     if (fragmented.isEmpty) return Nil
-    val meta = readMeta(spark, path)
     val slice = readBuckets(spark, path, fragmented)
       .withColumn(bucketCol, bucketExpr(meta.key, meta.numBuckets))
     val commit = "c" + UUID.randomUUID().toString
@@ -534,7 +548,7 @@ object BucketedMergeSink {
       .write.partitionBy(bucketCol).parquet(commitPath.toString)
     catch { case e: Throwable => fs.delete(commitPath, true); throw e }
     val newMapping = mapping ++ fragmented.map(_ -> commit)
-    commitManifest(fs, path, newMapping, resolveRetention(retainVersions, meta, path))
+    commitManifest(fs, path, newMapping, retention)
     gcUnreferenced(fs, path)
     fragmented
   }

@@ -67,12 +67,13 @@ object MergeSink {
     *     on match and loads NULL on insert (absent JSON key → NULL);
     *   - a shared column whose batch type up-casts LOSSLESSLY to the
     *     target type is coerced (int→long, float→double, decimal
-    *     widening — `Cast.canUpCast`);
+    *     widening — [[losslessUpCast]]);
     *   - anything LOSSY or incompatible (double→long, string→int,
-    *     mismatched nesting) REFUSES LOUDLY here. Postgres would raise
-    *     on such a batch; a silent truncating cast is data loss — the
-    *     failure mode this check exists to kill. A caller who intends
-    *     the narrowing casts the batch explicitly first;
+    *     int/long→float, long→double, mismatched nesting) REFUSES
+    *     LOUDLY here. Postgres would raise on such a batch; a silent
+    *     truncating cast is data loss — the failure mode this check
+    *     exists to kill. A caller who intends the narrowing casts the
+    *     batch explicitly first;
     *   - every merge-key column must be present in the batch — a merge
     *     without its key is meaningless.
     *
@@ -90,8 +91,7 @@ object MergeSink {
     val lossy = batch.fields.toSeq.flatMap { f =>
       tTypes.get(f.name) match {
         case Some(t) if f.dataType == t => None
-        case Some(t) if org.apache.spark.sql.catalyst.expressions.Cast
-          .canUpCast(f.dataType, t) => None
+        case Some(t) if losslessUpCast(f.dataType, t) => None
         case Some(t) =>
           Some(s"${f.name} (batch ${f.dataType.simpleString} -> target ${t.simpleString})")
         case None => None // unknown to the target: ignored by contract
@@ -102,6 +102,57 @@ object MergeSink {
         "target type — refusing silent data loss; cast the batch " +
         "explicitly if the narrowing is intended: " + lossy.mkString("; "))
   }
+
+  /** `Cast.canUpCast`, minus the integral→floating promotions it
+    * blesses that drop precision for large values: int/long→float
+    * (24-bit mantissa) and long→double (53-bit). canUpCast follows SQL
+    * numeric precedence, which orders float above long — right for
+    * comparison coercion, wrong as a "lossless storage cast" test
+    * (canUpCast(long, float) stores 16777217L as 1.6777216E7). */
+  def losslessUpCast(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to) &&
+      !((from, to) match {
+        case (IntegerType | LongType, FloatType) => true
+        case (LongType, DoubleType) => true
+        case _ => false
+      })
+  }
+
+  /** The delete-ids column [[delete]] will match on: `identifier` if the
+    * ids frame has it, else its first column (a bare id list needn't
+    * name its column after the target's key). */
+  def deleteIdColumn(ids: DataFrame, identifier: String): String =
+    if (ids.columns.contains(identifier)) identifier else ids.columns.head
+
+  /** Loud-failure guard shared by [[delete]] and the bucketed sink's
+    * delete routing: an id column that can't compare LOSSLESSLY with the
+    * target identifier (string ids vs a long key; long ids vs a double
+    * key, where ids ≥ 2^53 collapse under promotion) would silently
+    * delete nothing — or the wrong row. Validated BEFORE any routing or
+    * bucket pruning, so a mis-typed delete fails even when its ids
+    * happen to route to absent buckets. */
+  def validateDeleteIds(
+      target: org.apache.spark.sql.types.StructType,
+      ids: org.apache.spark.sql.types.StructType,
+      identifier: String,
+      idCol: String): Unit =
+    for (tf <- target.fields.find(_.name == identifier);
+         bf <- ids.fields.find(_.name == idCol)) {
+      import org.apache.spark.sql.types.StringType
+      // losslessUpCast alone is too lax here: it blesses anything→string,
+      // but comparing string ids against a numeric key (or vice versa) is
+      // exactly the silent-no-match case being guarded
+      val comparable = bf.dataType == tf.dataType ||
+        ((bf.dataType == StringType) == (tf.dataType == StringType) &&
+          (losslessUpCast(bf.dataType, tf.dataType) ||
+            losslessUpCast(tf.dataType, bf.dataType)))
+      require(comparable,
+        s"delete id column $idCol (${bf.dataType.simpleString}) is not " +
+          s"losslessly comparable with target $identifier " +
+          s"(${tf.dataType.simpleString}) — cast the ids explicitly")
+    }
 
   /** Size-gated broadcast decision for a merge batch: true iff the
     * optimizer's size estimate fits under
@@ -245,26 +296,10 @@ object MergeSink {
       ids: DataFrame,
       identifier: String = "id",
       broadcastIds: Boolean = true): DataFrame = {
-    val idCol = if (ids.columns.contains(identifier)) identifier else ids.columns.head
-    // same loud-failure stance as validateBatchSchema: an id column that
-    // can't compare losslessly with the target identifier (e.g. string
-    // ids vs a long target key) would silently delete nothing
-    for (tf <- target.schema.fields.find(_.name == identifier);
-         bf <- ids.schema.fields.find(_.name == idCol)) {
-      import org.apache.spark.sql.catalyst.expressions.Cast
-      import org.apache.spark.sql.types.StringType
-      // canUpCast alone is too lax here: it blesses anything→string, but
-      // comparing string ids against a numeric key (or vice versa) is
-      // exactly the silent-no-match case being guarded
-      val comparable = bf.dataType == tf.dataType ||
-        ((bf.dataType == StringType) == (tf.dataType == StringType) &&
-          (Cast.canUpCast(bf.dataType, tf.dataType) ||
-            Cast.canUpCast(tf.dataType, bf.dataType)))
-      require(comparable,
-        s"delete id column $idCol (${bf.dataType.simpleString}) is not " +
-          s"losslessly comparable with target $identifier " +
-          s"(${tf.dataType.simpleString}) — cast the ids explicitly")
-    }
+    val idCol = deleteIdColumn(ids, identifier)
+    // same loud-failure stance as validateBatchSchema; shared with the
+    // bucketed sink, which must run it BEFORE bucket pruning
+    validateDeleteIds(target.schema, ids.schema, identifier, idCol)
     val dk = ids.select(col(idCol).as("__del_id"))
       .filter(col("__del_id").isNotNull).distinct()
     val d = if (broadcastIds) broadcast(dk) else dk
@@ -306,7 +341,13 @@ object MergeSink {
   }
 
   /** Read-merge-write against a parquet target path, creating it if absent
-    * (upsert/update against an empty target = plain insert / no-op). */
+    * (upsert/update against an empty target = plain insert / no-op).
+    *
+    * `retainVersions` is forwarded when the path holds a bucketed layout
+    * (0 = the layout's persisted retention; a non-zero value must match
+    * it — sink contract). A flat target has no snapshots, so a non-zero
+    * value against one is a misconfiguration surfaced loudly, never
+    * dropped. */
   def mergeIntoParquet(
       spark: SparkSession,
       batch: DataFrame,
@@ -314,16 +355,22 @@ object MergeSink {
       loadType: String,
       key: Seq[String] = Seq("id"),
       identifier: String = "id",
-      excluded: Seq[String] = Nil): Unit = {
+      excluded: Seq[String] = Nil,
+      retainVersions: Int = 0): Unit = {
     require(Set("upsert", "update", "delete")(loadType),
       s"unknown load type: $loadType") // validated BEFORE any write, even on a fresh path
     if (BucketedMergeSink.isBucketed(spark, path)) {
       // a flat read-merge-write against a bucketed layout would flatten
       // it (and read gbucket as a data column) — route to the bucketed
       // sink, which has identical semantics
-      BucketedMergeSink.merge(spark, batch, path, loadType, key, identifier, excluded)
+      BucketedMergeSink.merge(spark, batch, path, loadType, key, identifier, excluded,
+        retainVersions = retainVersions)
       return
     }
+    require(retainVersions == 0,
+      s"retainVersions=$retainVersions on flat parquet target $path — " +
+        "snapshot retention needs a bucketed layout (create it with " +
+        "BucketedMergeSink.merge(numBuckets = N))")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(path))
     val result =

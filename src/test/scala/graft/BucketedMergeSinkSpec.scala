@@ -286,6 +286,42 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("routed"))
   }
 
+  test("delete with a mis-typed id column fails loudly BEFORE bucket pruning " +
+    "(flat-sink parity even when the mis-cast ids would route to absent buckets)") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(5), path, "upsert", Seq("id"), numBuckets = 4)
+    // string ids against a long key: the routing cast would null (or
+    // ANSI-throw) these, land them in absent buckets, and the early
+    // returns would make the delete a silent no-op — the exact failure
+    // the flat sink refuses; the bucketed path must refuse identically
+    val e = intercept[IllegalArgumentException] {
+      BucketedMergeSink.merge(spark, Seq("abc", "def").toDF("id"), path, "delete",
+        identifier = "id")
+    }
+    assert(e.getMessage.contains("comparable"), e.getMessage)
+    assert(BucketedMergeSink.read(spark, path).count() == 5)
+  }
+
+  test("a conflicting retainVersions fails BEFORE any merge/compact work " +
+    "(no new commit dir, manifest version unchanged)") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(10), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 2)
+    val versionsBefore = BucketedMergeSink.manifestVersions(spark, path)
+    val commitsBefore = new File(path, "data").listFiles().count(_.isDirectory)
+    for (op <- Seq(
+        () => BucketedMergeSink.merge(spark, seed(3), path, "upsert", Seq("id"),
+          retainVersions = 5),
+        () => BucketedMergeSink.compact(spark, path, retainVersions = 5))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("retention is a layout property"), e.getMessage)
+    }
+    assert(BucketedMergeSink.manifestVersions(spark, path) == versionsBefore,
+      "a refused call must not have committed anything")
+    assert(new File(path, "data").listFiles().count(_.isDirectory) == commitsBefore,
+      "a refused call must fail before writing a commit dir")
+  }
+
   test("refuses to bucket-merge over an existing flat layout") {
     val path = tmpTarget()
     seed(5).write.parquet(path)

@@ -258,6 +258,27 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(MergeSink.delete(t, Seq(1).toDF("id")).count() == 0)
   }
 
+  test("schema evolution: integral→floating promotions refuse (Cast.canUpCast " +
+    "blesses int/long→float and long→double; all drop precision for large values)") {
+    import spark.implicits._
+    val tF = Seq((1L, 1.0f)).toDF("id", "v") // v: FLOAT (24-bit mantissa)
+    val tD = Seq((1L, 1.0d)).toDF("id", "v") // v: DOUBLE (53-bit mantissa)
+    for ((t, b) <- Seq(
+        (tF, Seq((1L, 16777217L)).toDF("id", "v")), // long → float: 2^24+1 → 2^24
+        (tF, Seq((1L, 16777217)).toDF("id", "v")), // int → float: same collapse
+        (tD, Seq((1L, 9007199254740993L)).toDF("id", "v")))) { // long → double: 2^53+1
+      val e = intercept[IllegalArgumentException](MergeSink.upsert(t, b))
+      assert(e.getMessage.contains("lossy"), e.getMessage)
+    }
+    // int → double holds EVERY int exactly — still a blessed coercion
+    val ok = MergeSink.upsert(tD, Seq((1L, 16777217)).toDF("id", "v"))
+    assert(ok.where(col("v") === lit(16777217.0d)).count() == 1)
+    // the delete leg shares the rule: long ids vs a double key collapse ≥ 2^53
+    val e = intercept[IllegalArgumentException](
+      MergeSink.delete(Seq((1.0d, "a")).toDF("id", "v"), Seq(1L).toDF("id")))
+    assert(e.getMessage.contains("comparable"))
+  }
+
   test("mergeIntoParquet: update against an absent target affects zero rows, not insert") {
     val path = Files.createTempDirectory("graft-upd-absent").toString + "/t"
     MergeSink.mergeIntoParquet(spark, batch, path, "update")

@@ -152,6 +152,42 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       s"version-pinned read must see the pre-batch snapshot, got ${m.head.rows}")
   }
 
+  test("retain_versions WITHOUT buckets: reaches an existing bucketed layout — " +
+    "matching value honored, mismatch fails loudly (never silently dropped)") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .createOrReplaceTempView("src")
+    val root = Files.createTempDirectory("graft-runner-rvpass").toString
+    def yaml(stanza: String) =
+      s"""pypelines:
+         |  p: [s1]
+         |pypes:
+         |  s1:
+         |    extract_query: "SELECT id, v FROM src WHERE id <= {maxid}"
+         |    target_table: tgt_rvp
+         |    type: upsert
+         |    key: [id]
+         |$stanza""".stripMargin
+    // creation run establishes the layout with retention 2
+    new Runner(spark, PipelineSpec.fromYaml(yaml(
+      "    buckets: 4\n    retain_versions: 2\n")),
+      Map("maxid" -> "3"), root).run("p")
+    val path = s"$root/tgt_rvp"
+    // incremental stage drops `buckets:` (layout exists) but keeps its
+    // retain_versions — the value must ride through mergeIntoParquet's
+    // bucketed delegation, not be silently replaced by the default
+    new Runner(spark, PipelineSpec.fromYaml(yaml("    retain_versions: 2\n")),
+      Map("maxid" -> "4"), root).run("p")
+    assert(spark.table("tgt_rvp").count() == 4)
+    assert(graft.sink.BucketedMergeSink.retention(spark, path) == 2)
+    // and a MISMATCHED value is a loud conflict, proving it arrived at
+    // the sink (the silent-drop bug made this succeed with retention 2)
+    val e = intercept[IllegalArgumentException] {
+      new Runner(spark, PipelineSpec.fromYaml(yaml("    retain_versions: 3\n")),
+        Map("maxid" -> "4"), root).run("p")
+    }
+    assert(e.getMessage.contains("retention is a layout property"), e.getMessage)
+  }
+
   test("retain_versions on a flat target fails loudly before the load") {
     Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("src")
     val root = Files.createTempDirectory("graft-runner-rvflat").toString
