@@ -13,23 +13,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`:
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
-    * default. We read the nanos as long and truncate to microsecond
-    * TimestampType here (sub-µs precision is below every operator's
-    * granularity in the battery). */
+  /** Normalize `events.ts` to TimestampType whatever the generator
+    * wrote — the battery's queries and oracles are built against
+    * session-tz (UTC-pinned) timestamps:
+    *   - parquet TIMESTAMP(NANOS): Spark refuses it by default; sessions
+    *     set `spark.sql.legacy.parquet.nanosAsLong=true`, we read the
+    *     nanos as long and truncate to microseconds (sub-µs precision is
+    *     below every operator's granularity in the battery).
+    *   - parquet TIMESTAMP(µs, isAdjustedToUTC=false): Spark 4 infers
+    *     TIMESTAMP_NTZ; with the session tz pinned to UTC the cast to
+    *     TimestampType is the identity on wall-clock values, which is
+    *     exactly what DuckDB reads for the oracle. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f =>
-      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    val nanosFixed = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         // floor division, not `div` (which truncates toward zero and
         // would round PRE-epoch nanos to the wrong microsecond)
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
-      case None => df
+      case _ => df
     }
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed) { (d, f) =>
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast(TimestampType))
+      }
   }
 
   /** Register every table as a temp view so spark.sql queries can use the

@@ -110,14 +110,22 @@ object AsOf {
         require(width > 0, s"timeBucketSeconds must be positive, got $width")
         val tType = unioned.schema("_t").dataType
         require(tType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-            || tType == org.apache.spark.sql.types.TimestampType,
+            || tType == org.apache.spark.sql.types.TimestampType
+            || tType == org.apache.spark.sql.types.TimestampNTZType,
           s"asof time-bucketing needs a numeric or timestamp time column, got $tType")
         // bucket index in SORT order: monotone coarsening of the time
         // sort, negated for forward so "earlier in sort" = lower bucket
         // either way. A null-time left row gets a null bucket — its
         // (key, null) partition holds no right rows and no carry-in, so
         // it keeps the null payload the unbucketed plan gives it.
-        val bRaw = floor(col("_t").cast("long") / lit(width.toDouble))
+        // NTZ has no direct long cast in Spark 4 — hop through
+        // TimestampType (session-tz interpretation; monotone, which is
+        // all a bucket index needs)
+        val tLong =
+          if (tType == org.apache.spark.sql.types.TimestampNTZType)
+            col("_t").cast(org.apache.spark.sql.types.TimestampType).cast("long")
+          else col("_t").cast("long")
+        val bRaw = floor(tLong / lit(width.toDouble))
         val withB = unioned.withColumn("_b",
           if (direction == "backward") bRaw else -bRaw)
         // per-(key, bucket) final right state: the right row a later
