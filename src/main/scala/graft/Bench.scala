@@ -153,6 +153,60 @@ object Bench {
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
   private val isolatedPassCount = 3
 
+  // ------------------------------------------------------- host state
+  //
+  // The sandbox host's delivered throughput shifts between multi-hour
+  // windows (SURVEY §6 "measurement eras"): wall-clock AND task CPU
+  // inflate together on identical work. Work metrics prove a slow pass
+  // did the same work; these counters add the other half of the
+  // adjudication — whether the HOST was contended while it ran. Captured
+  // as deltas around each family JVM and around the whole run, full
+  // report only.
+  private case class HostSnap(totalTicks: Long, stealTicks: Long,
+      iowaitTicks: Long, cpuPsiUs: Long, ioPsiUs: Long, load1: Double,
+      wallNs: Long)
+
+  private def readProc(p: String): String =
+    try {
+      val src = scala.io.Source.fromFile(p)
+      try src.mkString finally src.close()
+    } catch { case _: Throwable => "" }
+
+  private def hostSnap(): HostSnap = {
+    val f = readProc("/proc/stat").linesIterator.toSeq.headOption
+      .getOrElse("").trim.split("\\s+").drop(1)
+      .map(s => try s.toLong catch { case _: Throwable => 0L })
+    // /proc/stat cpu fields: user nice system idle iowait irq softirq steal
+    def psi(path: String): Long = readProc(path).linesIterator
+      .find(_.startsWith("some"))
+      .flatMap(_.split("total=").lastOption)
+      .map(s => try s.trim.toLong catch { case _: Throwable => 0L })
+      .getOrElse(0L)
+    val load1 = readProc("/proc/loadavg").split("\\s+").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
+    HostSnap(
+      totalTicks = f.sum,
+      stealTicks = if (f.length > 7) f(7) else 0L,
+      iowaitTicks = if (f.length > 4) f(4) else 0L,
+      cpuPsiUs = psi("/proc/pressure/cpu"),
+      ioPsiUs = psi("/proc/pressure/io"),
+      load1 = load1, wallNs = System.nanoTime())
+  }
+
+  /** Percentages over the window: steal/iowait against total cpu ticks
+    * (all cores), PSI "some" stall time against wall time. */
+  private def hostDeltaJson(a: HostSnap, b: HostSnap): String = {
+    val dTicks = math.max(1L, b.totalTicks - a.totalTicks)
+    val wallUs = math.max(1L, (b.wallNs - a.wallNs) / 1000)
+    def p(x: Double): String = f"$x%.2f"
+    s"""{"wall_s":${p((b.wallNs - a.wallNs) / 1e9)},""" +
+      s""""steal_pct":${p(100.0 * (b.stealTicks - a.stealTicks) / dTicks)},""" +
+      s""""iowait_pct":${p(100.0 * (b.iowaitTicks - a.iowaitTicks) / dTicks)},""" +
+      s""""cpu_psi_some_pct":${p(100.0 * (b.cpuPsiUs - a.cpuPsiUs) / wallUs)},""" +
+      s""""io_psi_some_pct":${p(100.0 * (b.ioPsiUs - a.ioPsiUs) / wallUs)},""" +
+      s""""load1_end":${b.load1}}"""
+  }
+
   private def runParent(): Unit = {
     val names = batteryNames
     val nFam = math.max(1, math.min(names.size,
@@ -163,16 +217,23 @@ object Bench {
         val per = math.ceil(names.size.toDouble / nFam).toInt
         names.grouped(per).toSeq
       }
+    val runStart = hostSnap()
     var spawned = true
+    val famHost = scala.collection.mutable.ArrayBuffer.empty[String]
+    def withHost(run: => FamilyRun, head: String): FamilyRun = {
+      val a = hostSnap()
+      try run finally famHost +=
+        s"""{"family":"$head","host":${hostDeltaJson(a, hostSnap())}}"""
+    }
     val results: Seq[FamilyRun] =
-      if (nFam == 1) { spawned = false; Seq(runInProcess(names)) }
+      if (nFam == 1) { spawned = false; Seq(withHost(runInProcess(names), names.head)) }
       else {
-        try fams.map(f => spawnFamily(f, passes = batteryPasses))
+        try fams.map(f => withHost(spawnFamily(f, passes = batteryPasses), f.head))
         catch { case e: Throwable =>
           System.err.println(s"[bench] family spawn failed (${e.getMessage}); " +
             "falling back to single-JVM in-process run")
           spawned = false
-          Seq(runInProcess(names))
+          Seq(withHost(runInProcess(names), names.head))
         }
       }
     val passesByName: Seq[(String, Seq[Double])] = results.flatMap(_._1)
@@ -189,7 +250,7 @@ object Bench {
         .sortBy { case (_, ok) => -ok.min }
         .take(nIso)
         .flatMap { case (n, _) =>
-          try Some(n -> spawnFamily(Seq(n), passes = isolatedPassCount))
+          try Some(n -> withHost(spawnFamily(Seq(n), passes = isolatedPassCount), s"iso:$n"))
           catch { case e: Throwable =>
             System.err.println(s"[bench] isolated re-run of $n failed: ${e.getMessage}")
             None
@@ -197,8 +258,12 @@ object Bench {
         }.toMap
     val isolated = isolatedRuns.map { case (n, r) => n -> r._1.head._2 }
     val isolatedWork = isolatedRuns.flatMap { case (n, r) => r._3.get(n).map(n -> _) }
+    val hostJson =
+      s"""{"overall":${hostDeltaJson(runStart, hostSnap())},""" +
+        s""""windows":[${famHost.mkString(",")}]}"""
     emit(passesByName, meta, families = results.size, isolated,
-      workByName, isolatedWork, batteryPassCount = batteryPasses)
+      workByName, isolatedWork, batteryPassCount = batteryPasses,
+      hostJson = hostJson)
   }
 
   /** Run one family in a fresh JVM; returns (per-query pass times, meta,
@@ -370,7 +435,8 @@ object Bench {
       isolatedPasses: Map[String, Seq[Double]],
       workByName: Map[String, Seq[Work]],
       isolatedWork: Map[String, Seq[Work]],
-      batteryPassCount: Int): Unit = {
+      batteryPassCount: Int,
+      hostJson: String): Unit = {
     // best-of-passes: identical plans vary up to ~2x run-to-run on a
     // shared box; the per-query minimum is the standard noise-resistant
     // estimate. For isolated entries the min ALSO spans the fresh-JVM
@@ -434,9 +500,13 @@ object Bench {
     val runsJson = s"""{"battery":$batteryPassCount,""" +
       s""""isolated":${if (isolatedPasses.nonEmpty) isolatedPassCount else 0}}"""
     val common = s""""unit":"sec","sf":"$sfDir","runs":$runsJson,"agg":"min","jvm":$jvm"""
+    // host contention over each family/isolated JVM's window and the
+    // whole run (steal, iowait, PSI stall, load): with the work metrics
+    // this closes the adjudication loop — same work + inflated wall +
+    // contended host = era/storm; same host + inflated work = real change
     val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
       s""""passes":$passes,"isolated":$iso,"work":${workJson(workByName)},""" +
-      s""""work_isolated":${workJson(isolatedWork)},"data":$fp}"""
+      s""""work_isolated":${workJson(isolatedWork)},"host":$hostJson,"data":$fp}"""
     // The driver keeps only the LAST 4 KB of output and parses a JSON
     // line out of it; the full report (~15 KB with passes + work) can
     // never fit, so stdout carries a COMPACT line — headline values
