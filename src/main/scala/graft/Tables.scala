@@ -25,7 +25,7 @@ object Tables {
     *     TimestampType is the identity on wall-clock values, which is
     *     exactly what DuckDB reads for the oracle. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.LongType
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val nanosFixed = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
@@ -36,11 +36,7 @@ object Tables {
             org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => df
     }
-    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
-      .foldLeft(nanosFixed) { (d, f) =>
-        d.withColumn(f.name,
-          org.apache.spark.sql.functions.col(f.name).cast(TimestampType))
-      }
+    graft.sources.Sources.normalizeNtz(nanosFixed)
   }
 
   /** Register every table as a temp view so spark.sql queries can use the

@@ -31,6 +31,27 @@ final case class SourceSpec(
 
 object Sources {
 
+  /** Cast every TIMESTAMP_NTZ column to session-tz TimestampType.
+    *
+    * Spark 4 infers parquet `timestamp(isAdjustedToUTC=false)` as
+    * TIMESTAMP_NTZ, which several operators reject or cannot cast
+    * directly (e.g. no NTZ→BIGINT cast), and which compares against
+    * TZ-typed columns via implicit coercions that depend on the session
+    * timezone. Pipelines that standardize on instant semantics (as this
+    * library's battery does, with the session tz pinned to UTC) can call
+    * this once at the source boundary: the cast preserves wall-clock
+    * values under the session tz, and is the identity on frames without
+    * NTZ columns. Deliberately NOT applied inside [[read]] — whether
+    * NTZ is "naive UTC" or truly zone-less is a data-owner decision. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast(TimestampType))
+      }
+  }
+
   val fileFormats = Set("parquet", "orc", "csv", "json")
 
   /** Build the DataFrame for a declared source. Validation is eager:
