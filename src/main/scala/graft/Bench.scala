@@ -168,7 +168,7 @@ object Bench {
   // adjudication — whether the HOST was contended while it ran. Captured
   // as deltas around each family JVM and around the whole run, full
   // report only.
-  private case class HostSnap(totalTicks: Long, stealTicks: Long,
+  private[graft] case class HostSnap(totalTicks: Long, stealTicks: Long,
       iowaitTicks: Long, cpuPsiUs: Long, ioPsiUs: Long, load1: Double,
       wallNs: Long)
 
@@ -178,7 +178,7 @@ object Bench {
       try src.mkString finally src.close()
     } catch { case _: Throwable => "" }
 
-  private def hostSnap(): HostSnap = {
+  private[graft] def hostSnap(): HostSnap = {
     val f = readProc("/proc/stat").linesIterator.toSeq.headOption
       .getOrElse("").trim.split("\\s+").drop(1)
       .map(s => try s.toLong catch { case _: Throwable => 0L })
@@ -201,7 +201,7 @@ object Bench {
 
   /** Percentages over the window: steal/iowait against total cpu ticks
     * (all cores), PSI "some" stall time against wall time. */
-  private def hostDeltaJson(a: HostSnap, b: HostSnap): String = {
+  private[graft] def hostDeltaJson(a: HostSnap, b: HostSnap): String = {
     val dTicks = math.max(1L, b.totalTicks - a.totalTicks)
     val wallUs = math.max(1L, (b.wallNs - a.wallNs) / 1000)
     def p(x: Double): String = f"$x%.2f"

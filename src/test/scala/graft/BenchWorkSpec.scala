@@ -54,4 +54,30 @@ class BenchWorkSpec extends AnyFunSuite with SparkTestBase {
         s"${names.size} queries — shorten names or split the line " +
         "before the driver's 4 KB tail truncates it again")
   }
+
+  test("host-contention snapshot reads real counters and deltas to sane JSON") {
+    // the "host" section of BENCH_FULL.json is the second half of the
+    // storm-vs-regression adjudication (work metrics being the first);
+    // a silently-zero or malformed section would read as "calm host"
+    val a = Bench.hostSnap()
+    // burn a little cpu so the tick counters visibly advance
+    var acc = 0L
+    val until = System.nanoTime() + 300000000L
+    while (System.nanoTime() < until) acc += 1
+    val b = Bench.hostSnap()
+    assert(b.totalTicks > a.totalTicks, s"cpu ticks did not advance: $a -> $b")
+    assert(b.wallNs > a.wallNs)
+    assert(a.load1 >= 0, s"loadavg unreadable: $a")
+    val json = Bench.hostDeltaJson(a, b)
+    // structurally valid JSON with every expected key, percentages bounded
+    for (k <- Seq("wall_s", "steal_pct", "iowait_pct",
+        "cpu_psi_some_pct", "io_psi_some_pct", "load1_end"))
+      assert(json.contains("\"" + k + "\":"), s"missing $k in $json")
+    val pcts = """"(\w+_pct)":(-?[0-9.]+)""".r
+      .findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    pcts.foreach { case (k, v) =>
+      assert(v >= 0 && v <= 100, s"$k out of range in $json")
+    }
+    assert(acc > 0) // keep the busy-loop observable
+  }
 }
