@@ -18,10 +18,11 @@ import scala.jdk.CollectionConverters._
   *     `SPARK_GRAFT_PASSES` (default 3) passes over its subset, writes
   *     one TSV row per query plus `#meta` and per-pass `#work` rows.
   *
-  * Report contract (round 9's verdict asks #1/#2/#6):
-  *   - stdout carries a COMPACT one-line JSON (headline values only,
-  *     ~3.3 KB — sized for the driver's 4 KB output tail), printed
-  *     once when ready and AGAIN as the strict last act;
+  * Report contract (round 9 asks #1/#2/#6; round 10 ask #1):
+  *   - stdout carries a COMPACT one-line JSON (total + slowest-10 +
+  *     identity, ~1 KB — sized for the driver's REAL 2,000-byte output
+  *     tail, see [[compactLine]]), printed once when ready and AGAIN as
+  *     the strict last act;
   *   - `BENCH_FULL.json` (override with SPARK_GRAFT_BENCH_OUT) is the
   *     complete measurement of record: all raw pass arrays, isolated
   *     re-run passes, and per-query-per-pass WORK metrics (task cpu,
@@ -183,6 +184,10 @@ object Bench {
       .getOrElse("").trim.split("\\s+").drop(1)
       .map(s => try s.toLong catch { case _: Throwable => 0L })
     // /proc/stat cpu fields: user nice system idle iowait irq softirq steal
+    // guest guest_nice. The kernel already folds guest/guest_nice into
+    // user/nice, so summing all 10 double-counts guest time and understates
+    // steal_pct/iowait_pct on virtualized hosts — the exact environment
+    // these counters adjudicate. Sum only user..steal.
     def psi(path: String): Long = readProc(path).linesIterator
       .find(_.startsWith("some"))
       .flatMap(_.split("total=").lastOption)
@@ -191,7 +196,7 @@ object Bench {
     val load1 = readProc("/proc/loadavg").split("\\s+").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
     HostSnap(
-      totalTicks = f.sum,
+      totalTicks = f.take(8).sum,
       stealTicks = if (f.length > 7) f(7) else 0L,
       iowaitTicks = if (f.length > 4) f(4) else 0L,
       cpuPsiUs = psi("/proc/pressure/cpu"),
@@ -225,11 +230,12 @@ object Bench {
       }
     val runStart = hostSnap()
     var spawned = true
-    val famHost = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (label, host-delta json) pairs; strings are rendered at emit time so
+    // labels can still be rewritten if a family is abandoned mid-sequence
+    val famHost = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def withHost(run: => FamilyRun, head: String): FamilyRun = {
       val a = hostSnap()
-      try run finally famHost +=
-        s"""{"family":"$head","host":${hostDeltaJson(a, hostSnap())}}"""
+      try run finally famHost += (head -> hostDeltaJson(a, hostSnap()))
     }
     val results: Seq[FamilyRun] =
       if (nFam == 1) { spawned = false; Seq(withHost(runInProcess(names), names.head)) }
@@ -239,6 +245,12 @@ object Bench {
           System.err.println(s"[bench] family spawn failed (${e.getMessage}); " +
             "falling back to single-JVM in-process run")
           spawned = false
+          // windows already captured belong to family JVMs whose results
+          // were discarded (including the partially-run failed one); tag
+          // them so host counters stay attributable to results that are
+          // actually in the report, and the fallback's own window doesn't
+          // collide with a same-named abandoned label
+          famHost.mapInPlace { case (l, h) => (s"abandoned:$l", h) }
           Seq(withHost(runInProcess(names), names.head))
         }
       }
@@ -266,7 +278,8 @@ object Bench {
     val isolatedWork = isolatedRuns.flatMap { case (n, r) => r._3.get(n).map(n -> _) }
     val hostJson =
       s"""{"overall":${hostDeltaJson(runStart, hostSnap())},""" +
-        s""""windows":[${famHost.mkString(",")}]}"""
+        s""""windows":[${famHost.map { case (l, h) =>
+          s"""{"family":"$l","host":$h}""" }.mkString(",")}]}"""
     emit(passesByName, meta, families = results.size, isolated,
       workByName, isolatedWork, batteryPassCount = batteryPasses,
       hostJson = hostJson)
@@ -513,30 +526,62 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
       s""""passes":$passes,"isolated":$iso,"work":${workJson(workByName)},""" +
       s""""work_isolated":${workJson(isolatedWork)},"host":$hostJson,"data":$fp}"""
-    // The driver keeps only the LAST 4 KB of output and parses a JSON
-    // line out of it; the full report (~15 KB with passes + work) can
-    // never fit, so stdout carries a COMPACT line — headline values
-    // rounded to 3 decimals, no pass arrays — that does (~3.3 KB),
-    // while BENCH_FULL.json holds the complete record.
-    val qsCompact = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":$total,$common,"queries":$qsCompact,"full_report":"BENCH_FULL.json"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val compact = compactLine(total, common, fp, results, outFile)
     println(compact)
     // durable full report: the measurement of record. Committed AS RUN —
     // storms and all (the per-pass arrays + work metrics let a reader
     // discount storms); never replaced by a hand-picked calm window.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(outFile, "UTF-8")
       try w.println(full) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // printed AGAIN as the strict last act: the driver's 4 KB tail then
+    // printed AGAIN as the strict last act: the driver's tail window then
     // contains one complete compact JSON line even when earlier stdout
     // (this line's first printing, Spark warnings) pushes bytes out of
     // the window — only sbt's own epilogue follows.
     println(compact)
+  }
+
+  /** The ONE JSON line the round driver parses. The driver keeps only the
+    * LAST 2,000 BYTES of bench stdout (measured, not modeled: the `tail`
+    * field of the driver's BENCH_r9.json AND BENCH_r10.json is exactly
+    * 2,000 chars, opening mid-JSON — a per-query map over 99 entries is
+    * ~2.7 KB and had its head cut both rounds, leaving `parsed: null`),
+    * and sbt's `[success]` epilogue (~100 B) follows this line inside
+    * that window. So the line must fit ~1.8 KB, and a full per-query map
+    * can never come back — it is redundant anyway, because the complete
+    * per-query record (all passes, work metrics, host counters) is
+    * committed in-repo as the full report. The compact line carries only
+    * what adjudicates a round at a glance: total seconds, pass counts,
+    * JVM/session identity, the per-table data fingerprint, the
+    * slowest-10 query map, the failed-query count, and the full-report
+    * pointer.
+    *
+    * Defensive degradation: if an oversized env-driven field (e.g. a long
+    * `SPARK_GRAFT_SF_DIR` path) ever pushes the line past 1,900 B, the
+    * fingerprint object collapses to an MD5 string and the slowest map to
+    * 5 entries — a shorter parseable line beats a truncated unparseable
+    * one.
+    */
+  private[graft] def compactLine(total: Double, common: String, fp: String,
+      results: Seq[(String, Double)], outFile: String): String = {
+    def build(nSlow: Int, fpJson: String): String = {
+      val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(nSlow)
+        .map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,$common,""" +
+        s""""slowest_$nSlow":$slowest,"failed":${results.count(_._2 < 0)},""" +
+        s""""data":$fpJson,"full_report":"$outFile"}"""
+    }
+    val line = build(10, fp)
+    if (line.length <= 1900) line
+    else {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      build(5, s""""md5:$md5"""")
+    }
   }
 }

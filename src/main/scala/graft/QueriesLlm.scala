@@ -13,6 +13,83 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object QueriesLlm {
 
+  /** Content fingerprint of one testdata table (total bytes + newest
+    * mtime of its files) — the same identity the bench report records,
+    * so a regenerated corpus invalidates every ground-truth cache entry
+    * keyed on it. */
+  private def tableFp(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val files = (if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+    else Seq(f)).filter(_.isFile)
+    s"${files.map(_.length).sum}-${if (files.isEmpty) 0L else files.map(_.lastModified).max}"
+  }
+
+  /** Persist-once cache for the recall gate's DETERMINISTIC exact
+    * ground truth (r10 verdict ask #3): q85's exact siblings are pure
+    * functions of (table content, probe slice, config), yet the bench
+    * re-ran them in all 3 battery passes AND all 3 isolated-JVM passes —
+    * ~5/6 of the gate's cost spent recomputing a constant. The first
+    * evaluation writes the frame to a tmp-dir parquet keyed by
+    * (op, config, content fingerprint); every later pass — in THIS JVM
+    * or a fresh one — reads it back. The cache can never go stale
+    * (content-fingerprint key) and never changes results (the sibling
+    * is deterministic; on any cache failure the computation simply runs
+    * as before). Publish is atomic (write `key.tmp-<uuid>`, rename to
+    * `key`): a concurrent creator loses the rename and reads the
+    * winner's copy. `SPARK_GRAFT_GT_CACHE=0` disables.
+    *
+    * The APPROXIMATE operators under measurement still run fully in
+    * every pass — only their oracle is cached. */
+  private[graft] def cachedGroundTruth(s: SparkSession, key: String)(
+      compute: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (sys.env.get("SPARK_GRAFT_GT_CACHE").contains("0")) return compute
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-gt-cache")
+    val dir = new java.io.File(base, key)
+    // an empty exact set writes no parquet part files (Spark skips empty
+    // partitions), so the schema travels in a sidecar and an empty cache
+    // hit reconstructs the empty frame from it
+    def readIt(): Option[DataFrame] =
+      try {
+        if (!new java.io.File(dir, "_SUCCESS").isFile) None
+        else {
+          val sf = new java.io.File(dir, "_graft_schema.json")
+          if (!sf.isFile) None
+          else {
+            val schema = DataType.fromJson(
+              new String(java.nio.file.Files.readAllBytes(sf.toPath), "UTF-8"))
+              .asInstanceOf[StructType]
+            val hasParts = Option(dir.listFiles()).getOrElse(Array.empty)
+              .exists(f => f.getName.startsWith("part-") && f.length > 0)
+            if (hasParts) Some(s.read.schema(schema).parquet(dir.toString))
+            else Some(s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+          }
+        }
+      } catch { case _: Throwable => None }
+    readIt().getOrElse {
+      val df = compute
+      try {
+        base.mkdirs()
+        val tmp = new java.io.File(base,
+          s"$key.tmp-${java.util.UUID.randomUUID()}")
+        df.write.parquet(tmp.toString)
+        java.nio.file.Files.write(
+          new java.io.File(tmp, "_graft_schema.json").toPath,
+          df.schema.json.getBytes("UTF-8"))
+        if (!tmp.renameTo(dir)) { // lost a publish race: read the winner
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+          }
+          rm(tmp)
+        }
+        readIt().getOrElse(df)
+      } catch { case _: Throwable => df }
+    }
+  }
+
   /** Shared ANN-vs-exact audit (q60/q61): emits rank-dominance and
     * score-recomputation violations — both empty for a correct index. */
   private def annAudit(
@@ -117,9 +194,16 @@ object QueriesLlm {
     // steady state (the brute sibling stays one broadcast pass; its
     // cost is the shared corpus scan, not the query count).
     val q = e.filter(col("vec_id") < 50)
+    // the exact siblings are deterministic ground truth — persisted once
+    // per (config, corpus fingerprint) and shared across every bench
+    // pass and JVM (see cachedGroundTruth); the approx sides under
+    // measurement run fully every time
+    val fpDocs = tableFp(dir, "documents")
+    val fpVecs = tableFp(dir, "embeddings")
     row("minhash_lsh",
       probeTouching(Dedup.minhashLshPairs(docs, threshold = 0.3), dDocs),
-      Dedup.jaccardProbePairs(docs, threshold = 0.3, probeDenom = dDocs),
+      cachedGroundTruth(s, s"jacc-t03-d$dDocs-$fpDocs")(
+        Dedup.jaccardProbePairs(docs, threshold = 0.3, probeDenom = dDocs)),
       Seq("id_a", "id_b"), floor = 0.7)
       .unionByName(row("embed_lsh",
         // thinnest margin of the four (measured ~0.76, and the exact
@@ -127,14 +211,17 @@ object QueriesLlm {
         // testdata regeneration) — floored a notch lower
         probeTouching(
           Similarity.cosineDupPairsLsh(e, threshold = 0.4, bits = 4), dVecs),
-        Similarity.cosineProbePairs(e, threshold = 0.4, probeDenom = dVecs),
+        cachedGroundTruth(s, s"cosp-t04-d$dVecs-$fpVecs")(
+          Similarity.cosineProbePairs(e, threshold = 0.4, probeDenom = dVecs)),
         Seq("id_a", "id_b"), floor = 0.55))
       .unionByName {
         // the ann_lsh and ann_ivf rows share the SAME exact sibling;
-        // Catalyst does not CSE across union branches, so without the
-        // eager localCheckpoint the full brute-force corpus scan would
-        // run twice (the checkpointed result is k×|queries| rows)
-        val brute = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint(true)
+        // Catalyst does not CSE across union branches, so the (cached or
+        // computed) frame is still localCheckpointed — k×|queries| rows —
+        // so neither a cache-miss recompute nor a double parquet scan
+        // runs per branch
+        val brute = cachedGroundTruth(s, s"brute-k5-q50-$fpVecs")(
+          Similarity.bruteForceTopK(q, e, k = 5)).localCheckpoint(true)
         row("ann_lsh",
           // floor 0.55 under the 50-query set (r10): with 10 queries the
           // measured value swung 0.64-0.80 across testdata regenerations
@@ -232,18 +319,21 @@ object QueriesLlm {
         .orderBy("doc_id")
     }),
 
-    // -- multimodal: binary assets + stub decode → feature vectors.
-    //    The vector stays internal; it is emitted as 16 scalar columns
-    //    (the driver's comparator can't sort top-level array columns).
+    // -- multimodal: REAL image bytes end to end. One synthetic PNG per
+    //    document (real deflate/CRC encode on executors), decoded back
+    //    with javax.imageio and reduced to pixel statistics; the oracle
+    //    computes the same stats ANALYTICALLY from doc_id (the test
+    //    pattern's channels are closed-form in (id, x, y) — see
+    //    Multimodal.syntheticPng), so a decoder that read any pixel
+    //    wrong, swapped channels, or mis-sized the raster hash-fails
     "q47_multimodal_features" -> ((s, dir) => {
-      val assets = Multimodal.toAssets(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
-      val feats = Multimodal.featurize(assets)
-      val featCols = (0 until 16).map(b =>
-        element_at(col("features"), b + 1).as(f"f$b%02d"))
-      assets.select(col("asset_id"), col("meta.n_bytes").as("n_bytes"))
-        .join(feats, "asset_id")
-        .select(col("asset_id") +: col("n_bytes") +: featCols: _*)
+      val assets = Multimodal.imageAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.featurize(assets)
+        .select(col("asset_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
         .orderBy("asset_id")
     }),
 
@@ -1201,18 +1291,19 @@ object QueriesLlm {
         |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(f.fp, 0) END AS fp
         |FROM documents d LEFT JOIN f USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    // the CASE guard mirrors decodeStub's empty-input contract (all-zero
-    // features) instead of dividing by length(text) = 0
+    // analytic ground truth for the REAL ImageIO decode: the synthetic
+    // PNG's pixel channels are closed-form in (doc_id, x, y) — see
+    // Multimodal.syntheticPng — so the oracle derives every decoded
+    // statistic from doc_id without touching an image library. The
+    // Spark side must round-trip actual PNG bytes to reproduce these.
     "q47_multimodal_features" ->
-      ("""SELECT doc_id AS asset_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |""".stripMargin +
-        (0 until 16).map(b =>
-          s"  CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-            s"CAST(len(list_filter(string_split(text, ''), c -> (ascii(c) // 16) = $b)) AS DOUBLE)" +
-            f" / CAST(length(text) AS DOUBLE) END AS f$b%02d")
-          .mkString("", ",\n", "\n") +
-        "FROM documents ORDER BY asset_id"),
+      """SELECT doc_id AS asset_id,
+        |  CAST(2 + doc_id % 7 AS INT) AS width,
+        |  CAST(2 + doc_id % 5 AS INT) AS height,
+        |  round(doc_id % 199 + (1 + doc_id % 7) / 2.0, 4) AS mean_r,
+        |  round((doc_id * 7) % 199 + (1 + doc_id % 5) / 2.0, 4) AS mean_g,
+        |  round(CAST((doc_id * 13) % 199 AS DOUBLE), 4) AS mean_b
+        |FROM documents ORDER BY asset_id""".stripMargin,
     // mirrors sampleFrames: step = max(1, len div 4), min(4, len) frames,
     // 32-byte slices (text is single-byte chars, so substr == byte slice)
     "q54_multimodal_frames" ->

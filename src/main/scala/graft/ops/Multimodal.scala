@@ -8,20 +8,31 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct; decode / feature
   * extraction runs batched on executors via `mapPartitions`.
   *
-  * The codec itself is STUBBED (this container has no image/audio libs):
-  * `decodeStub` derives deterministic features straight from the bytes.
-  * Everything around it — the asset schema, the partition-level batching,
-  * the feature-vector shape, the Parquet round-trip — is the real
-  * plumbing a production decode would plug into: replace `decodeStub`
-  * with a JNI/ffmpeg/pillow call and nothing else changes.
+  * The IMAGE path is REAL: [[featurize]] decodes PNG/JPEG bytes with the
+  * JDK's `javax.imageio` on executors and aggregates actual pixel
+  * statistics (dimensions + per-channel means); battery q47 verifies the
+  * decoded output of real PNG bytes against an analytic oracle. Only the
+  * VIDEO path remains a stand-in (the JDK ships no video codec):
+  * [[sampleFrames]]/[[explodeFrames]] model frame extraction as evenly
+  * spaced byte slices, and [[resize]] is the matching byte-level
+  * downsample for opaque blobs — swap in an ffmpeg/JNI call and the
+  * surrounding plumbing (schema, batching, partition shape) is unchanged.
   *
   * Scale notes: assets are processed as a narrow map over the scan (no
   * shuffle); binary columns should be written with a small
   * `maxPartitionBytes` so one task never holds too many blobs; metadata
-  * filters (e.g. `meta.n_bytes > 0`, or a `width` field if a real codec
-  * adds one to the meta struct) are struct-field pushdown-able.
+  * filters (e.g. `meta.n_bytes > 0`) are struct-field pushdown-able.
+  * `ImageIO.setUseCache(false)` keeps decodes in-memory — the default
+  * disk-backed cache would write a temp file per asset, a hidden
+  * executor-local I/O tax at 10⁸ images.
   */
 object Multimodal {
+
+  // in-memory ImageIO, no AWT display dependency — executor-safe
+  private lazy val imageIoInit: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** Canonical asset schema: (asset_id, modality, bytes, meta). */
   val assetSchema: StructType = StructType(Seq(
@@ -48,14 +59,68 @@ object Multimodal {
         octet_length(col(payloadCol)).cast("long").as("n_bytes"),
         col(tagCol).cast("string").as("tag")).as("meta"))
 
-  /** STUB decoder: deterministic 16-bin byte histogram, normalized.
-    * Stands in for image-decode + feature-extract. */
-  private[ops] def decodeStub(bytes: Array[Byte]): Array[Double] = {
-    val bins = new Array[Double](16)
-    if (bytes == null || bytes.isEmpty) return bins
-    bytes.foreach(b => bins((b & 0xFF) / 16) += 1.0)
-    val n = bytes.length.toDouble
-    bins.map(_ / n)
+  /** Deterministic synthetic PNG for asset `id` — the q47 fixture and a
+    * general test pattern: a `(2 + id mod 7) × (2 + id mod 5)` RGB image
+    * whose channels are exact functions of (id, x, y), so the decoded
+    * pixel statistics have a closed form an independent oracle can
+    * compute from `id` alone:
+    *
+    *   r(x,y) = id mod 199 + x        → mean_r = id mod 199 + (w-1)/2
+    *   g(x,y) = (id·7) mod 199 + y    → mean_g = (id·7) mod 199 + (h-1)/2
+    *   b(x,y) = (id·13) mod 199       → mean_b = (id·13) mod 199
+    *
+    * (bases < 199 and offsets ≤ 7 keep every channel < 256 — no
+    * wraparound, so the means are exact.) The bytes are a REAL PNG
+    * (deflate, filters, CRCs) produced by `javax.imageio`; decoding
+    * them exercises the same codec path production image data takes. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    imageIoInit
+    val w = (2 + Math.floorMod(id, 7)).toInt
+    val h = (2 + Math.floorMod(id, 5)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baseR = Math.floorMod(id, 199).toInt
+    val baseG = Math.floorMod(id * 7, 199).toInt
+    val baseB = Math.floorMod(id * 13, 199).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((baseR + x) << 16) | ((baseG + y) << 8) | baseB)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode: PNG/JPEG (any registered ImageIO reader) →
+    * (width, height, mean_r, mean_g, mean_b). None for null/undecodable
+    * bytes. */
+  private[graft] def decodeImage(
+      bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    imageIoInit
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
   /** "Frame sampling" stand-in: `n` evenly spaced fixed-width byte slices
@@ -69,25 +134,51 @@ object Multimodal {
     }
   }
 
-  /** Batched executor-side featurization: assets → (asset_id, features).
-    * One pass, no shuffle; the stub is the only non-production line. */
+  /** Generate a synthetic-PNG asset per row of `df` — REAL PNG bytes
+    * encoded on executors (narrow map, no shuffle), in the canonical
+    * asset shape. The q47 fixture; also the cheapest way to get honest
+    * image bytes into any pipeline test. */
+  def imageAssets(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(assetSchema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val png = syntheticPng(id)
+        Row(id, "image", png, Row(png.length.toLong, "png"))
+      }
+    }(enc)
+  }
+
+  /** Batched executor-side image featurization: assets → (asset_id,
+    * width, height, mean_r, mean_g, mean_b) via a REAL `javax.imageio`
+    * decode of each payload. One pass, no shuffle; rows stream lazily so
+    * one decoded image at a time is resident per task. Null or
+    * undecodable payloads (wrong codec, truncated file, non-image blob)
+    * yield null stats — filter `width IS NULL` downstream to quarantine
+    * them; never a task failure. */
   def featurize(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
-      StructField("features", ArrayType(DoubleType), nullable = false)))
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     assets.select("asset_id", "bytes").mapPartitions { rows =>
-      // rows stream lazily: one blob at a time is resident per task
       rows.map { r =>
-        Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)).toSeq)
+        decodeImage(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, mr, mg, mb)) => Row(r.getLong(0), w, h, mr, mg, mb)
+          case None => Row(r.getLong(0), null, null, null, null, null)
+        }
       }
     }(enc)
   }
 
   /** STUB resize: deterministic fixed-size byte downsample (`target`
-    * evenly spaced bytes) — stands in for image resize exactly like
-    * `decodeStub` stands in for decode. Assets already at or below
-    * `target` pass through unchanged. */
+    * evenly spaced bytes) — the opaque-blob / video-path stand-in (see
+    * object scaladoc; the image path decodes for real). Assets already
+    * at or below `target` pass through unchanged. */
   private[ops] def resizeStub(bytes: Array[Byte], target: Int): Array[Byte] = {
     if (bytes == null || bytes.length <= target) return bytes
     val out = new Array[Byte](target)

@@ -329,6 +329,18 @@ object Similarity {
     * fixed-size slice instead of scanning the corpus `iters` times; the
     * full corpus is read once, for the final cell assignment.
     *
+    * Driver round-trip bound: training is `iters` SEQUENTIAL jobs (each
+    * Lloyd round depends on the previous round's centroids — no
+    * single-job formulation exists), and each round's collect is the
+    * per-cell dimension means only: ≤ nlist × dim rows ≤ 4096 × dim.
+    * At dim 64 that is ≤ ~262k decimal scalars (a few MB) per round ×
+    * `iters` (default 3) — constant in the corpus size, so the driver
+    * serialization cost does NOT grow at 100 TB; the levers that do
+    * grow (sample scan, assignment scan, probe join) are all
+    * distributed. Raising `nlist` past 4096 or dim past ~1k is where
+    * this collect would start to matter; at that point switch the mean
+    * to a treeAggregate of dense vectors (same jobs, smaller rows).
+    *
     * @param nlist number of Voronoi cells; <= 0 (the default) derives
     *   ~sqrt(corpus) clamped to [16, 4096]. This is the standard IVF
     *   sizing AND a shuffle-width guard: the probe stage joins on `cell`,

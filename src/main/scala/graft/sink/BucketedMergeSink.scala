@@ -45,9 +45,8 @@ import org.apache.spark.storage.StorageLevel
   *     state, unlike the v1 bucket-at-a-time directory swap, and no
   *     rename of live data at all;
   *   - a crash mid-write leaves only an orphan `data/c*` dir, GC'd at
-  *     the start of the next merge/compact (single-writer contract —
-  *     concurrent WRITERS are out of scope, as they are for the flat
-  *     sink). Retention is a LAYOUT property persisted at creation
+  *     the start of the next merge/compact. Retention is a LAYOUT
+  *     property persisted at creation
   *     (pass `retainVersions = N` to the creating merge; change later
   *     with [[setRetention]]) and honored by every merge/compact: with
   *     the default of 1 a concurrent reader holding a superseded
@@ -63,7 +62,44 @@ import org.apache.spark.storage.StorageLevel
   * The bucket count is fixed at creation (changing it moves every row);
   * size it so one bucket of the FULL-GROWN target fits comfortably in a
   * merge job, e.g. target_bytes / ~1 GB.
+  *
+  * ==Concurrent writers==
+  *
+  * The supported contract is '''one writer process per target at a
+  * time''' — the same serialization the reference gets for free from
+  * its single-threaded per-batch loop (`Pype.py:148,186`); [[Runner]]
+  * enforces it WITHIN a run by refusing parallel stages that share a
+  * target. Across processes nothing can enforce it, so a violation is
+  * DETECTED and fails loudly instead of corrupting:
+  *
+  *   - every merge/compact records the manifest version its reads
+  *     resolved against and commits `v(base+1)` optimistically; if
+  *     another writer advanced the manifest in between — or wins the
+  *     `create(overwrite = false)` of the same version by a hair — the
+  *     loser throws [[ConcurrentWriteException]], publishes NOTHING
+  *     (its data dir is deleted on the spot; a crash before that
+  *     leaves an invisible orphan for the next write's GC), and the
+  *     winner's committed state is untouched. The error is RETRYABLE:
+  *     re-running the losing merge re-reads the winner's state and
+  *     re-merges correctly.
+  *   - the write-path GC can remove a VIOLATING concurrent writer's
+  *     not-yet-committed data dir (it is indistinguishable from a
+  *     crashed batch's orphan); that writer then fails at write or
+  *     commit time — loudly, never by publishing mixed data. This is
+  *     why the contract is single-writer rather than general optimistic
+  *     concurrency: detection makes violations safe-and-loud, not
+  *     correct.
+  *
+  * Pinned in BucketedMergeSinkSpec ("concurrent writer" cases).
   */
+/** A manifest commit lost to another writer (see
+  * [[BucketedMergeSink]] scaladoc, "Concurrent writers"). RETRYABLE:
+  * nothing of the losing batch was published and the target is in the
+  * winning writer's consistent state — re-running the same merge
+  * re-reads that state and re-merges correctly. */
+final class ConcurrentWriteException(msg: String)
+  extends RuntimeException(msg)
+
 object BucketedMergeSink {
 
   /** Partition-column name used when WRITING commit dirs (and reserved
@@ -253,22 +289,65 @@ object BucketedMergeSink {
     else spark.read.schema(meta.schema).parquet(dirs: _*)
   }
 
-  /** Publish `mapping` as the next manifest version. The single
-    * `create(overwrite = false)` is the batch's atomic commit point; a
-    * second writer racing to the same version fails here, loudly.
+  private def versionOf(p: Path): Long = p.getName.stripPrefix("v").toLong
+
+  /** Test seam for the concurrent-writer spec: invoked between a
+    * merge/compact's last read of the manifest and its commit attempt,
+    * so BucketedMergeSinkSpec can interleave a competing writer's commit
+    * at the exact moment a real race would land it. Production value is
+    * a no-op. */
+  private[graft] var interleaveBeforeCommit: () => Unit = () => ()
+
+  /** Publish `mapping` as the next manifest version — the OPTIMISTIC
+    * COMMIT point of the single-writer contract (see the object scaladoc
+    * "Concurrent writers").
+    *
+    * `expectedBase` is the manifest version this batch's reads were
+    * resolved against. Detection is two-layered:
+    *   1. if the current version has advanced past `expectedBase`,
+    *      another writer committed while this batch was being written —
+    *      its merge output is stale (computed against superseded bucket
+    *      contents) and publishing it would silently drop the other
+    *      writer's batch (lost update). Fail with
+    *      [[ConcurrentWriteException]] BEFORE creating anything.
+    *   2. the `create(overwrite = false)` of `v(expectedBase+1)` is the
+    *      atomic tie-break for two writers that BOTH passed check 1: the
+    *      filesystem admits exactly one creator; the loser's
+    *      already-exists failure is rethrown as the same retryable
+    *      [[ConcurrentWriteException]].
+    * Either way the losing batch publishes NOTHING (its data dir stays
+    * an invisible orphan, removed by the caller and by the next write's
+    * GC) and the winning batch is untouched.
+    *
     * Afterwards only the newest `retain` versions are kept: superseded
     * manifests beyond the retention window point at dirs the GC may
     * remove, so leaving them listed would trade "old snapshot" for
     * "failing snapshot". */
   private def commitManifest(
-      fs: FileSystem, path: String, mapping: Map[Int, String], retain: Int): Unit = {
+      fs: FileSystem, path: String, mapping: Map[Int, String], retain: Int,
+      expectedBase: Long): Unit = {
+    interleaveBeforeCommit()
     val dir = new Path(path, manifestDir)
-    val next = currentManifestFile(fs, path)
-      .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(1L)
-    val p = new Path(dir, f"v$next%09d")
+    val current = currentManifestFile(fs, path).map(versionOf).getOrElse(0L)
+    if (current != expectedBase)
+      throw new ConcurrentWriteException(
+        s"manifest at $path advanced v$expectedBase -> v$current while this " +
+          "batch was being written: another writer committed first. This " +
+          "batch was NOT published (no partial state is visible). The " +
+          "target is single-writer; retry the merge — it will re-read the " +
+          "new state and re-merge.")
+    val p = new Path(dir, f"v${expectedBase + 1}%09d")
     val body = mapping.toSeq.sorted
       .map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n")
-    val out = fs.create(p, false) // atomic commit: fails if it exists
+    // atomic commit: the fs admits exactly one creator of this version
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException if fs.exists(p) =>
+        throw new ConcurrentWriteException(
+          s"lost the commit race for v${expectedBase + 1} at $path: another " +
+            "writer created it first. This batch was NOT published; the " +
+            s"target is single-writer — retry the merge. (${e.getMessage})")
+      }
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val files = manifestFiles(fs, path)
     files.dropRight(math.max(1, retain)).foreach(fs.delete(_, false))
@@ -422,7 +501,13 @@ object BucketedMergeSink {
         s"bucketed target $path is keyed on ${meta.key.mkString(",")} — " +
           s"cannot ${loadType} on ${key.mkString(",")} (rows are routed by the layout key)")
 
-    val mapping = readManifest(spark, path)
+    // the manifest version this batch's reads resolve against — the
+    // optimistic-commit base (object scaladoc "Concurrent writers");
+    // parse THAT file, not a re-listed current, so base and mapping
+    // cannot straddle an interleaved commit
+    val baseFile = currentManifestFile(fs, path)
+    val base = baseFile.map(versionOf).getOrElse(0L)
+    val mapping = baseFile.map(parseManifest(fs, _)).getOrElse(Map.empty[Int, String])
     // clean up any previous crash's orphan data dirs before writing ours
     gcUnreferenced(fs, path)
     val existing = mapping.keys.toSeq
@@ -493,8 +578,13 @@ object BucketedMergeSink {
       val rewritten = (if (loadType == "delete") touchedExisting else touched).toSet
       val newMapping = (mapping -- rewritten) ++
         produced.filter(rewritten.contains).map(_ -> commit)
-      commitManifest(fs, path, newMapping,
-        retention) // <- the batch becomes visible HERE (retention resolved pre-job)
+      // the batch becomes visible HERE (retention resolved pre-job); a
+      // lost commit race rolls our data dir back before rethrowing — the
+      // loser must leave nothing behind beyond what a crash would
+      try commitManifest(fs, path, newMapping, retention, expectedBase = base)
+      catch { case e: ConcurrentWriteException =>
+        fs.delete(commitPath, true); throw e
+      }
       gcUnreferenced(fs, path)
     } finally if (ownPersist) batch.unpersist(false)
   }
@@ -531,7 +621,11 @@ object BucketedMergeSink {
     // conflicting retention fails before the discovery listing and the
     // rewrite job, not after them at commit time (merge does the same)
     val retention = resolveRetention(retainVersions, meta, path)
-    val mapping = readManifest(spark, path)
+    // same optimistic-commit base discipline as merge (scaladoc
+    // "Concurrent writers"): mapping parsed from the base file itself
+    val baseFile = currentManifestFile(fs, path)
+    val base = baseFile.map(versionOf).getOrElse(0L)
+    val mapping = baseFile.map(parseManifest(fs, _)).getOrElse(Map.empty[Int, String])
     gcUnreferenced(fs, path)
     val fragmented = listParallel(mapping.toSeq) { case (b, c) =>
       val files = fs.listStatus(leafDir(path, c, b))
@@ -548,7 +642,10 @@ object BucketedMergeSink {
       .write.partitionBy(bucketCol).parquet(commitPath.toString)
     catch { case e: Throwable => fs.delete(commitPath, true); throw e }
     val newMapping = mapping ++ fragmented.map(_ -> commit)
-    commitManifest(fs, path, newMapping, retention)
+    try commitManifest(fs, path, newMapping, retention, expectedBase = base)
+    catch { case e: ConcurrentWriteException =>
+      fs.delete(commitPath, true); throw e
+    }
     gcUnreferenced(fs, path)
     fragmented
   }
@@ -596,6 +693,14 @@ object BucketedMergeSink {
     val buckets = fs.listStatus(commitPath).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(bucketCol + "="))
       .map(_.stripPrefix(bucketCol + "=").toInt)
-    commitManifest(fs, path, buckets.map(_ -> commit).toMap, retainVersions)
+    // creation commits v1 from an empty manifest: two processes racing to
+    // CREATE the same target tie-break on the v1 create — the loser gets
+    // the same retryable ConcurrentWriteException (and on retry converges,
+    // since the winner established the layout)
+    try commitManifest(fs, path, buckets.map(_ -> commit).toMap, retainVersions,
+      expectedBase = 0L)
+    catch { case e: ConcurrentWriteException =>
+      fs.delete(commitPath, true); throw e
+    }
   }
 }

@@ -31,7 +31,9 @@ final case class SourceSpec(
 
 object Sources {
 
-  /** Cast every TIMESTAMP_NTZ column to session-tz TimestampType.
+  /** Cast every TIMESTAMP_NTZ column to session-tz TimestampType —
+    * including NTZ buried inside structs, arrays and maps (the cast of a
+    * rewritten nested type applies field-by-field / element-by-element).
     *
     * Spark 4 infers parquet `timestamp(isAdjustedToUTC=false)` as
     * TIMESTAMP_NTZ, which several operators reject or cannot cast
@@ -44,12 +46,21 @@ object Sources {
     * NTZ columns. Deliberately NOT applied inside [[read]] — whether
     * NTZ is "naive UTC" or truly zone-less is a data-owner decision. */
   def normalizeNtz(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    df.schema.fields.filter(_.dataType == TimestampNTZType)
-      .foldLeft(df) { (d, f) =>
-        d.withColumn(f.name,
-          org.apache.spark.sql.functions.col(f.name).cast(TimestampType))
-      }
+    import org.apache.spark.sql.types._
+    def rewrite(dt: DataType): DataType = dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = rewrite(f.dataType))))
+      case a: ArrayType => a.copy(elementType = rewrite(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = rewrite(m.keyType), valueType = rewrite(m.valueType))
+      case other => other
+    }
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      val nt = rewrite(f.dataType)
+      if (nt == f.dataType) d
+      else d.withColumn(f.name, d.col(s"`${f.name}`").cast(nt))
+    }
   }
 
   val fileFormats = Set("parquet", "orc", "csv", "json")

@@ -37,22 +37,44 @@ class BenchWorkSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  test("the compact stdout headline stays inside the driver's 4 KB tail " +
-    "as the battery grows") {
-    // the driver keeps only the last 4 KB of bench output; the compact
-    // line carries one `"<name>":<sec>` entry per battery query plus
-    // fixed overhead, and sbt's epilogue (~100 B) follows it. Model the
-    // worst case (8 bytes for a 3-decimal seconds value ≥ 100 s) and
-    // fail BEFORE a battery addition silently pushes the line past the
-    // window, which would regress the parsed-artifact fix.
+  test("the compact stdout line fits the driver's REAL 2,000-byte tail " +
+    "window, worst case, with epilogue headroom") {
+    // Measured, not modeled: the driver's BENCH_r9.json and BENCH_r10.json
+    // both carry a `tail` of exactly 2,000 chars with the compact line's
+    // head cut off (the r10 guard modeled a 4,096 B window — wrong, and
+    // `parsed` stayed null two rounds running). Guard the ACTUAL builder
+    // output at worst-case inputs: every battery query slow enough to be
+    // a slowest-10 candidate with a 4-digit seconds value, the real query
+    // names, a full-width per-table fingerprint, long GC names, and the
+    // real sf path. sbt's `[success] Total time: ...` epilogue plus
+    // newlines (~120 B observed) follows the line inside the window.
     val names = SparkEntry.queries.keys.toSeq
-    val perQuery = names.map(_.length + 12).sum // "name":123.456, per entry
-    val overhead = 600 // metric/value/unit/sf/runs/agg/jvm/full_report
+    val results = names.map(_ -> 9999.999)
+    val fp = Tables.names
+      .map(t => s""""$t":"999999999:1755999999999"""").mkString("{", ",", "}")
+    val jvm = """{"heap_max_mb":94208,""" +
+      """"gc":"G1 Young Generation+G1 Old Generation","cpus":"32",""" +
+      """"shuffle_partitions":"64","families":4,""" +
+      s""""n_queries":${names.size}}"""
+    val common = """"unit":"sec","sf":"/root/testdata/sf0.1",""" +
+      """"runs":{"battery":3,"isolated":3},"agg":"min","jvm":""" + jvm
+    val line = Bench.compactLine(99999.0, common, fp, results, "BENCH_FULL.json")
     val epilogue = 200 // sbt [success] line + newline slack
-    assert(perQuery + overhead + epilogue < 4096,
-      s"compact bench line would be ~${perQuery + overhead} B for " +
-        s"${names.size} queries — shorten names or split the line " +
-        "before the driver's 4 KB tail truncates it again")
+    assert(line.length + epilogue < 2000,
+      s"compact bench line is ${line.length} B at worst case — it must fit " +
+        "the driver's 2,000-byte tail with epilogue headroom or " +
+        "BENCH_r{N}.json goes back to parsed:null")
+    // and it must be the line the driver can actually parse: one JSON
+    // object with the adjudication essentials present
+    for (k <- Seq("\"metric\":", "\"value\":", "\"runs\":", "\"jvm\":",
+        "\"slowest_10\":", "\"failed\":", "\"data\":", "\"full_report\":"))
+      assert(line.contains(k), s"compact line missing $k: $line")
+    // prove parseability with a real JSON parser (Jackson ships with Spark)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("value").asDouble() == 99999.0)
+    assert(node.get("slowest_10").size() == 10)
+    assert(node.get("failed").asInt() == 0)
+    assert(node.get("data").size() == Tables.names.size)
   }
 
   test("host-contention snapshot reads real counters and deltas to sane JSON") {

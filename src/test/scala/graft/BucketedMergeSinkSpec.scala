@@ -34,6 +34,14 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
   private def seed(n: Int): DataFrame =
     (1 to n).map(i => (i.toLong, s"name$i", i * 10L)).toDF("id", "name", "v")
 
+  /** Snapshot a frame into a source-independent local DataFrame — for
+    * comparing across commits whose GC deletes the dirs a lazy read of
+    * the old state resolved to. */
+  private def localized(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   test("upsert/update/delete match the flat MergeSink semantics exactly") {
     val path = tmpTarget()
     val target = seed(50)
@@ -428,5 +436,102 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     val once = canon(BucketedMergeSink.read(spark, path))
     BucketedMergeSink.merge(spark, batch, path, "upsert", Seq("id"))
     assert(canon(BucketedMergeSink.read(spark, path)) == once)
+  }
+
+  test("concurrent writer: an interleaved commit is detected, the loser " +
+    "publishes NOTHING, and a retry converges (single-writer contract)") {
+    // Two independent processes merging into the same target race on the
+    // manifest. The contract (object scaladoc "Concurrent writers"): the
+    // loser fails with the retryable ConcurrentWriteException, publishes
+    // nothing, and the winner's state is untouched. Simulated via the
+    // interleaveBeforeCommit seam: writer B's whole merge lands in the
+    // window between writer A's last manifest read and A's commit — the
+    // exact interleaving an uncoordinated deployment hits.
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(50), path, "upsert", Seq("id"), numBuckets = 4)
+    // materialized copy: the race's GC deletes superseded leaf dirs, so a
+    // lazy read over today's resolved paths would dangle
+    val seedState = localized(BucketedMergeSink.read(spark, path))
+
+    val batchB = Seq((7L, "B-WINS", 70L)).toDF("id", "name", "v")
+    val batchA = Seq((7L, "A-LOSES", 700L), (999L, "a-new", 1L)).toDF("id", "name", "v")
+    var fired = false
+    BucketedMergeSink.interleaveBeforeCommit = () => {
+      if (!fired) { // intercept only writer A's commit; B's own runs clean
+        fired = true
+        BucketedMergeSink.merge(spark, batchB, path, "upsert", Seq("id"))
+      }
+    }
+    val e =
+      try intercept[graft.sink.ConcurrentWriteException] {
+        BucketedMergeSink.merge(spark, batchA, path, "upsert", Seq("id"))
+      } finally BucketedMergeSink.interleaveBeforeCommit = () => ()
+    assert(fired)
+    assert(e.getMessage.contains("retry"), s"loser's error must say it is retryable: $e")
+
+    // the WINNER's committed state is exactly what a clean sequential
+    // B-merge leaves; nothing of A is visible anywhere
+    val afterB = MergeSink.upsert(seedState, batchB, Seq("id"))
+    assertSameRows(
+      BucketedMergeSink.read(spark, path).orderBy("id"), afterB.orderBy("id"))
+    // the loser's data dir was rolled back on the spot: data/ holds only
+    // manifest-referenced commit dirs
+    val live = BucketedMergeSink.manifest(spark, path).values.toSet
+    val dirs = new File(path, "data").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == live, s"loser left a data dir behind: $dirs vs live $live")
+
+    // RETRYABLE means exactly this: re-running the losing merge re-reads
+    // the winner's state and lands correctly
+    BucketedMergeSink.merge(spark, batchA, path, "upsert", Seq("id"))
+    assertSameRows(
+      BucketedMergeSink.read(spark, path).orderBy("id"),
+      MergeSink.upsert(afterB, batchA, Seq("id")).orderBy("id"))
+  }
+
+  test("concurrent writer: a merge interleaved into a compact fails the " +
+    "compact, not the data") {
+    val path = tmpTarget()
+    BucketedMergeSink.merge(spark, seed(40), path, "upsert", Seq("id"), numBuckets = 2)
+    BucketedMergeSink.merge(spark,
+      Seq((41L, "f", 1L), (42L, "g", 2L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // fragments at least one bucket
+    val batch = Seq((3L, "mid-compact", 9L)).toDF("id", "name", "v")
+    var fired = false
+    BucketedMergeSink.interleaveBeforeCommit = () => {
+      if (!fired) { fired = true
+        BucketedMergeSink.merge(spark, batch, path, "upsert", Seq("id"))
+      }
+    }
+    val pre = localized(BucketedMergeSink.read(spark, path))
+    try intercept[graft.sink.ConcurrentWriteException] {
+      BucketedMergeSink.compact(spark, path)
+    } finally BucketedMergeSink.interleaveBeforeCommit = () => ()
+    assert(fired)
+    // content = pre-compact content with the interleaved merge applied;
+    // the failed compact changed nothing and a retry compacts cleanly
+    val want = canon(MergeSink.upsert(pre, batch, Seq("id")))
+    assert(canon(BucketedMergeSink.read(spark, path)) == want)
+    BucketedMergeSink.compact(spark, path)
+    assert(canon(BucketedMergeSink.read(spark, path)) == want)
+  }
+
+  test("the commit tie-break primitive: create(overwrite=false) admits " +
+    "exactly one creator of a manifest version") {
+    // Layer 2 of the detection (commitManifest scaladoc): two writers
+    // that both passed the advanced-version check tie-break on the
+    // filesystem's exclusive create. Pin the primitive that guarantee
+    // rests on — second create of the same path must throw, first wins.
+    val dir = Files.createTempDirectory("graft-commit-race").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, "v000000002")
+    val out = fs.create(p, false)
+    out.write("0\tcwinner\n".getBytes("UTF-8")); out.close()
+    intercept[java.io.IOException](fs.create(p, false))
+    assert(fs.exists(p))
+    // and the winner's content is untouched by the loser's attempt
+    val src = scala.io.Source.fromInputStream(fs.open(p))
+    try assert(src.mkString == "0\tcwinner\n") finally src.close()
   }
 }

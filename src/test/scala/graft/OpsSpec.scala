@@ -407,6 +407,45 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 8, 8L), (2L, 2, 2L)))
   }
 
+  test("syntheticPng round-trips through a REAL ImageIO decode to the " +
+    "analytic pixel stats (q47's contract)") {
+    for (id <- Seq(0L, 1L, 42L, 198L, 199L, 12345L)) {
+      val png = Multimodal.syntheticPng(id)
+      // real PNG container: magic bytes, not a histogram of our own bytes
+      assert(png.take(4).map(_ & 0xFF).toSeq == Seq(0x89, 0x50, 0x4E, 0x47),
+        s"id=$id did not produce a PNG")
+      val (w, h, mr, mg, mb) = Multimodal.decodeImage(png).get
+      assert(w == 2 + id % 7 && h == 2 + id % 5, s"id=$id raster $w x $h")
+      // integer sums over <256 values: the doubles are exact, compare ==
+      assert(mr == id % 199 + (w - 1) / 2.0, s"id=$id mean_r $mr")
+      assert(mg == (id * 7) % 199 + (h - 1) / 2.0, s"id=$id mean_g $mg")
+      assert(mb == (id * 13) % 199, s"id=$id mean_b $mb")
+    }
+    // undecodable / empty / null payloads are None, never a task failure
+    assert(Multimodal.decodeImage("plain text, not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("featurize: distributed real decode of PNG assets; non-image " +
+    "payloads yield null stats rows") {
+    val feats = Multimodal.featurize(
+      Multimodal.imageAssets(Seq(1L, 2L, 3L).toDF("id"), "id"))
+      .orderBy("asset_id").collect()
+    assert(feats.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 2 + id % 7 && r.getInt(2) == 2 + id % 5)
+      assert(r.getDouble(3) == id % 199 + (r.getInt(1) - 1) / 2.0)
+    }
+    val blob = Multimodal.toAssets(
+      Seq((9L, "plain text", "t")).toDF("id", "payload", "tag"),
+      "id", "payload", "tag")
+    val n = Multimodal.featurize(blob).collect().head
+    assert(n.getLong(0) == 9L)
+    assert(n.isNullAt(1) && n.isNullAt(2) && n.isNullAt(3))
+  }
+
   test("dedup and similarity operators are empty-input safe") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(noDocs).count() == 0)

@@ -56,4 +56,32 @@ class SketchRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.nonEmpty, "probe slice at denom=4 should touch some pairs")
     assert(probed == expected)
   }
+
+  test("cachedGroundTruth: computes once, later calls read the identical " +
+    "frame back; empty frames round-trip via the schema sidecar") {
+    import spark.implicits._
+    var computes = 0
+    val key = s"spec-${java.util.UUID.randomUUID()}"
+    def frame = {
+      computes += 1
+      Seq((1L, 2L, 0.5), (3L, 4L, 0.9)).toDF("id_a", "id_b", "j")
+    }
+    val a = QueriesLlm.cachedGroundTruth(spark, key)(frame)
+    val aRows = canon(a)
+    assert(computes == 1)
+    val b = QueriesLlm.cachedGroundTruth(spark, key)(frame)
+    assert(computes == 1,
+      "second call must serve from the cache, not recompute the sibling")
+    assert(canon(b) == aRows)
+    assert(b.schema == a.schema)
+    // an empty exact set writes no parquet part files; the schema sidecar
+    // must still reconstruct the empty frame on a hit
+    val ek = s"spec-empty-${java.util.UUID.randomUUID()}"
+    val e1 = QueriesLlm.cachedGroundTruth(spark, ek)(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    val e2 = QueriesLlm.cachedGroundTruth(spark, ek)(
+      fail("an empty-frame cache hit must not recompute"))
+    assert(e2.schema == e1.schema)
+    assert(e2.count() == 0)
+  }
 }
