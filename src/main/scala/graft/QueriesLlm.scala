@@ -337,6 +337,35 @@ object QueriesLlm {
         .orderBy("asset_id")
     }),
 
+    // -- multimodal audio: REAL RIFF/WAVE bytes end to end — one
+    //    synthetic 16-bit PCM clip per document (AudioSystem encode on
+    //    executors), decoded back with javax.sound.sampled and reduced
+    //    to amplitude stats the oracle derives analytically from doc_id
+    //    (closed-form ramp — see Multimodal.syntheticWav)
+    "q100_audio_features" -> ((s, dir) => {
+      val assets = Multimodal.audioAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.audioFeatures(assets)
+        .select(col("asset_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("mean_amp"), 4).as("mean_amp"),
+          col("peak_amp"))
+        .orderBy("asset_id")
+    }),
+
+    // -- multimodal resize: REAL decode → nearest-neighbor raster scale
+    //    → PNG re-encode → REAL decode again. The oracle pins the
+    //    closed-form output dims and the constant blue channel (invariant
+    //    under any subsampling); the full pixel closed-form is pinned in
+    //    OpsSpec
+    "q101_multimodal_resize" -> ((s, dir) => {
+      val assets = Multimodal.imageAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.featurize(Multimodal.resizeImages(assets, maxDim = 3))
+        .select(col("asset_id"), col("width"), col("height"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("asset_id")
+    }),
+
     // -- exact cosine top-k via broadcast + partial-agg TopK Aggregator
     "q48_cosine_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -1304,6 +1333,28 @@ object QueriesLlm {
         |  round((doc_id * 7) % 199 + (1 + doc_id % 5) / 2.0, 4) AS mean_g,
         |  round(CAST((doc_id * 13) % 199 AS DOUBLE), 4) AS mean_b
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // analytic ground truth for the REAL javax.sound decode: the WAV's
+    // PCM ramp is closed-form in (doc_id, i) — Multimodal.syntheticWav
+    "q100_audio_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+        |  round(doc_id % 1000 + 3 * (63 + doc_id % 64) / 2.0, 4) AS mean_amp,
+        |  CAST(doc_id % 1000 + 3 * (63 + doc_id % 64) AS INT) AS peak_amp
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // resize oracle: output dims are max(1, d*3/max(w,h)) with the
+    // source dims closed-form in doc_id; the blue channel is constant
+    // per image, so its mean is invariant under the resample
+    "q101_multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, w, h, greatest(w, h) AS m FROM d)
+        |SELECT doc_id AS asset_id,
+        |  CAST(CASE WHEN m <= 3 THEN w ELSE greatest(1, w * 3 // m) END AS INT) AS width,
+        |  CAST(CASE WHEN m <= 3 THEN h ELSE greatest(1, h * 3 // m) END AS INT) AS height,
+        |  round(CAST((doc_id * 13) % 199 AS DOUBLE), 4) AS mean_b
+        |FROM r ORDER BY asset_id""".stripMargin,
     // mirrors sampleFrames: step = max(1, len div 4), min(4, len) frames,
     // 32-byte slices (text is single-byte chars, so substr == byte slice)
     "q54_multimodal_frames" ->

@@ -96,16 +96,20 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decoded raster or null — shared by featurize and resize. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null || bytes.isEmpty) return null
+    imageIoInit
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException => null }
+  }
+
   /** REAL image decode: PNG/JPEG (any registered ImageIO reader) →
     * (width, height, mean_r, mean_g, mean_b). None for null/undecodable
     * bytes. */
   private[graft] def decodeImage(
       bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
-    if (bytes == null || bytes.isEmpty) return None
-    imageIoInit
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+    val img = readImage(bytes)
     if (img == null) return None
     val (w, h) = (img.getWidth, img.getHeight)
     var (sr, sg, sb) = (0L, 0L, 0L)
@@ -170,6 +174,155 @@ object Multimodal {
         decodeImage(r.getAs[Array[Byte]](1)) match {
           case Some((w, h, mr, mg, mb)) => Row(r.getLong(0), w, h, mr, mg, mb)
           case None => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic WAV for asset `id` — the audio twin of
+    * [[syntheticPng]]: `64 + id mod 64` samples of 16-bit mono PCM at
+    * 8 kHz whose amplitudes are a closed-form ramp an independent
+    * oracle can compute from `id` alone:
+    *
+    *   s(i) = id mod 1000 + 3·i       (max 999 + 3·127 = 1380 « 32767)
+    *   → n_samples = 64 + id mod 64
+    *   → mean_amp  = id mod 1000 + 3(n-1)/2
+    *   → peak_amp  = id mod 1000 + 3(n-1)
+    *
+    * The bytes are a REAL RIFF/WAVE container produced by
+    * `javax.sound.sampled.AudioSystem`; decoding them exercises the
+    * JDK's actual audio codec path. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (64 + Math.floorMod(id, 64)).toInt
+    val base = Math.floorMod(id, 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = base + 3 * i
+      pcm(2 * i) = (s & 0xFF).toByte // little-endian 16-bit
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: WAV (16-bit signed
+    * PCM, any channel count the JDK reader accepts) → (sample_rate,
+    * channels, n_samples, mean amplitude, peak amplitude) over all
+    * channels. None for null/undecodable bytes or non-16-bit encodings
+    * (the honest boundary: the JDK ships no mp3/ogg codec). */
+  private[graft] def decodeAudio(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Double, Int)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) return None
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      if (n == 0) return None
+      val big = fmt.isBigEndian
+      var (sum, peak) = (0L, Int.MinValue)
+      var i = 0
+      while (i < n) {
+        val lo = data(2 * i) & 0xFF
+        val hi = data(2 * i + 1) & 0xFF
+        val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+        sum += s; if (s > peak) peak = s
+        i += 1
+      }
+      Some((fmt.getSampleRate.toInt, fmt.getChannels,
+        n.toLong / fmt.getChannels, sum.toDouble / n, peak))
+    } finally ais.close()
+  }
+
+  /** Generate a synthetic-WAV asset per row of `df` — REAL RIFF bytes
+    * encoded on executors, in the canonical asset shape (the q100
+    * fixture; audio twin of [[imageAssets]]). */
+  def audioAssets(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(assetSchema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val wav = syntheticWav(id)
+        Row(id, "audio", wav, Row(wav.length.toLong, "wav"))
+      }
+    }(enc)
+  }
+
+  /** Batched executor-side audio featurization: assets → (asset_id,
+    * sample_rate, channels, n_samples, mean_amp, peak_amp) via a REAL
+    * `javax.sound.sampled` decode. Same null contract as [[featurize]]. */
+  def audioFeatures(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("mean_amp", DoubleType, nullable = true),
+      StructField("peak_amp", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select("asset_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudio(r.getAs[Array[Byte]](1)) match {
+          case Some((sr, ch, ns, mean, peak)) =>
+            Row(r.getLong(0), sr, ch, ns, mean, peak)
+          case None => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL image resize: decode → nearest-neighbor raster scale so the
+    * longer side is at most `maxDim` (aspect preserved) → PNG
+    * re-encode. Nearest-neighbor, deliberately: `srcX = x·sw/dw`
+    * (floor) is exact integer sampling with no interpolation or
+    * rounding ambiguity, so resized pixel content keeps closed forms an
+    * oracle can verify (q101: the constant channel's mean is invariant
+    * under any subsampling; dims are `max(1, d·maxDim/max(sw,sh))`).
+    * Already-small and undecodable payloads pass through unchanged —
+    * resizing a corpus must never drop the rows a decoder can't read
+    * (they are the rows quality filters want to SEE). */
+  def resizeImages(assets: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(assetSchema)
+    assets.select("asset_id", "modality", "bytes", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val img = readImage(bytes)
+        val big = img != null && math.max(img.getWidth, img.getHeight) > maxDim
+        if (!big) Row(r.getLong(0), r.getString(1), bytes, r.getStruct(3))
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val m = math.max(sw, sh)
+          val (dw, dh) = (math.max(1, sw * maxDim / m), math.max(1, sh * maxDim / m))
+          val out = new java.awt.image.BufferedImage(
+            dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw) {
+              out.setRGB(x, y, img.getRGB(x * sw / dw, y * sh / dh))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val png = bos.toByteArray
+          val meta = r.getStruct(3)
+          Row(r.getLong(0), r.getString(1), png,
+            Row(png.length.toLong, if (meta == null) null else meta.getString(1)))
         }
       }
     }(enc)

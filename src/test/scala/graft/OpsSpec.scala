@@ -446,6 +446,57 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(n.isNullAt(1) && n.isNullAt(2) && n.isNullAt(3))
   }
 
+  test("syntheticWav round-trips through a REAL javax.sound decode to the " +
+    "analytic amplitude stats (q100's contract)") {
+    for (id <- Seq(0L, 1L, 63L, 64L, 999L, 54321L)) {
+      val wav = Multimodal.syntheticWav(id)
+      // real RIFF container, not raw PCM
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF", s"id=$id not RIFF")
+      val (sr, ch, n, mean, peak) = Multimodal.decodeAudio(wav).get
+      assert(sr == 8000 && ch == 1)
+      assert(n == 64 + id % 64, s"id=$id n_samples $n")
+      // integer ramp sums: exact doubles, compare ==
+      assert(mean == id % 1000 + 3 * (n - 1) / 2.0, s"id=$id mean $mean")
+      assert(peak == id % 1000 + 3 * (n - 1), s"id=$id peak $peak")
+    }
+    assert(Multimodal.decodeAudio("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+  }
+
+  test("resizeImages: nearest-neighbor scale keeps the closed-form pixel " +
+    "stats; small and undecodable payloads pass through (q101's contract)") {
+    val ids = Seq(1L, 4L, 12L, 123L, 6789L)
+    val out = Multimodal.featurize(
+      Multimodal.resizeImages(
+        Multimodal.imageAssets(ids.toDF("id"), "id"), maxDim = 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      val (sw, sh) = ((2 + id % 7).toInt, (2 + id % 5).toInt)
+      val m = math.max(sw, sh)
+      val (dw, dh) =
+        if (m <= 3) (sw, sh)
+        else (math.max(1, sw * 3 / m), math.max(1, sh * 3 / m))
+      val r = out(id)
+      assert(r.getInt(1) == dw && r.getInt(2) == dh, s"id=$id dims")
+      // NN sampling: resized column x reads source column x*sw/dw, so the
+      // exact mean_r is base_r + avg(floor(x*sw/dw)) — closed-form check
+      // of actual pixel CONTENT, not just container metadata
+      val expMeanR = id % 199 +
+        (0 until dw).map(x => x * sw / dw).sum.toDouble / dw
+      assert(r.getDouble(3) == expMeanR, s"id=$id mean_r ${r.getDouble(3)}")
+      // constant channel invariant under any subsampling
+      assert(r.getDouble(5) == (id * 13) % 199, s"id=$id mean_b")
+    }
+    // undecodable payloads pass through byte-identical, meta intact
+    val blob = Multimodal.toAssets(
+      Seq((7L, "not an image", "t")).toDF("id", "payload", "tag"),
+      "id", "payload", "tag")
+    val kept = Multimodal.resizeImages(blob, maxDim = 3).collect().head
+    assert(new String(kept.getAs[Array[Byte]](2)) == "not an image")
+    assert(kept.getStruct(3).getLong(0) == "not an image".length.toLong)
+  }
+
   test("dedup and similarity operators are empty-input safe") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(noDocs).count() == 0)
