@@ -2,7 +2,7 @@ package graft.sink
 
 import java.util.UUID
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -309,12 +309,46 @@ object MergeSink {
     target.join(d, col(identifier) === col("__del_id"), "left_anti")
   }
 
+  /** Listing fingerprint of the live target dir — every data file's
+    * (name, length, mtime), sorted. The flat sink's optimistic-commit
+    * base: a concurrent writer's swap replaces the dir contents
+    * wholesale (fresh uuid-named part files), so ANY interleaved commit
+    * changes this. */
+  private def dirState(fs: FileSystem, dst: Path): Seq[(String, Long, Long)] =
+    if (!fs.exists(dst)) Nil
+    else fs.listStatus(dst).filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .toSeq.sortBy(_._1)
+
+  /** Test seam for the concurrent-writer spec — invoked between a
+    * merge's temp-dir write (by which point the plan has fully read the
+    * old target) and its commit check/swap. Production value is a
+    * no-op. Mirrors [[BucketedMergeSink.interleaveBeforeCommit]]. */
+  private[graft] var interleaveBeforeSwap: () => Unit = () => ()
+
   /** Atomically replace the parquet dir at `path` with `df`: write to a
     * temp sibling, then swap. Safe for read-modify-write cycles where `df`
     * itself reads from `path` (writing in place would corrupt the input
     * mid-scan). Analogue of the reference's per-batch commit boundary
     * (Pype.py:148,186). */
-  def writeAtomic(df: DataFrame, path: String): Unit = {
+  def writeAtomic(df: DataFrame, path: String): Unit =
+    writeAtomicGuarded(df, path, None)
+
+  /** [[writeAtomic]] with the single-writer contract's optimistic
+    * detection (same contract as the bucketed sink — see
+    * [[BucketedMergeSink]] scaladoc "Concurrent writers"):
+    * `expectedState` is the target's [[dirState]] as of the merge's
+    * read. If the live state differs at commit time, another writer
+    * swapped in a batch this merge never saw — publishing ours would
+    * silently drop theirs (lost update), so the loser deletes its temp
+    * dir and throws the retryable [[ConcurrentWriteException]] instead.
+    * Best-effort by nature (no atomic compare-and-rename exists on a
+    * plain filesystem): the check window is after the full merge write,
+    * microseconds before the swap — it turns the week-one
+    * uncoordinated-deployment race loud instead of silent. */
+  private[sink] def writeAtomicGuarded(
+      df: DataFrame, path: String,
+      expectedState: Option[Seq[(String, Long, Long)]]): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(path)
@@ -324,6 +358,18 @@ object MergeSink {
     catch { case e: Throwable =>
       fs.delete(tmp, true) // don't leak a partial .tmp dir beside the target
       throw e
+    }
+    interleaveBeforeSwap()
+    expectedState.foreach { exp =>
+      val now = dirState(fs, dst)
+      if (now != exp) {
+        fs.delete(tmp, true)
+        throw new ConcurrentWriteException(
+          s"flat target $path changed while this batch was being merged " +
+            s"(${exp.size} -> ${now.size} files): another writer committed " +
+            "first. This batch was NOT published. The target is " +
+            "single-writer; retry the merge — it will re-read the new state.")
+      }
     }
     if (fs.exists(dst)) {
       val old = new Path(path + ".old-" + UUID.randomUUID().toString)
@@ -372,7 +418,11 @@ object MergeSink {
         "snapshot retention needs a bucketed layout (create it with " +
         "BucketedMergeSink.merge(numBuckets = N))")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new Path(path))
+    // optimistic-commit base: the state this merge's read resolves
+    // against (Nil for a create) — writeAtomicGuarded re-checks it at
+    // swap time and fails the loser of a concurrent-writer race loudly
+    val base = dirState(fs, new Path(path))
+    val exists = base.nonEmpty || fs.exists(new Path(path))
     val result =
       if (!exists) loadType match {
         case "delete" => return // nothing to delete from
@@ -394,6 +444,6 @@ object MergeSink {
           case "delete" => delete(target, batch, identifier, broadcastIds = bcast)
         }
       }
-    writeAtomic(result, path)
+    writeAtomicGuarded(result, path, Some(base))
   }
 }

@@ -286,4 +286,41 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
     // existing-but-empty target; first run must not degrade to insert
     assert(spark.read.parquet(path).count() == 0)
   }
+
+  test("concurrent writer: an interleaved flat-target commit is detected, " +
+    "the loser publishes nothing, a retry converges (single-writer contract)") {
+    // same contract as the bucketed sink, pinned on the flat path: writer
+    // B's whole merge lands between writer A's read and A's swap via the
+    // interleaveBeforeSwap seam
+    val path = Files.createTempDirectory("graft-flat-race").toString + "/t"
+    val seed = Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("id", "v", "n")
+    MergeSink.mergeIntoParquet(spark, seed, path, "upsert", Seq("id"))
+    val batchB = Seq((2L, "B-WINS", 20L)).toDF("id", "v", "n")
+    val batchA = Seq((2L, "A-LOSES", 200L), (9L, "a-new", 9L)).toDF("id", "v", "n")
+    var fired = false
+    MergeSink.interleaveBeforeSwap = () => {
+      if (!fired) { fired = true
+        MergeSink.mergeIntoParquet(spark, batchB, path, "upsert", Seq("id"))
+      }
+    }
+    val e =
+      try intercept[graft.sink.ConcurrentWriteException] {
+        MergeSink.mergeIntoParquet(spark, batchA, path, "upsert", Seq("id"))
+      } finally MergeSink.interleaveBeforeSwap = () => ()
+    assert(fired)
+    assert(e.getMessage.contains("retry"))
+    // winner's state intact; nothing of A visible; no stray tmp dirs
+    assertSameRows(
+      spark.read.parquet(path).orderBy("id"),
+      MergeSink.upsert(seed, batchB, Seq("id")).orderBy("id"))
+    val parent = new java.io.File(path).getParentFile
+    assert(parent.listFiles().map(_.getName).toSeq == Seq("t"),
+      s"loser leaked dirs: ${parent.listFiles().map(_.getName).toSeq}")
+    // retry converges against the winner's state
+    MergeSink.mergeIntoParquet(spark, batchA, path, "upsert", Seq("id"))
+    assertSameRows(
+      spark.read.parquet(path).orderBy("id"),
+      MergeSink.upsert(MergeSink.upsert(seed, batchB, Seq("id")), batchA, Seq("id"))
+        .orderBy("id"))
+  }
 }

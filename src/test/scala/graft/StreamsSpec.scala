@@ -112,6 +112,37 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("multimodal featurize composes with Structured Streaming: real PNG " +
+    "encode+decode per micro-batch, stateless append") {
+    // the production shape for image ingest: stream of ids/paths →
+    // asset rows → executor-side decode → stats sink. Both mapPartitions
+    // stages are stateless, so they must run unchanged on a streaming
+    // frame — pinned here end to end with the same analytic expectations
+    // as the batch spec (decode correctness is NOT re-derived, just the
+    // streaming composition)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-stream").toString
+    writeSourceBatch(dir, Seq(1L, 2L).toDF("doc_id"), 0)
+    writeSourceBatch(dir, Seq(3L).toDF("doc_id"), 1)
+    val stream = spark.readStream
+      .schema("doc_id LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = graft.ops.Multimodal.featurize(
+      graft.ops.Multimodal.imageAssets(stream, "doc_id"))
+      .writeStream.format("memory").queryName("mm_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("mm_stream").orderBy("asset_id").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      out.foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getInt(1) == 2 + id % 7 && r.getInt(2) == 2 + id % 5)
+        assert(r.getDouble(3) == id % 199 + (r.getInt(1) - 1) / 2.0)
+      }
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicates across micro-batches emit once, state is watermark-bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
     // five single-file micro-batches: event 100 appears in b0 AND b1
