@@ -258,4 +258,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "(untouched bucket dirs must never be listed)")
     assert(expect.size < 16, "key list should touch a strict subset of buckets")
   }
+
+  test("q47/q100/q101: multimodal codec pipelines are narrow — no exchange " +
+    "between scan and sink") {
+    // the scale promise of the asset path (Multimodal scaladoc): encode,
+    // decode, resize and featurize are all partition-local mapPartitions
+    // over the scan — at 10^8 assets a shuffle of image/audio BYTES would
+    // dwarf every other cost in the pipeline. The final orderBy is the
+    // only allowed exchange (presentation sort for the oracle diff).
+    for (q <- Seq("q47_multimodal_features", "q100_audio_features",
+        "q101_multimodal_resize")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1,
+        s"$q: codec pipeline must be narrow, found ${exchanges.size} " +
+          s"exchanges:\n${df.queryExecution.executedPlan}")
+      exchanges.foreach(e =>
+        assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+          s"$q: the only allowed exchange is the presentation sort's " +
+            s"range partitioning, found: ${e.outputPartitioning}"))
+    }
+  }
 }
