@@ -235,6 +235,14 @@ object QueriesLlm {
           .unionByName(row("ann_ivf",
             Similarity.ivfTopK(q, e, k = 5), brute,
             Seq("query_id", "cand_id"), floor = 0.6))
+          .unionByName(row("ann_ivfpq",
+            // rerank=64 ≫ k recovers most in-cell ADC misses (rerank=32
+            // measured 0.608 — too close to any useful floor), so the
+            // binding constraint approaches ann_ivf's nprobe cell
+            // coverage; measured 0.700 (sf0.01) / 0.760 (sf0.1) on the
+            // 50-query gate set — floored with ann_ivf's margin
+            Similarity.ivfPqTopK(q, e, k = 5), brute,
+            Seq("query_id", "cand_id"), floor = 0.6))
       }
   }
 
@@ -366,6 +374,27 @@ object QueriesLlm {
         .orderBy("asset_id")
     }),
 
+    // -- multimodal video: REAL multi-frame container end to end — one
+    //    synthetic animated GIF per document (real LZW/palette encode on
+    //    executors), frame count read from the stream, every 2nd frame's
+    //    raster decoded back with the multi-frame ImageIO reader. The
+    //    oracle derives frame count, sampled frame numbers, dims, and
+    //    per-frame channel means analytically from doc_id (closed-form
+    //    solid frames — see Multimodal.syntheticGif), so a reader that
+    //    miscounts frames, samples the wrong ones, or decodes any raster
+    //    wrong hash-fails
+    "q102_video_frames" -> ((s, dir) => {
+      val assets = Multimodal.videoAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.videoFrameFeatures(assets, every = 2)
+        .select(col("asset_id"), col("n_frames"), col("frame_no"),
+          col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("asset_id", "frame_no")
+    }),
+
     // -- exact cosine top-k via broadcast + partial-agg TopK Aggregator
     "q48_cosine_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -406,6 +435,25 @@ object QueriesLlm {
       val e = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // -- IVF-PQ: the coarse index above plus product-quantized codes in
+    //    the probe scan + ADC candidate selection + exact re-rank (no
+    //    oracle: approximate by design; deterministic training; the
+    //    q104 audit pins precision and q85 the recall floor)
+    "q103_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // q103 (IVF-PQ ANN top-k) vs q48: same two invariants as q60/q61 —
+    // the exact re-rank stage makes reported scores exactly re-computable
+    "q104_ann_ivfpq_audit" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      annAudit(Similarity.ivfPqTopK(q, e, k = 5),
+        Similarity.bruteForceTopK(q, e, k = 5), e)
     }),
 
     // -- PII redaction (the C4/RefinedWeb-style release scrub). The
@@ -985,6 +1033,7 @@ object QueriesLlm {
     "q59_embed_lsh_audit" -> noViolations("id_a", "id_b"),
     "q60_ann_lsh_audit" -> noViolations("query_id", "cand_id"),
     "q61_ann_ivf_audit" -> noViolations("query_id", "cand_id"),
+    "q104_ann_ivfpq_audit" -> noViolations("query_id", "cand_id"),
     "q62_simhash_audit" -> noViolations("id_a", "id_b"),
     "q85_sketch_recall" -> noRecallViolations,
     "q40_exact_dedup" ->
@@ -1355,6 +1404,22 @@ object QueriesLlm {
         |  CAST(CASE WHEN m <= 3 THEN h ELSE greatest(1, h * 3 // m) END AS INT) AS height,
         |  round(CAST((doc_id * 13) % 199 AS DOUBLE), 4) AS mean_b
         |FROM r ORDER BY asset_id""".stripMargin,
+    // analytic ground truth for the REAL multi-frame GIF decode: frame
+    // count and every sampled frame's solid color are closed-form in
+    // (doc_id, frame_no) — Multimodal.syntheticGif. range(_, _, 2)
+    // mirrors the every=2 sampling (frame 0 always included).
+    "q102_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS k,
+        |    CAST(unnest(range(0, 2 + doc_id % 4, 2)) AS INT) AS frame_no
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, k AS n_frames, frame_no,
+        |  CAST(2 + doc_id % 7 AS INT) AS width,
+        |  CAST(2 + doc_id % 5 AS INT) AS height,
+        |  round(CAST((doc_id + 17 * frame_no) % 199 AS DOUBLE), 4) AS mean_r,
+        |  round(CAST((doc_id * 7 + 23 * frame_no) % 199 AS DOUBLE), 4) AS mean_g,
+        |  round(CAST((doc_id * 13 + 29 * frame_no) % 199 AS DOUBLE), 4) AS mean_b
+        |FROM f ORDER BY asset_id, frame_no""".stripMargin,
     // mirrors sampleFrames: step = max(1, len div 4), min(4, len) frames,
     // 32-byte slices (text is single-byte chars, so substr == byte slice)
     "q54_multimodal_frames" ->

@@ -8,15 +8,21 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct; decode / feature
   * extraction runs batched on executors via `mapPartitions`.
   *
-  * The IMAGE path is REAL: [[featurize]] decodes PNG/JPEG bytes with the
-  * JDK's `javax.imageio` on executors and aggregates actual pixel
-  * statistics (dimensions + per-channel means); battery q47 verifies the
-  * decoded output of real PNG bytes against an analytic oracle. Only the
-  * VIDEO path remains a stand-in (the JDK ships no video codec):
-  * [[sampleFrames]]/[[explodeFrames]] model frame extraction as evenly
-  * spaced byte slices, and [[resize]] is the matching byte-level
-  * downsample for opaque blobs — swap in an ffmpeg/JNI call and the
-  * surrounding plumbing (schema, batching, partition shape) is unchanged.
+  * All three modality paths decode REAL containers with JDK codecs:
+  *   - IMAGE: [[featurize]] decodes PNG/JPEG via `javax.imageio` and
+  *     aggregates actual pixel statistics; [[resizeImages]] re-rasters
+  *     and re-encodes (battery q47/q101, analytic oracles).
+  *   - AUDIO: [[audioFeatures]] decodes RIFF/WAVE PCM via
+  *     `javax.sound.sampled` (battery q100).
+  *   - VIDEO: [[videoFrameFeatures]] opens a multi-frame container
+  *     (animated GIF — the one the JDK can both write and read), counts
+  *     frames from the stream, and decodes every `n`-th frame's raster
+  *     (battery q102). An mp4/webm deployment swaps the ImageIO reader
+  *     for an ffmpeg/JNI frame iterator; the schema, sampling logic, and
+  *     narrow partition shape are unchanged.
+  * [[explodeFrames]]/[[resize]] remain as the OPAQUE-BLOB path: evenly
+  * spaced byte slices / byte downsampling for payloads with no
+  * registered codec (modality-agnostic quarantine-friendly shape).
   *
   * Scale notes: assets are processed as a narrow map over the scan (no
   * shuffle); binary columns should be written with a small
@@ -125,6 +131,149 @@ object Multimodal {
     }
     val n = w.toLong * h
     Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  /** Deterministic synthetic multi-frame GIF for asset `id` — the video
+    * twin of [[syntheticPng]] and the fixture that makes the VIDEO path
+    * real: an animated GIF is the one multi-frame container the JDK can
+    * both write and read (`javax.imageio`'s GIF plugin), so frame
+    * extraction below decodes an actual container — frame count from the
+    * stream, per-frame rasters through the real LZW/palette codec — not
+    * a byte-slice stand-in. `2 + id mod 4` frames of `(2 + id mod 7) ×
+    * (2 + id mod 5)` solid color, each channel a closed form of
+    * (id, frame) an independent oracle can compute from `id` alone:
+    *
+    *   r(f) = (id + 17·f) mod 199     → mean_r = r(f) exactly
+    *   g(f) = (id·7 + 23·f) mod 199   → mean_g = g(f) exactly
+    *   b(f) = (id·13 + 29·f) mod 199  → mean_b = b(f) exactly
+    *
+    * (solid frames keep the GIF palette exact — no quantization — so
+    * decoded means are integers, not approximations). */
+  def syntheticGif(id: Long): Array[Byte] = {
+    imageIoInit
+    val k = (2 + Math.floorMod(id, 4)).toInt
+    val w = (2 + Math.floorMod(id, 7)).toInt
+    val h = (2 + Math.floorMod(id, 5)).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < k) {
+        val r = Math.floorMod(id + 17L * f, 199).toInt
+        val g = Math.floorMod(id * 7 + 23L * f, 199).toInt
+        val b = Math.floorMod(id * 13 + 29L * f, 199).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Generate a synthetic-GIF asset per row of `df` — REAL animated-GIF
+    * bytes encoded on executors, in the canonical asset shape (the q102
+    * fixture; video twin of [[imageAssets]]/[[audioAssets]]). */
+  def videoAssets(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(assetSchema)
+    df.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gif = syntheticGif(id)
+        Row(id, "video", gif, Row(gif.length.toLong, "gif"))
+      }
+    }(enc)
+  }
+
+  /** REAL video-frame extraction: open the container with the JDK's
+    * multi-frame ImageIO reader (GIF), take every `every`-th frame
+    * (frame 0 always included — the standard thumbnail/keyframe
+    * sampling shape), decode each sampled raster, and emit its pixel
+    * statistics. Output: (asset_id, n_frames, frame_no, width, height,
+    * mean_r, mean_g, mean_b), one row per SAMPLED frame. Narrow map —
+    * one container decoded at a time per task, no shuffle at any scale.
+    * Undecodable/null payloads emit one quarantine row with null
+    * n_frames/frame stats (same never-drop contract as [[featurize]]). */
+  def videoFrameFeatures(assets: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("frame_no", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select("asset_id", "bytes").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        decodeFrames(r.getAs[Array[Byte]](1), every) match {
+          case Some((n, frames)) =>
+            frames.map { case (f, w, h, mr, mg, mb) =>
+              Row(id, n, f, w, h, mr, mg, mb)
+            }
+          case None => Seq(Row(id, null, null, null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Multi-frame decode core: (total frame count, sampled-frame stats).
+    * None for null/unreadable bytes or a reader with zero frames. */
+  private[graft] def decodeFrames(
+      bytes: Array[Byte],
+      every: Int): Option[(Int, Seq[(Int, Int, Int, Double, Double, Double)])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    imageIoInit
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => return None }
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val rd = readers.next()
+    try {
+      rd.setInput(iis)
+      // allowSearch: a forward scan of the stream counts frames without
+      // decoding rasters — cheap, and required before random access
+      val n = rd.getNumImages(true)
+      if (n <= 0) return None
+      val out = Seq.newBuilder[(Int, Int, Int, Double, Double, Double)]
+      var f = 0
+      while (f < n) {
+        val img = rd.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val np = w.toLong * h
+        out += ((f, w, h, sr.toDouble / np, sg.toDouble / np, sb.toDouble / np))
+        f += every
+      }
+      Some((n, out.result()))
+    } catch { case _: java.io.IOException => None }
+    finally { rd.dispose(); iis.close() }
   }
 
   /** "Frame sampling" stand-in: `n` evenly spaced fixed-width byte slices

@@ -308,6 +308,28 @@ object Similarity {
       struct((-dotLit(v, c)).as("negdot"), lit(i).as("cell"))
     }: _*))
 
+  /** One spherical Lloyd round over `train`'s `cv` column: assign each
+    * sample to its nearest centroid, return the per-cell decimal means
+    * re-normalized (empty cells keep their old centroid). The mean goes
+    * through DECIMAL like every order-sensitive sum in the battery: a
+    * double avg() sums in shuffle-arrival order, so a centroid coordinate
+    * could differ by ulps between runs and flip near-tied cell
+    * assignments — breaking the documented determinism. Shared by
+    * [[ivfTopK]] and [[ivfPqTopK]]'s coarse quantizer. */
+  private def lloydRound(
+      train: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val means = train
+      .withColumn("cell", element_at(cellsRanked(col("cv"), cents), 1).getField("cell"))
+      .select(col("cell"), posexplode(col("cv")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("col").cast("decimal(28,10)")).as("m"))
+      .collect()
+    val next = cents.map(_.clone())
+    means.foreach(r =>
+      next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue())
+    next.map(normalized)
+  }
+
   /** IVF (inverted-file) approximate top-k: k-means the corpus into
     * `nlist` Voronoi cells (spherical — unit-norm centroids, cosine
     * assignment), then score each query against only its `nprobe`
@@ -385,20 +407,7 @@ object Similarity {
       else c.filter(pmod(xxhash64(col("cand_id")), lit(denom)) === 0)
     var it = 0
     while (it < iters) {
-      // the mean goes through DECIMAL like every order-sensitive sum in
-      // the battery: a double avg() sums in shuffle-arrival order, so a
-      // centroid coordinate could differ by ulps between runs and flip
-      // near-tied cell assignments — breaking the documented determinism
-      val means = train
-        .withColumn("cell", element_at(cellsRanked(col("cv"), cents), 1).getField("cell"))
-        .select(col("cell"), posexplode(col("cv")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("col").cast("decimal(28,10)")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach(r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue())
-      cents = next.map(normalized) // empty cells keep their old centroid
+      cents = lloydRound(train, cents)
       it += 1
     }
     val assigned = c.withColumn("cell",
@@ -414,6 +423,165 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id"))
     probes.join(assigned, "cell") // each corpus vec lives in exactly 1 cell: no dup pairs
       .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Subvector `j` (1-based slice) of a dim-split into `dsub`-wide parts. */
+  private def subCol(v: Column, j: Int, dsub: Int): Column =
+    slice(v, j * dsub + 1, dsub)
+
+  /** Nearest codebook entry for one subvector: argmin over ksub of the
+    * L2 distance. `‖x−e‖² = ‖x‖² − 2x·e + ‖e‖²` and `‖x‖²` is common to
+    * every entry, so ranking by `‖e‖² − 2x·e` suffices — one codegen'd
+    * VecDot per entry, ties on code id via the struct's second field. */
+  private def codeFor(sub: Column, book: Array[Array[Double]]): Column =
+    element_at(array_sort(array(book.zipWithIndex.map { case (e, kk) =>
+      val e2 = e.map(x => x * x).sum
+      struct((lit(e2) - lit(2.0) * dotLit(sub, e)).as("d"), lit(kk).as("code"))
+    }: _*)), 1).getField("code")
+
+  /** IVF-PQ approximate top-k: the IVF coarse index of [[ivfTopK]] plus
+    * product quantization of the residual scan — the classic
+    * billion-scale ANN layout (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", IEEE TPAMI 2011).
+    *
+    * The corpus rides the probe join as `(cand_id, cell, norm, codes)`
+    * where `codes` is `m` small ints (one codebook entry per `dim/m`-wide
+    * subspace) — ~`m` bytes of payload instead of `dim` floats, the
+    * compression that lets a 100 TB corpus's index fit in cluster memory.
+    * Scoring is asymmetric-distance (ADC): each query precomputes one
+    * `m × ksub` lookup table of subvector dots, so a candidate's
+    * approximate dot is `m` table lookups — no vector arithmetic in the
+    * scan. The top `rerank` ADC candidates per query rehydrate their true
+    * vectors ONCE for exact cosine re-ranking, so reported scores are
+    * exact (annAudit's score leg holds) and ADC error only costs recall,
+    * bounded by `rerank ≫ k`.
+    *
+    * Training mirrors [[ivfTopK]]'s determinism contract: lowest-id
+    * init, id-hash-bounded sample, decimal means, fixed `iters`, ties on
+    * code id. Driver round-trips are `iters` collects of
+    * `m × ksub × dsub = dim × ksub` decimal scalars (≤ 64·256 at the
+    * defaults — constant in the corpus size), same bound class as the
+    * coarse loop's `nlist × dim`.
+    *
+    * @param m      subspace count (must divide the embedding dim)
+    * @param ksub   codebook entries per subspace (≤ 256 keeps a code one
+    *               byte in a real serialized layout)
+    * @param rerank ADC candidates per query that get exact re-scoring */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 0,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 64,
+      iters: Int = 3,
+      trainPerCell: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && ksub >= 2 && ksub <= 256, s"bad PQ shape m=$m ksub=$ksub")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val corpusN = corpus.count()
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(4096,
+        math.ceil(math.sqrt(corpusN.toDouble)).toInt))
+    val c = Dedup.widen(corpus)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // deterministic init for BOTH quantizers: the lowest-id vectors
+    val initRows = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(math.max(nl, ksub)).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(initRows.nonEmpty, "ivfPqTopK: corpus is empty — nothing to index")
+    val dim = initRows.head.length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    var cents: Array[Array[Double]] =
+      Array.tabulate(math.min(nl, initRows.length))(i => normalized(initRows(i)))
+    // duplicate wrap-around entries when the corpus is tiny: argmin
+    // tie-breaks to the lowest code, so duplicates are inert
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (j, kk) =>
+      initRows(kk % initRows.length).slice(j * dsub, (j + 1) * dsub)
+    }
+    val denom = math.max(1L, corpusN / (nl.toLong * trainPerCell))
+    val train =
+      if (denom <= 1L) c
+      else c.filter(pmod(xxhash64(col("cand_id")), lit(denom)) === 0)
+    var it = 0
+    while (it < iters) {
+      // one round trains BOTH quantizers from the same bounded sample:
+      // a coarse Lloyd round (shared with ivfTopK) and the per-(sub,
+      // code, pos) PQ codebook means
+      cents = lloydRound(train, cents)
+      val subs = train.select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"), subCol(col("cv"), j, dsub).as("sv"))): _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.sv").as("sv"))
+      val pqMeans = subs
+        .withColumn("code", coalesce((0 until m).map(j =>
+          when(col("sub") === j, codeFor(col("sv"), books(j)))): _*))
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy("sub", "code", "pos")
+        .agg(avg(col("col").cast("decimal(28,10)")).as("m"))
+        .collect()
+      val nextBooks = books.map(_.map(_.clone()))
+      pqMeans.foreach(r =>
+        nextBooks(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDecimal(3).doubleValue())
+      books = nextBooks // empty codes keep their old entry
+      it += 1
+    }
+    // encode ONCE: cell + m codes + exact norm per corpus vector — the
+    // only payload that crosses the probe exchange (no `cv` below it)
+    val encoded = c.select(
+      col("cand_id"),
+      element_at(cellsRanked(col("cv"), cents), 1).getField("cell").as("cell"),
+      sqrt(graft.functions.VecDot.dot(col("cv"), col("cv"))).as("cn"),
+      array((0 until m).map(j => codeFor(subCol(col("cv"), j, dsub), books(j))): _*)
+        .as("codes"))
+    // each query precomputes its ADC lookup table: luts[j][kk] = q_j · e_jk
+    val luts = array((0 until m).map(j =>
+      array(books(j).map(e => dotLit(subCol(col("qv"), j, dsub), e)): _*)): _*)
+    val probes = Dedup.widen(queries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        sqrt(graft.functions.VecDot.dot(col("qv"), col("qv"))).as("qn"),
+        luts.as("luts"),
+        explode_outer(slice(cellsRanked(col("qv"), cents), 1, nprobe)).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("query_id"), col("qn"), col("luts"), col("p.cell").as("cell"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("cand_id"))
+    val cand = probes.join(encoded, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      // ADC: approximate dot = Σ_j luts[j][codes[j]]; normalize by the
+      // EXACT norms (carried per row) so ranking approximates cosine even
+      // on an un-normalized corpus
+      .withColumn("adc_cos",
+        aggregate(
+          zip_with(col("codes"), col("luts"),
+            (code, lut) => element_at(lut, code + 1)),
+          lit(0.0d), (acc, x) => acc + x) / (col("qn") * col("cn")))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select("query_id", "cand_id")
+    // exact re-rank: rehydrate true vectors for rerank×|queries| rows only
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cVecs = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand
+      .join(cVecs, "cand_id")
+      .join(qVecs, "query_id")
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -334,6 +334,47 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head._1 == 1L && out.head._2 == 1.0 && out.head._3 == 1) // its clone, same cell
   }
 
+  test("ivfPqTopK: full probing + full re-rank reproduces brute force " +
+    "exactly; deterministic across runs") {
+    // 60 vectors over 4 cells; probing ALL cells with rerank >= corpus
+    // removes every approximation, so the PQ path must agree with the
+    // exact operator row-for-row (same rounding, same tie order) — any
+    // ADC mis-indexing (wrong code, off-by-one LUT lookup, wrong
+    // subspace slice) would perturb the candidate set or scores
+    val vecs = (1 to 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 37 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" <= 5)
+    def run() = Similarity.ivfPqTopK(
+      q, vecs, k = 3, nlist = 4, nprobe = 4, m = 4, ksub = 8, rerank = 60)
+      .orderBy("query_id", "rank")
+      .select("query_id", "cand_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .orderBy("query_id", "rank")
+      .select("query_id", "cand_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val first = run()
+    assert(first == brute, "full-probe IVF-PQ must equal brute force")
+    assert(run() == first, "ivfPqTopK must be deterministic")
+  }
+
+  test("ivfPqTopK: exact dup ranks first under narrow probing") {
+    val base = (1 to 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 37 + d * 11).toFloat))
+    }
+    val vecs = (base :+ (100L, base.head._2.clone())).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(
+      vecs.filter($"vec_id" === 100L), vecs, k = 3,
+      nlist = 4, nprobe = 2, m = 4, ksub = 8, rerank = 8)
+      .orderBy("rank")
+      .select("cand_id", "cos", "rank").as[(Long, Double, Int)].collect()
+    assert(out.length == 3)
+    // the clone quantizes to the IDENTICAL codes, so ADC scores it top
+    // and the exact re-rank confirms cos=1.0
+    assert(out.head._1 == 1L && out.head._2 == 1.0 && out.head._3 == 1)
+  }
+
   test("charShingles: sliding char grams, short text collapses to itself") {
     val df = Seq(("abcdef", 0), ("ab", 1)).toDF("text", "i")
     val out = df.select(Dedup.charShingles(col("text"), 4).as("s"))
@@ -464,6 +505,57 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeAudio(null).isEmpty)
   }
 
+  test("syntheticGif round-trips through a REAL multi-frame ImageIO decode " +
+    "to the analytic per-frame stats (q102's contract)") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 42L, 198L, 199L, 12345L)) {
+      val gif = Multimodal.syntheticGif(id)
+      // real GIF container: magic bytes, not a histogram of our own bytes
+      assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"),
+        s"id=$id did not produce a GIF")
+      val k = (2 + id % 4).toInt
+      // every=1: all frames; frame count comes from the stream itself
+      val (n, frames) = Multimodal.decodeFrames(gif, every = 1).get
+      assert(n == k, s"id=$id frame count $n, expected $k")
+      assert(frames.map(_._1) == (0 until k), s"id=$id frame numbers")
+      for ((f, w, h, mr, mg, mb) <- frames) {
+        assert(w == 2 + id % 7 && h == 2 + id % 5, s"id=$id frame $f dims")
+        // solid frames, exact palette: means are exact integers
+        assert(mr == (id + 17 * f) % 199, s"id=$id frame $f mean_r $mr")
+        assert(mg == (id * 7 + 23 * f) % 199, s"id=$id frame $f mean_g $mg")
+        assert(mb == (id * 13 + 29 * f) % 199, s"id=$id frame $f mean_b $mb")
+      }
+      // every=2 sampling: frames 0, 2, 4... below k, frame 0 always kept
+      val (n2, sampled) = Multimodal.decodeFrames(gif, every = 2).get
+      assert(n2 == k)
+      assert(sampled.map(_._1) == (0 until k by 2), s"id=$id sampled frames")
+    }
+    // undecodable / empty / null payloads are None, never a task failure
+    assert(Multimodal.decodeFrames("not a video".getBytes, 1).isEmpty)
+    assert(Multimodal.decodeFrames(Array.empty[Byte], 1).isEmpty)
+    assert(Multimodal.decodeFrames(null, 1).isEmpty)
+  }
+
+  test("videoFrameFeatures: distributed real multi-frame decode; non-video " +
+    "payloads yield one quarantine row with null stats") {
+    val rows = Multimodal.videoFrameFeatures(
+      Multimodal.videoAssets(Seq(1L, 2L).toDF("id"), "id"), every = 2)
+      .orderBy("asset_id", "frame_no").collect()
+    // id=1: k=3 → frames 0,2; id=2: k=4 → frames 0,2
+    assert(rows.map(r => (r.getLong(0), r.getInt(2))).toSeq ==
+      Seq((1L, 0), (1L, 2), (2L, 0), (2L, 2)))
+    rows.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(2))
+      assert(r.getInt(1) == 2 + id % 4) // n_frames from the stream
+      assert(r.getDouble(5) == (id + 17 * f) % 199)
+    }
+    val blob = Multimodal.toAssets(
+      Seq((9L, "plain text", "t")).toDF("id", "payload", "tag"),
+      "id", "payload", "tag")
+    val q = Multimodal.videoFrameFeatures(blob).collect()
+    assert(q.length == 1 && q.head.getLong(0) == 9L && q.head.isNullAt(1)
+      && q.head.isNullAt(2) && q.head.isNullAt(5))
+  }
+
   test("resizeImages: nearest-neighbor scale keeps the closed-form pixel " +
     "stats; small and undecodable payloads pass through (q101's contract)") {
     val ids = Seq(1L, 4L, 12L, 123L, 6789L)
@@ -508,6 +600,9 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.cosineDupPairsLsh(noVecs, 0.5).count() == 0)
     intercept[IllegalArgumentException] { // explicit, not undefined behavior
       Similarity.ivfTopK(noVecs, noVecs, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(noVecs, noVecs, k = 1)
     }
   }
 

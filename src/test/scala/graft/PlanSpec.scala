@@ -130,6 +130,40 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q103: IVF-PQ cell exchange carries codes, never raw vectors") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // the compression contract: the corpus rides the probe join as
+    // (cand_id, cell, norm, codes) — m small ints — while the full
+    // array<float> embedding crosses only the bounded re-rank joins.
+    // A `cv` below the cell exchange would mean PQ compresses nothing.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" ->
+        spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = SparkEntry.queries("q103_ann_ivfpq")(spark, dir)
+        .queryExecution.executedPlan
+      val cellExchanges = exec.collect {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+              case h: HashPartitioning =>
+                h.expressions.flatMap(_.references.map(_.name).toSeq) == Seq("cell")
+              case _ => false
+            }) => e
+      }
+      assert(cellExchanges.nonEmpty, s"expected a cell exchange:\n$exec")
+      cellExchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType == ArrayType(FloatType, true)) &&
+          !e.output.exists(_.dataType == ArrayType(FloatType, false)),
+          s"a raw embedding rides the IVF-PQ cell exchange:\n$e")
+      }
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q28: bucketed co-located join plans with zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
@@ -259,7 +293,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(expect.size < 16, "key list should touch a strict subset of buckets")
   }
 
-  test("q47/q100/q101: multimodal codec pipelines are narrow — no exchange " +
+  test("q47/q100/q101/q102: multimodal codec pipelines are narrow — no exchange " +
     "between scan and sink") {
     // the scale promise of the asset path (Multimodal scaladoc): encode,
     // decode, resize and featurize are all partition-local mapPartitions
@@ -267,7 +301,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // dwarf every other cost in the pipeline. The final orderBy is the
     // only allowed exchange (presentation sort for the oracle diff).
     for (q <- Seq("q47_multimodal_features", "q100_audio_features",
-        "q101_multimodal_resize")) {
+        "q101_multimodal_resize", "q102_video_frames")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val exchanges = df.queryExecution.executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

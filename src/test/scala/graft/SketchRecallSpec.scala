@@ -12,7 +12,7 @@ class SketchRecallSpec extends AnyFunSuite with SparkTestBase {
   test("approximate operators clear their recall floors (sf0.001)") {
     val stats = QueriesLlm.sketchRecall(spark, "/root/testdata/sf0.001")
       .collect().toSeq
-    assert(stats.size == 4)
+    assert(stats.size == 5)
     stats.foreach { r =>
       info(f"${r.getString(0)}%-12s recall=${r.getDouble(1)}%.4f floor=${r.getDouble(2)}%.2f")
     }
