@@ -48,6 +48,36 @@ object QueriesEngine {
       MergeSink.delete(o, ids, "o_orderkey").orderBy("o_orderkey")
     }),
 
+    // -- SCD2 history-preserving merge: bootstrap first versions at t1,
+    //    then a t2 batch where only urgent orders changed — urgent keys
+    //    in the overlap close + reopen, identical rows are no-ops
+    //    (change detection), keys 1001..1500 insert open first versions.
+    //    The batch deliberately DROPS o_orderpriority: changed keys
+    //    carry it forward from the closed version, brand-new keys load
+    //    NULL — the schema-evolution lattice applied to versioning
+    "q105_scd2_merge" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val t0 = MergeSink.openVersions(
+        o.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"),
+        to_timestamp(lit("2024-01-01 00:00:00")))
+      val batch = o.filter(col("o_orderkey").between(500, 1500))
+        .withColumn("o_orderstatus",
+          when(col("o_orderpriority") === "1-URGENT", lit("Z"))
+            .otherwise(col("o_orderstatus")))
+        .drop("o_orderpriority")
+      MergeSink.scd2(t0, batch, to_timestamp(lit("2024-02-01 00:00:00")),
+          Seq("o_orderkey"), broadcastBatch = true)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          // emit version bounds as wall-clock strings: the comparator
+          // must see identical values whatever session tz either side
+          // formats timestamps in
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
     // -- bucket-partitioned merge target (the 100 TB incremental-load
     //    shape): create → upsert-with-exclusion → delete against a
     //    hash-bucketed layout, where each batch rewrites only the bucket
@@ -255,6 +285,48 @@ object QueriesEngine {
   val oracles: Map[String, String] = Map(
     "q35_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // SCD2 oracle: the same four row populations (closed / reopened /
+    // unchanged-or-unmatched / brand-new-key inserts) derived with plain
+    // SQL; IS DISTINCT FROM mirrors the sink's null-safe change
+    // detection, the reopened branch carries o_orderpriority forward
+    // from the closed version, the insert branch loads it NULL
+    "q105_scd2_merge" ->
+      """WITH t0 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey <= 1000),
+        |b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'Z'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey BETWEEN 500 AND 1500),
+        |j AS (
+        |  SELECT t.*, b.o_orderkey IS NOT NULL AS matched,
+        |    b.o_custkey AS b_custkey, b.o_orderstatus AS b_status,
+        |    b.o_totalprice AS b_price, b.o_orderdate AS b_date,
+        |    (t.o_custkey IS DISTINCT FROM b.o_custkey
+        |     OR t.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |     OR t.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |     OR t.o_orderdate IS DISTINCT FROM b.o_orderdate) AS changed
+        |  FROM t0 t LEFT JOIN b ON t.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority,
+        |  '2024-01-01 00:00:00' AS valid_from,
+        |  CASE WHEN matched AND changed THEN '2024-02-01 00:00:00'
+        |       ELSE CAST(NULL AS VARCHAR) END AS valid_to,
+        |  NOT (matched AND changed) AS is_current
+        |FROM j
+        |UNION ALL
+        |SELECT o_orderkey, b_custkey, b_status, b_price, b_date,
+        |  o_orderpriority, '2024-02-01 00:00:00', CAST(NULL AS VARCHAR), TRUE
+        |FROM j WHERE matched AND changed
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+        |  b.o_orderdate, CAST(NULL AS VARCHAR),
+        |  '2024-02-01 00:00:00', CAST(NULL AS VARCHAR), TRUE
+        |FROM b ANTI JOIN t0 t ON b.o_orderkey = t.o_orderkey
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
     "q30_merge_upsert" ->
       """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
         |b AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,

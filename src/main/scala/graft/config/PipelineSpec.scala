@@ -23,6 +23,11 @@ final case class StageSpec(
     transformers: Seq[String] = Nil,
     targetTable: String = "",
     loadType: String = "upsert", // upsert | update | delete (Pype.py:20,58,89)
+                                 // | scd2 (history-preserving upsert —
+                                 // MergeSink.scd2; needs scd2_ts)
+    scd2Ts: String = "", // scd2 only: the batch's version timestamp
+                         // (valid_from of opened / valid_to of closed
+                         // versions) — explicit, never wall-clock
     key: Seq[String] = Seq("id"),
     identifier: String = "id", // delete key (Pype.py:83,180)
     fieldsExcludedFromUpdate: Seq[String] = Nil, // Pype.py:15,132-143
@@ -139,6 +144,7 @@ object PipelineSpec {
       transformers = strs("transformers"),
       targetTable = str("target_table", ""),
       loadType = str("type", "upsert"),
+      scd2Ts = str("scd2_ts", ""),
       key = if (c.contains("key")) strs("key") else Seq("id"),
       identifier = str("identifier", "id"),
       fieldsExcludedFromUpdate = strs("fields_excluded_from_update"),

@@ -219,7 +219,7 @@ final class Runner(
         stage.fieldsExcludedFromUpdate, numBuckets = stage.buckets,
         // persisted into the layout at creation; on an existing target a
         // non-zero value must match the layout's (sink contract)
-        retainVersions = stage.retainVersions)
+        retainVersions = stage.retainVersions, scd2Ts = stage.scd2Ts)
     else
       // retention rides along: the target may already BE a bucketed
       // layout (validated above when retain_versions != 0), and
@@ -228,7 +228,8 @@ final class Runner(
       // retention window the user configured
       MergeSink.mergeIntoParquet(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
-        stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions)
+        stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions,
+        scd2Ts = stage.scd2Ts)
     // `compact: true` runs the bucketed layout's small-file maintenance
     // after the load (validated before the merge above — a flat target
     // fails loudly BEFORE its write, not silently and not after)

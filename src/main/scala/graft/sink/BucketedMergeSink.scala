@@ -447,9 +447,13 @@ object BucketedMergeSink {
       identifier: String = "id",
       excluded: Seq[String] = Nil,
       numBuckets: Int = 64,
-      retainVersions: Int = 0): Unit = {
-    require(Set("upsert", "update", "delete")(loadType),
+      retainVersions: Int = 0,
+      scd2Ts: String = ""): Unit = {
+    require(Set("upsert", "update", "delete", "scd2")(loadType),
       s"unknown load type: $loadType")
+    require(loadType != "scd2" || scd2Ts.nonEmpty,
+      "scd2 load needs an explicit batch timestamp (scd2_ts) — version " +
+        "bounds must be deterministic, never wall-clock")
     require(retainVersions >= 0,
       s"retainVersions must be >= 0 (0 = the layout's persisted value), got $retainVersions")
     require(!batch.columns.contains(bucketCol),
@@ -473,6 +477,12 @@ object BucketedMergeSink {
           createTarget(spark, MergeSink.dedupeBatch(batch, key).limit(0), path, key, numBuckets, createRetain)
         case "upsert" =>
           createTarget(spark, MergeSink.dedupeBatch(batch, key), path, key, numBuckets, createRetain)
+        case "scd2" =>
+          // SCD2 bootstrap (MergeSink.openVersions): the layout's schema
+          // includes the sink-managed version columns from day one
+          createTarget(spark,
+            MergeSink.openVersions(batch, key, to_timestamp(lit(scd2Ts))),
+            path, key, numBuckets, createRetain)
       }
       return
     }
@@ -553,6 +563,9 @@ object BucketedMergeSink {
         case "upsert" => MergeSink.upsert(target, batch, key, excluded, broadcastBatch = bcast)
         case "update" => MergeSink.update(target, batch, key, excluded, broadcastBatch = bcast)
         case "delete" => MergeSink.delete(target, batch, identifier, broadcastIds = bcast)
+        case "scd2" =>
+          MergeSink.scd2(target, batch, to_timestamp(lit(scd2Ts)), key,
+            broadcastBatch = bcast)
       }
       // re-derive each output row's bucket from the LAYOUT key (surviving
       // target rows keep their bucket; inserts hash to a touched one)

@@ -254,6 +254,157 @@ object MergeSink {
     }
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) merge: a history-preserving
+    * upsert. The target carries every VERSION of each key, delimited by
+    * sink-managed columns `validFrom` / `validTo` / `isCurrent`; a batch
+    * row whose attributes differ from the key's current version CLOSES
+    * that version (`validTo = batchTs`, `isCurrent = false`) and opens a
+    * new one (`validFrom = batchTs`, open-ended, current); an identical
+    * batch row is a NO-OP (change detection, null-safe `<=>` per shared
+    * column); a brand-new key inserts an open first version. Historical
+    * (non-current) rows pass through untouched.
+    *
+    * The reference's load vocabulary stops at overwrite-style upsert
+    * (Pype.py:97-117); SCD2 is the standard warehouse extension of the
+    * same conflict-key contract for targets that must answer "what did
+    * this row look like when that training run was snapshotted?" —
+    * time-travel per ROW, complementing the bucketed layout's per-BATCH
+    * snapshots.
+    *
+    * Schema contract (the [[validateBatchSchema]] lattice, applied to the
+    * target minus its SCD columns): the batch must NOT ship the
+    * sink-managed columns; a target data column missing from the batch is
+    * carried forward from the closed version into the new one (and NULL
+    * on a brand-new key, like upsert's insert leg); unknown batch columns
+    * are ignored; lossy casts refuse loudly.
+    *
+    * Physical shapes mirror [[upsert]]: `broadcastBatch = true` keeps the
+    * (huge) current slice unshuffled — one broadcast left join emits
+    * closed/new/unchanged rows via a per-row `explode` (still narrow),
+    * and the insert leg re-broadcasts the matched-key sliver; `false` is
+    * one full-outer sort-merge join. The historical slice is a
+    * pass-through filter in BOTH shapes — at 100 TB the ever-growing
+    * history costs a scan, never a join or shuffle. */
+  def scd2(
+      target: DataFrame,
+      batch: DataFrame,
+      batchTs: Column,
+      key: Seq[String] = Seq("id"),
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      isCurrent: String = "is_current",
+      broadcastBatch: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, StructType}
+    val scdCols = Seq(validFrom, validTo, isCurrent)
+    require(scdCols.distinct.size == 3, s"SCD columns must be distinct, got $scdCols")
+    val absent = scdCols.filterNot(target.columns.contains)
+    require(absent.isEmpty,
+      s"SCD2 target lacks column(s) ${absent.mkString(", ")} — " +
+        "create it with openVersions / a scd2-typed load stage")
+    val shipped = scdCols.filter(batch.columns.contains)
+    require(shipped.isEmpty,
+      s"batch ships sink-managed SCD column(s) ${shipped.mkString(", ")} — " +
+        "version bounds are derived from batchTs, never loaded")
+    require(key.intersect(scdCols).isEmpty, "merge key cannot include SCD columns")
+    val tType = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(tType(isCurrent) == BooleanType,
+      s"$isCurrent must be boolean, got ${tType(isCurrent).simpleString}")
+    validateBatchSchema(
+      StructType(target.schema.fields.filterNot(f => scdCols.contains(f.name))),
+      batch.schema, key)
+    val cleanBatch = dedupeBatch(batch, key)
+    val batchCols = cleanBatch.columns.toSet
+    val cmpCols = target.columns
+      .filterNot(c => scdCols.contains(c) || key.contains(c))
+      .filter(batchCols.contains)
+
+    val hist = target.filter(!coalesce(col(isCurrent), lit(false)))
+    val cur = target.filter(coalesce(col(isCurrent), lit(false)))
+    val from = batchTs.cast(tType(validFrom))
+    val to = batchTs.cast(tType(validTo))
+
+    // the three row shapes, as identically-typed structs so one explode
+    // can emit 1 or 2 of them per joined row
+    def unchangedRow = struct(target.columns.toSeq.map(c => col(s"t.$c").as(c)): _*)
+    def closedRow = struct(target.columns.toSeq.map {
+      case c if c == validTo   => to.as(c)
+      case c if c == isCurrent => lit(false).as(c)
+      case c                   => col(s"t.$c").as(c)
+    }: _*)
+    def newRow = struct(target.columns.toSeq.map {
+      case c if c == validFrom      => from.as(c)
+      case c if c == validTo        => lit(null).cast(tType(validTo)).as(c)
+      case c if c == isCurrent      => lit(true).as(c)
+      case c if key.contains(c)     =>
+        coalesce(col(s"t.$c"), col(s"b.$c").cast(tType(c))).as(c)
+      case c if batchCols.contains(c) => col(s"b.$c").cast(tType(c)).as(c)
+      case c                        => col(s"t.$c").as(c) // carry-forward
+    }: _*)
+    def changed = cmpCols
+      .map(c => !(col(s"t.$c") <=> col(s"b.$c").cast(tType(c))))
+      .foldLeft(lit(false))(_ || _)
+    def unpack(rows: DataFrame): DataFrame =
+      rows.select(target.columns.toSeq.map(c => col(s"__r.$c").as(c)): _*)
+
+    val merged =
+      if (broadcastBatch) {
+        val t = cur.alias("t")
+        val b = broadcast(cleanBatch.withColumn("__b", lit(true))).alias("b")
+        val current = unpack(t.join(b, keyCond(key), "left")
+          .select(explode(
+            when(col("__b").isNotNull && changed, array(closedRow, newRow))
+              .otherwise(array(unchangedRow))).as("__r")))
+        // insert leg, upsert's decomposition: broadcast the batch keys to
+        // find matched keys (≤|batch| rows), broadcast THOSE back for the
+        // anti join — the current slice is scanned, never shuffled
+        val bk = broadcast(cleanBatch.select(key.map(col): _*))
+        val matchedKeys = broadcast(
+          cur.select(key.map(col): _*).alias("t")
+            .join(bk.alias("b"), keyCond(key), "left_semi")
+            .distinct())
+        val inserts = cleanBatch.alias("b")
+          .join(matchedKeys.alias("t"), keyCond(key), "left_anti")
+          .select(target.columns.toSeq.map {
+            case c if c == validFrom      => from.as(c)
+            case c if c == validTo        => lit(null).cast(tType(validTo)).as(c)
+            case c if c == isCurrent      => lit(true).as(c)
+            case c if batchCols.contains(c) => col(s"b.$c").cast(tType(c)).as(c)
+            case c                        => lit(null).cast(tType(c)).as(c)
+          }: _*)
+        current.unionByName(inserts)
+      } else {
+        val t = cur.withColumn("__t", lit(true)).alias("t")
+        val b = cleanBatch.withColumn("__b", lit(true)).alias("b")
+        unpack(t.join(b, keyCond(key), "full_outer")
+          .select(explode(
+            when(col("__t").isNull, array(newRow)) // new key: t side all-null
+              .when(col("__b").isNotNull && changed, array(closedRow, newRow))
+              .otherwise(array(unchangedRow))).as("__r")))
+      }
+    hist.unionByName(merged)
+  }
+
+  /** Stamp a version-less batch as the FIRST open SCD2 versions — the
+    * bootstrap shape for a fresh SCD2 target (every row current from
+    * `batchTs`, open-ended). Shared by both sinks' create paths; public
+    * because callers composing [[scd2]] directly need the same bootstrap. */
+  def openVersions(
+      batch: DataFrame,
+      key: Seq[String],
+      batchTs: Column,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      isCurrent: String = "is_current"): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    val shipped = Seq(validFrom, validTo, isCurrent).filter(batch.columns.contains)
+    require(shipped.isEmpty,
+      s"batch ships sink-managed SCD column(s) ${shipped.mkString(", ")}")
+    dedupeBatch(batch, key)
+      .withColumn(validFrom, batchTs.cast(TimestampType))
+      .withColumn(validTo, lit(null).cast(TimestampType))
+      .withColumn(isCurrent, lit(true))
+  }
+
   /** Update-only: matched rows take batch values (minus exclusions);
     * unmatched batch rows are dropped; unmatched target rows unchanged. */
   def update(
@@ -402,15 +553,19 @@ object MergeSink {
       key: Seq[String] = Seq("id"),
       identifier: String = "id",
       excluded: Seq[String] = Nil,
-      retainVersions: Int = 0): Unit = {
-    require(Set("upsert", "update", "delete")(loadType),
+      retainVersions: Int = 0,
+      scd2Ts: String = ""): Unit = {
+    require(Set("upsert", "update", "delete", "scd2")(loadType),
       s"unknown load type: $loadType") // validated BEFORE any write, even on a fresh path
+    require(loadType != "scd2" || scd2Ts.nonEmpty,
+      "scd2 load needs an explicit batch timestamp (scd2_ts) — version " +
+        "bounds must be deterministic, never wall-clock")
     if (BucketedMergeSink.isBucketed(spark, path)) {
       // a flat read-merge-write against a bucketed layout would flatten
       // it (and read gbucket as a data column) — route to the bucketed
       // sink, which has identical semantics
       BucketedMergeSink.merge(spark, batch, path, loadType, key, identifier, excluded,
-        retainVersions = retainVersions)
+        retainVersions = retainVersions, scd2Ts = scd2Ts)
       return
     }
     require(retainVersions == 0,
@@ -430,6 +585,9 @@ object MergeSink {
         // update-only against an absent target affects zero rows (same as
         // an existing-but-empty target) — it must NOT degrade to insert
         case "update" => dedupeBatch(batch, key).limit(0)
+        // SCD2 bootstrap: every batch row becomes the key's first open
+        // version — the create leg that gives the target its SCD columns
+        case "scd2" => openVersions(batch, key, to_timestamp(lit(scd2Ts)))
       } else {
         val target = spark.read.parquet(path)
         // gate the broadcast on the batch's size estimate: the typical
@@ -442,6 +600,8 @@ object MergeSink {
           case "upsert" => upsert(target, batch, key, excluded, broadcastBatch = bcast)
           case "update" => update(target, batch, key, excluded, broadcastBatch = bcast)
           case "delete" => delete(target, batch, identifier, broadcastIds = bcast)
+          case "scd2" =>
+            scd2(target, batch, to_timestamp(lit(scd2Ts)), key, broadcastBatch = bcast)
         }
       }
     writeAtomicGuarded(result, path, Some(base))

@@ -68,6 +68,42 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
       MergeSink.delete(afterUpdate, dels, "id").orderBy("id"))
   }
 
+  test("scd2 matches the flat MergeSink semantics and rewrites only the " +
+    "touched buckets (history rides along in its key's bucket)") {
+    val path = tmpTarget()
+    val n = 4
+    val target = seed(50)
+    // bootstrap establishes the layout WITH the sink-managed columns
+    BucketedMergeSink.merge(spark, target, path, "scd2", Seq("id"),
+      numBuckets = n, scd2Ts = "2024-01-01 00:00:00")
+    val boot = MergeSink.openVersions(target, Seq("id"),
+      to_timestamp(lit("2024-01-01 00:00:00")))
+    assertSameRows(
+      BucketedMergeSink.read(spark, path).orderBy("id", "valid_from"),
+      boot.orderBy("id", "valid_from"))
+    // one changed key + one new key: close/reopen/insert, flat-identical
+    val before = (0 until n).map(b => b -> bucketState(path, b)).toMap
+    val batch = Seq((10L, "TEN", 1000L), (999L, "new", 1L)).toDF("id", "name", "v")
+    BucketedMergeSink.merge(spark, batch, path, "scd2", Seq("id"),
+      scd2Ts = "2024-06-01 00:00:00")
+    val expected = MergeSink.scd2(boot, batch,
+      to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"))
+    assertSameRows(
+      BucketedMergeSink.read(spark, path).orderBy("id", "valid_from"),
+      expected.orderBy("id", "valid_from"))
+    // closed + reopened versions hash to the SAME bucket as their key,
+    // so only the two touched buckets moved
+    val touched = Seq(10L, 999L).toDF("id")
+      .select(BucketedMergeSink.bucketExpr(Seq("id"), n))
+      .collect().map(_.getInt(0)).toSet
+    for (b <- 0 until n if !touched(b))
+      assert(bucketState(path, b) == before(b), s"untouched bucket $b rewritten")
+    // a missing scd2_ts refuses before any write
+    intercept[IllegalArgumentException] {
+      BucketedMergeSink.merge(spark, batch, path, "scd2", Seq("id"))
+    }
+  }
+
   test("a single-key batch rewrites exactly ONE bucket (manifest + files)") {
     val path = tmpTarget()
     val n = 4

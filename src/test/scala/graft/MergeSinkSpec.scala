@@ -323,4 +323,126 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
       MergeSink.upsert(MergeSink.upsert(seed, batchB, Seq("id")), batchA, Seq("id"))
         .orderBy("id"))
   }
+
+  // ------------------------------------------------------------- SCD2
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Key 1 has history (one closed + one current version); keys 2 and 3
+    * are current-only. */
+  private def scdTarget: DataFrame =
+    Seq(
+      (1L, "old1", "n1", ts("2023-01-01 00:00:00"),
+        Some(ts("2024-01-01 00:00:00")), false),
+      (1L, "cur1", "n1b", ts("2024-01-01 00:00:00"), None, true),
+      (2L, "cur2", "n2", ts("2024-01-01 00:00:00"), None, true),
+      (3L, "cur3", "n3", ts("2024-01-01 00:00:00"), None, true))
+      .toDF("id", "val", "note", "valid_from", "valid_to", "is_current")
+
+  /** Key 1 changed, key 2 identical (no-op), key 4 brand-new; `note` is
+    * deliberately NOT shipped (carry-forward contract). */
+  private def scdBatch: DataFrame =
+    Seq((1L, "new1"), (2L, "cur2"), (4L, "b4")).toDF("id", "val")
+
+  private def expectedScd2: DataFrame =
+    Seq(
+      // history passes through untouched
+      (1L, "old1", "n1", ts("2023-01-01 00:00:00"),
+        Some(ts("2024-01-01 00:00:00")), false),
+      // changed key: current version closed at the batch ts...
+      (1L, "cur1", "n1b", ts("2024-01-01 00:00:00"),
+        Some(ts("2024-06-01 00:00:00")), false),
+      // ...and reopened with batch values, `note` carried forward
+      (1L, "new1", "n1b", ts("2024-06-01 00:00:00"), None, true),
+      // identical batch row: NO new version (change detection)
+      (2L, "cur2", "n2", ts("2024-01-01 00:00:00"), None, true),
+      // key untouched by the batch
+      (3L, "cur3", "n3", ts("2024-01-01 00:00:00"), None, true),
+      // brand-new key: open first version, unshipped `note` is NULL
+      (4L, "b4", null, ts("2024-06-01 00:00:00"), None, true))
+      .toDF("id", "val", "note", "valid_from", "valid_to", "is_current")
+
+  test("scd2: closes changed versions, no-ops identical rows, inserts new " +
+    "keys, carries unshipped columns forward, passes history through") {
+    val out = MergeSink.scd2(
+      scdTarget, scdBatch, to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"))
+    assertSameRows(out, expectedScd2)
+  }
+
+  test("scd2: broadcast decomposition is semantically identical to full-outer") {
+    val bc = MergeSink.scd2(
+      scdTarget, scdBatch, to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"),
+      broadcastBatch = true)
+    assertSameRows(bc, expectedScd2)
+    // and like upsert's, the broadcast shape plans no full-outer join
+    val joins = bc.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "FullOuter" => j
+    }
+    assert(joins.isEmpty, "broadcast scd2 must not plan a full-outer join")
+  }
+
+  test("scd2: re-merging the same batch is a no-op at any later timestamp " +
+    "(change detection makes loads idempotent)") {
+    val once = MergeSink.scd2(
+      scdTarget, scdBatch, to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"))
+      .localCheckpoint(true)
+    val again = MergeSink.scd2(
+      once, scdBatch, to_timestamp(lit("2024-12-01 00:00:00")), Seq("id"))
+    assertSameRows(again, once)
+  }
+
+  test("scd2: refuses a batch shipping sink-managed columns, a target " +
+    "lacking them, and a key overlapping them") {
+    val e1 = intercept[IllegalArgumentException] {
+      MergeSink.scd2(scdTarget,
+        scdBatch.withColumn("is_current", lit(true)),
+        to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"))
+    }
+    assert(e1.getMessage.contains("sink-managed"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeSink.scd2(target, scdBatch,
+        to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"))
+    }
+    assert(e2.getMessage.contains("lacks"))
+    intercept[IllegalArgumentException] {
+      MergeSink.scd2(scdTarget, scdBatch,
+        to_timestamp(lit("2024-06-01 00:00:00")), Seq("id", "is_current"))
+    }
+  }
+
+  test("openVersions: stamps first open versions, dedupes keys, refuses " +
+    "pre-stamped batches") {
+    val out = MergeSink.openVersions(
+      Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "val"),
+      Seq("id"), to_timestamp(lit("2024-01-01 00:00:00")))
+    assertSameRows(out,
+      Seq((1L, "a", ts("2024-01-01 00:00:00"), Option.empty[java.sql.Timestamp], true),
+        (2L, "b", ts("2024-01-01 00:00:00"), Option.empty[java.sql.Timestamp], true))
+        .toDF("id", "val", "valid_from", "valid_to", "is_current"))
+    intercept[IllegalArgumentException] {
+      MergeSink.openVersions(out, Seq("id"), to_timestamp(lit("2024-02-01 00:00:00")))
+    }
+  }
+
+  test("mergeIntoParquet scd2: bootstrap on a fresh path, versioned merge " +
+    "on an existing one; empty scd2_ts refuses before any write") {
+    val path = Files.createTempDirectory("graft-scd2").toString + "/t"
+    intercept[IllegalArgumentException] { // ts required even on a fresh path
+      MergeSink.mergeIntoParquet(spark, scdBatch, path, "scd2", Seq("id"))
+    }
+    val seed = Seq((1L, "cur1", "n1b"), (2L, "cur2", "n2"), (3L, "cur3", "n3"))
+      .toDF("id", "val", "note")
+    MergeSink.mergeIntoParquet(spark, seed, path, "scd2", Seq("id"),
+      scd2Ts = "2024-01-01 00:00:00")
+    MergeSink.mergeIntoParquet(spark, scdBatch, path, "scd2", Seq("id"),
+      scd2Ts = "2024-06-01 00:00:00")
+    // the parquet round-trip equals the in-memory merge over the same
+    // bootstrap (minus key 1's pre-existing history, which the fresh
+    // target never had)
+    val expected = MergeSink.scd2(
+      MergeSink.openVersions(seed, Seq("id"), to_timestamp(lit("2024-01-01 00:00:00"))),
+      scdBatch, to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"))
+    assertSameRows(spark.read.parquet(path), expected)
+  }
 }

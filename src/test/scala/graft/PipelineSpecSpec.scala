@@ -59,6 +59,19 @@ class PipelineSpecSpec extends AnyFunSuite {
     assert(PipelineSpec.fromYaml(yaml).stages("stage_a").compactMaxFiles == 1)
   }
 
+  test("parses scd2 load type with scd2_ts (default empty)") {
+    val y =
+      """pypes:
+        |  s:
+        |    extract_query: "SELECT 1"
+        |    type: scd2
+        |    scd2_ts: "2024-06-01 00:00:00"
+        |""".stripMargin
+    assert(PipelineSpec.fromYaml(y).stages("s").loadType == "scd2")
+    assert(PipelineSpec.fromYaml(y).stages("s").scd2Ts == "2024-06-01 00:00:00")
+    assert(PipelineSpec.fromYaml(yaml).stages("stage_a").scd2Ts == "")
+  }
+
   test("applies reference defaults when fields are omitted") {
     val b = PipelineSpec.fromYaml(yaml).stages("stage_b")
     assert(b.loadType == "delete")
