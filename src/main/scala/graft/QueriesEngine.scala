@@ -78,6 +78,36 @@ object QueriesEngine {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // -- the read side of SCD2: point-in-time (AS OF) probes over the
+    //    q105 merged history — one BEFORE the change batch (the closed
+    //    originals are still the visible versions) and one AFTER (new
+    //    versions + inserts visible, closed ones not). A filter over the
+    //    version bounds, never a join
+    "q106_scd2_asof" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val t0 = MergeSink.openVersions(
+        o.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"),
+        to_timestamp(lit("2024-01-01 00:00:00")))
+      val batch = o.filter(col("o_orderkey").between(500, 1500))
+        .withColumn("o_orderstatus",
+          when(col("o_orderpriority") === "1-URGENT", lit("Z"))
+            .otherwise(col("o_orderstatus")))
+        .drop("o_orderpriority")
+      val merged = MergeSink.scd2(
+        t0, batch, to_timestamp(lit("2024-02-01 00:00:00")),
+        Seq("o_orderkey"), broadcastBatch = true).localCheckpoint(true)
+      def probe(p: String) = MergeSink
+        .scd2AsOf(merged, to_timestamp(lit(p)))
+        .select(lit(p).as("probe_ts"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+      probe("2024-01-15 00:00:00").unionByName(probe("2024-07-01 00:00:00"))
+        .orderBy("probe_ts", "o_orderkey", "valid_from")
+    }),
+
     // -- bucket-partitioned merge target (the 100 TB incremental-load
     //    shape): create → upsert-with-exclusion → delete against a
     //    hash-bucketed layout, where each batch rewrites only the bucket
@@ -327,6 +357,51 @@ object QueriesEngine {
         |  '2024-02-01 00:00:00', CAST(NULL AS VARCHAR), TRUE
         |FROM b ANTI JOIN t0 t ON b.o_orderkey = t.o_orderkey
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+    // AS-OF oracle: rebuild q105's merged state in SQL, then apply the
+    // version-bound filter per probe; the stringified bounds compare
+    // chronologically (fixed-width format)
+    "q106_scd2_asof" ->
+      """WITH t0 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey <= 1000),
+        |b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'Z'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey BETWEEN 500 AND 1500),
+        |j AS (
+        |  SELECT t.*, b.o_orderkey IS NOT NULL AS matched,
+        |    b.o_custkey AS b_custkey, b.o_orderstatus AS b_status,
+        |    b.o_totalprice AS b_price, b.o_orderdate AS b_date,
+        |    (t.o_custkey IS DISTINCT FROM b.o_custkey
+        |     OR t.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |     OR t.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |     OR t.o_orderdate IS DISTINCT FROM b.o_orderdate) AS changed
+        |  FROM t0 t LEFT JOIN b ON t.o_orderkey = b.o_orderkey),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority,
+        |    '2024-01-01 00:00:00' AS valid_from,
+        |    CASE WHEN matched AND changed THEN '2024-02-01 00:00:00'
+        |         ELSE CAST(NULL AS VARCHAR) END AS valid_to,
+        |    NOT (matched AND changed) AS is_current
+        |  FROM j
+        |  UNION ALL
+        |  SELECT o_orderkey, b_custkey, b_status, b_price, b_date,
+        |    o_orderpriority, '2024-02-01 00:00:00', CAST(NULL AS VARCHAR), TRUE
+        |  FROM j WHERE matched AND changed
+        |  UNION ALL
+        |  SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+        |    b.o_orderdate, CAST(NULL AS VARCHAR),
+        |    '2024-02-01 00:00:00', CAST(NULL AS VARCHAR), TRUE
+        |  FROM b ANTI JOIN t0 t ON b.o_orderkey = t.o_orderkey)
+        |SELECT p.probe_ts, m.*
+        |FROM m, (VALUES ('2024-01-15 00:00:00'), ('2024-07-01 00:00:00')) p(probe_ts)
+        |WHERE m.valid_from <= p.probe_ts
+        |  AND (m.valid_to IS NULL OR m.valid_to > p.probe_ts)
+        |ORDER BY probe_ts, o_orderkey, valid_from""".stripMargin,
     "q30_merge_upsert" ->
       """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
         |b AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,

@@ -405,6 +405,21 @@ object MergeSink {
       .withColumn(isCurrent, lit(true))
   }
 
+  /** Point-in-time read over an SCD2 target: the one version of each key
+    * that was current at `ts` — `validFrom <= ts < validTo` with an open
+    * `validTo` meaning "still current". The query-side twin of [[scd2]]:
+    * "what did this table look like when that training run snapshotted
+    * it?" is a FILTER, not a join — at 100 TB it rides the parquet scan
+    * (predicate pushdown; partition/cluster the target by `validTo`
+    * nullness or month to prune closed history physically). */
+  def scd2AsOf(
+      target: DataFrame,
+      ts: Column,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame =
+    target.filter(
+      col(validFrom) <= ts && (col(validTo).isNull || col(validTo) > ts))
+
   /** Update-only: matched rows take batch values (minus exclusions);
     * unmatched batch rows are dropped; unmatched target rows unchanged. */
   def update(

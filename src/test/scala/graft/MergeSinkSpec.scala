@@ -425,6 +425,29 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scd2AsOf: inclusive valid_from, exclusive valid_to — a probe AT a " +
+    "version boundary sees exactly the new version") {
+    val merged = MergeSink.scd2(
+      scdTarget, scdBatch, to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"))
+      .localCheckpoint(true)
+    def visible(p: String): Seq[(Long, String)] =
+      MergeSink.scd2AsOf(merged, to_timestamp(lit(p)))
+        .select("id", "val").as[(Long, String)].collect().sortBy(_._1).toSeq
+    // exactly at the change boundary: key 1's closed version (valid_to ==
+    // probe) is OUT, the reopened one (valid_from == probe) is IN
+    assert(visible("2024-06-01 00:00:00") ==
+      Seq((1L, "new1"), (2L, "cur2"), (3L, "cur3"), (4L, "b4")))
+    // before it: the pre-change state, no key 4 yet
+    assert(visible("2024-03-01 00:00:00") ==
+      Seq((1L, "cur1"), (2L, "cur2"), (3L, "cur3")))
+    // before the bootstrap: only key 1's archaic version existed
+    assert(visible("2023-06-01 00:00:00") == Seq((1L, "old1")))
+    // every key has AT MOST one visible version at any probe
+    val dup = MergeSink.scd2AsOf(merged, to_timestamp(lit("2024-06-01 00:00:00")))
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
   test("mergeIntoParquet scd2: bootstrap on a fresh path, versioned merge " +
     "on an existing one; empty scd2_ts refuses before any write") {
     val path = Files.createTempDirectory("graft-scd2").toString + "/t"
