@@ -168,6 +168,14 @@ object Streams {
       loadType: String = "upsert",
       excluded: Seq[String] = Nil,
       numBuckets: Int = 0,
+      // scd2 only: batchId -> the batch's version timestamp (parsed by
+      // to_timestamp). MUST be a pure deterministic function so an
+      // at-least-once micro-batch replay stamps the SAME version bound
+      // it did the first time; with scd2's change detection that makes
+      // the replay a no-op. Wall-clock here would fork history on
+      // recovery. Typically batchId -> the batch's source watermark or
+      // an external batch-metadata timestamp.
+      scd2TsOf: Long => String = null,
       // OPT-IN (default off): compactEvery = N runs BucketedMergeSink
       // .compact inside foreachBatch on every Nth micro-batch — a
       // synchronous whole-target small-file pass, i.e. a deliberate
@@ -180,8 +188,11 @@ object Streams {
     // delete key would otherwise surface as an obscure streaming-query
     // death far from the call site
     require(key.nonEmpty, "streamingMerge needs at least one key column")
-    require(Set("upsert", "update", "delete")(loadType),
-      s"unknown load type: $loadType (expected upsert/update/delete)")
+    require(Set("upsert", "update", "delete", "scd2")(loadType),
+      s"unknown load type: $loadType (expected upsert/update/delete/scd2)")
+    require(loadType != "scd2" || scd2TsOf != null,
+      "scd2 streams need scd2TsOf: a deterministic batchId -> version " +
+        "timestamp mapping (replay-stable, never wall-clock)")
     require(loadType != "delete" || key.size == 1,
       "delete streams key on exactly ONE identifier column " +
         s"(MergeSink.delete matches a single id), got ${key.mkString(", ")}")
@@ -190,7 +201,8 @@ object Streams {
         if (numBuckets > 0) {
           graft.sink.BucketedMergeSink.merge(
             batch.sparkSession, batch, path, loadType, key,
-            identifier = key.head, excluded = excluded, numBuckets = numBuckets)
+            identifier = key.head, excluded = excluded, numBuckets = numBuckets,
+            scd2Ts = if (loadType == "scd2") scd2TsOf(batchId) else "")
           // inline small-file maintenance: each merge leaves up to
           // write-parallelism files in every touched bucket, so a
           // long-running stream fragments its target; compacting every
@@ -204,7 +216,8 @@ object Streams {
         } else
           graft.sink.MergeSink.mergeIntoParquet(
             batch.sparkSession, batch, path, loadType, key,
-            identifier = key.head, excluded = excluded)
+            identifier = key.head, excluded = excluded,
+            scd2Ts = if (loadType == "scd2") scd2TsOf(batchId) else "")
     }
   }
 

@@ -288,6 +288,47 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, "a", 10L), (2L, "B", 25L), (3L, "c", 30L)))
   }
 
+  test("streamingMerge scd2: micro-batches version the target; the batch-id " +
+    "timestamp mapping keeps replays history-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-scd-tgt").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd-ck").toString
+    // b0 bootstraps keys 1,2; b1 changes key 2 and inserts key 3
+    val batches = Seq(
+      Seq((1L, "a"), (2L, "b")),
+      Seq((2L, "B"), (3L, "c")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("id", "name"), i)
+    }
+    val stream = spark.readStream
+      .schema("id LONG, name STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val tsOf = (b: Long) => f"2024-0${b + 1}%d-01 00:00:00" // deterministic per batch
+    val q = Streams.streamingMerge(stream, target, Seq("id"),
+        loadType = "scd2", scd2TsOf = tsOf)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.functions.{col, date_format}
+    val out = spark.read.parquet(target)
+      .select(col("id"), col("name"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("f"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("t"),
+        col("is_current"))
+      .as[(Long, String, String, String, Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(out == Seq(
+      (1L, "a", "2024-01-01", null, true),           // untouched by b1
+      (2L, "b", "2024-01-01", "2024-02-01", false),  // closed by b1
+      (2L, "B", "2024-02-01", null, true),           // reopened
+      (3L, "c", "2024-02-01", null, true)))          // inserted by b1
+    // unknown mapping refuses at construction, not inside a micro-batch
+    intercept[IllegalArgumentException] {
+      Streams.streamingMerge(stream, target, Seq("id"), loadType = "scd2")
+    }
+  }
+
   test("dedupCorpusStream: first-seen doc survives per distinct text across batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dc-src").toString
     val target = java.nio.file.Files.createTempDirectory("graft-dc-tgt").toString + "/t"
