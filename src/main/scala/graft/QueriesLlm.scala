@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingPrep}
 
 /** Layer C query battery: the LLM-training-data operators (dedup,
   * similarity search, multimodal, text analysis). Exact/deterministic
@@ -454,6 +454,46 @@ object QueriesLlm {
       val q = e.filter(col("vec_id") < 10)
       annAudit(Similarity.ivfPqTopK(q, e, k = 5),
         Similarity.bruteForceTopK(q, e, k = 5), e)
+    }),
+
+    // -- URL decomposition for provenance columns. The corpus carries no
+    //    URLs, so a deterministic synthetic URL is derived from doc_id
+    //    (the q63 injection pattern) and pushed through Spark's REAL
+    //    parse_url; the oracle re-derives every part analytically from
+    //    doc_id — a parser that mangled any component hash-fails
+    "q107_url_parts" -> ((s, dir) => {
+      val url = concat(
+        lit("https://sub"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".site"), pmod(col("doc_id"), lit(97)).cast("string"), lit("."),
+        element_at(
+          array(lit("com"), lit("org"), lit("net"), lit("io")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string"),
+        lit("?ref="), pmod(col("doc_id"), lit(7)).cast("string"))
+      TextAnalysis.urlParts(
+          Tables.load(s, dir, "documents").withColumn("url", url), "url")
+        .select("doc_id", "url", "scheme", "host", "registered_domain",
+          "path", "query")
+        .orderBy("doc_id")
+    }),
+
+    // -- per-domain frequency capping over the synthetic provenance
+    //    (C4/RefinedWeb anti-boilerplate): keep the 3 longest docs per
+    //    registered domain, window-free (bounded-heap TopKAggregator —
+    //    the head domain never becomes one giant sort partition)
+    "q108_domain_cap" -> ((s, dir) => {
+      val url = concat(
+        lit("https://sub"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".site"), pmod(col("doc_id"), lit(97)).cast("string"), lit("."),
+        element_at(
+          array(lit("com"), lit("org"), lit("net"), lit("io")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val parts = TextAnalysis.urlParts(
+        Tables.load(s, dir, "documents").withColumn("url", url), "url")
+      TrainingPrep.perDomainCap(parts, cap = 3)
+        .select("doc_id", "registered_domain", "n_chars")
+        .orderBy("registered_domain", "doc_id")
     }),
 
     // -- PII redaction (the C4/RefinedWeb-style release scrub). The
@@ -913,6 +953,41 @@ object QueriesLlm {
         |  FROM sc)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // every URL part re-derived analytically from doc_id — the Spark
+    // side must round-trip its synthetic URL through a real parser to
+    // reproduce these
+    "q107_url_parts" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'sub' || CAST(doc_id % 3 AS VARCHAR) || '.site' ||
+        |      CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |      CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |        WHEN 2 THEN 'net' ELSE 'io' END AS host,
+        |    'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |      CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |        WHEN 2 THEN 'net' ELSE 'io' END AS registered_domain,
+        |    '/p/' || CAST(doc_id AS VARCHAR) AS path,
+        |    'ref=' || CAST(doc_id % 7 AS VARCHAR) AS query
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'https://' || host || path || '?' || query AS url,
+        |  'https' AS scheme, host, registered_domain, path, query
+        |FROM u ORDER BY doc_id""".stripMargin,
+    // the oracle states the policy as the window the operator refuses
+    // to plan: row_number over the domain partition, capped at 3
+    "q108_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |      CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |        WHEN 2 THEN 'net' ELSE 'io' END AS registered_domain
+        |  FROM documents)
+        |SELECT doc_id, registered_domain, n_chars
+        |FROM d
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY registered_domain
+        |  ORDER BY n_chars DESC, doc_id) <= 3
+        |ORDER BY registered_domain, doc_id""".stripMargin,
     "q63_pii_redact" ->
       """WITH inj AS (
         |  SELECT doc_id,

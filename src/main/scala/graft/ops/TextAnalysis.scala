@@ -290,6 +290,29 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("margin"))) + lit(1e-9), 4))
   }
 
+  /** URL decomposition for web-corpus provenance: scheme / host /
+    * registered domain / path / query via Spark's built-in `parse_url`
+    * (a native expression — no UDF in the scan). `registered_domain` is
+    * the last-two-labels heuristic (`substring_index(host, '.', -2)`):
+    * correct for `site.com`-shaped hosts, WRONG for multi-label public
+    * suffixes (`foo.co.uk` → `co.uk`) — a production deployment swaps in
+    * a public-suffix-list lookup (broadcast map join on the suffix
+    * trie's candidate labels); this column-level shape is what the
+    * per-domain policies below consume either way. Null-safe: a null or
+    * unparseable URL yields null parts, never a task failure. */
+  def urlParts(df: DataFrame, urlCol: String): DataFrame = {
+    // try_parse_url, not parse_url: under ANSI the strict form THROWS on
+    // the malformed URLs every web crawl contains — quarantine (null
+    // parts), never a task failure
+    val host = try_parse_url(col(urlCol), lit("HOST"))
+    df.withColumn("scheme", lower(try_parse_url(col(urlCol), lit("PROTOCOL"))))
+      .withColumn("host", lower(host))
+      .withColumn("registered_domain",
+        when(host.isNotNull, substring_index(lower(host), ".", -2)))
+      .withColumn("path", try_parse_url(col(urlCol), lit("PATH")))
+      .withColumn("query", try_parse_url(col(urlCol), lit("QUERY")))
+  }
+
   /** Full analysis frame over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val base = df

@@ -461,4 +461,40 @@ object TrainingPrep {
       .filter(col("cum_tok") <= col("__budget"))
       .select(col(idCol), col(groupCol), col("n_tok"), col("cum_tok"))
   }
+
+  /** Per-domain frequency capping (the C4/RefinedWeb anti-boilerplate
+    * policy): keep at most `cap` documents per domain, preferring the
+    * highest `priorityCol` (quality score, length) with ties broken by
+    * lowest id. WINDOW-FREE by design: a `row_number` over the domain
+    * partition would sort one partition per domain — and the web's head
+    * domain at 100 TB is a single giant partition. Instead the kept set
+    * comes from the bounded-heap [[graft.functions.TopKAggregator]]
+    * (each executor holds ≤ cap rows per domain per partition; the
+    * exchange carries ≤ cap × domains rows), then one semi-join
+    * rehydrates the surviving rows. The hottest domain costs a bounded
+    * merge, never a sort. */
+  def perDomainCap(
+      df: DataFrame,
+      cap: Int,
+      domainCol: String = "registered_domain",
+      priorityCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(cap).toColumn
+    val kept = df
+      .select(col(domainCol).cast("string"),
+        col(priorityCol).cast("double"), col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+      .map { case (d, p, i) => (d, graft.functions.ScoredId(p, i)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("top"))
+      .flatMap { case (_, top) => top.iterator.map(_.id) }
+      .toDF(idCol)
+    // each doc has exactly one domain, so the kept ids are unique and a
+    // left-semi preserves rows 1:1 with no duplication
+    df.join(kept, Seq(idCol), "left_semi")
+  }
 }

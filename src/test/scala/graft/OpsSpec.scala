@@ -589,6 +589,42 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.getStruct(3).getLong(0) == "not an image".length.toLong)
   }
 
+  test("urlParts: real parse_url round-trip; null and junk URLs yield " +
+    "null parts, never a failure") {
+    val df = Seq(
+      (1L, "https://Sub0.Site42.com/p/1?ref=3"),
+      (2L, "http://a.b.co.uk/x"),
+      (3L, "not a url"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val out = graft.ops.TextAnalysis.urlParts(df, "url")
+      .select("doc_id", "scheme", "host", "registered_domain", "path", "query")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "https" && out(1L).getString(2) == "sub0.site42.com")
+    assert(out(1L).getString(3) == "site42.com")
+    assert(out(1L).getString(4) == "/p/1" && out(1L).getString(5) == "ref=3")
+    // documented heuristic limit: multi-label public suffixes collapse
+    assert(out(2L).getString(3) == "co.uk")
+    assert(out(3L).isNullAt(2) && out(4L).isNullAt(2))
+  }
+
+  test("perDomainCap: bounded-heap per-domain top-N, ties to lowest id, " +
+    "hot domain never planned as a window") {
+    val docs = ((1 to 100).map(i => (i.toLong, "hot.com", 10L)) ++
+      Seq((200L, "cold.com", 5L), (201L, "cold.com", 7L)))
+      .toDF("doc_id", "registered_domain", "n_chars")
+    val out = graft.ops.TrainingPrep.perDomainCap(docs, cap = 3)
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    // hot.com: all priorities tie at 10 → the 3 LOWEST ids survive;
+    // cold.com is under the cap → both survive
+    assert(kept == Seq(1L, 2L, 3L, 200L, 201L))
+    val windows = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "perDomainCap must stay window-free (the head domain at 100 TB " +
+        "would be one giant sort partition)")
+  }
+
   test("dedup and similarity operators are empty-input safe") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(noDocs).count() == 0)
