@@ -96,6 +96,70 @@ class MergeSinkPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: scd2 version chains are sound under any batch sequence — " +
+    "one open current per key, gapless intervals, model-exact values at " +
+    "every point in time") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val tss = Seq("2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00")
+    // scala reference model: per batch, duplicate keys resolve to the
+    // smallest whole row (dedupeBatch's survivor rule)
+    def modelBatch(b: List[(Long, String)]): Map[Long, String] =
+      b.groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).min }
+    samples(Gen.listOfN(3, rowsGen), n = 6).foreach { batches =>
+      withClue(s"batches=$batches: ") {
+        val b0 +: rest = batches
+        var state = MergeSink.openVersions(
+          df(b0), Seq("id"), to_timestamp(lit(tss.head))).localCheckpoint(true)
+        rest.zip(tss.tail).foreach { case (b, ts) =>
+          state = MergeSink.scd2(
+            state, df(b), to_timestamp(lit(ts)), Seq("id")).localCheckpoint(true)
+        }
+        val rows = state
+          .select(col("id"), col("v"),
+            col("valid_from").cast("string"), col("valid_to").cast("string"),
+            col("is_current"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            Option(r.getString(3)), r.getBoolean(4)))
+        // 1. exactly one current, open-ended version per ever-seen key
+        val byKey = rows.groupBy(_._1)
+        val everSeen = batches.flatMap(_.map(_._1)).toSet
+        assert(byKey.keySet == everSeen)
+        byKey.foreach { case (k, vs) =>
+          val cur = vs.filter(_._5)
+          assert(cur.size == 1 && cur.head._4.isEmpty, s"key $k current versions: $vs")
+          // 2. gapless chain: sorted by valid_from, each closed version
+          // ends exactly where the next begins; only the last is open
+          val chain = vs.sortBy(_._3)
+          chain.init.zip(chain.tail).foreach { case (a, b) =>
+            assert(a._4.contains(b._3), s"key $k chain gap: $a -> $b")
+          }
+          assert(chain.init.forall(!_._5) && chain.last._5)
+        }
+        // 3. point-in-time values match the scala model after each batch
+        val models = batches.scanLeft(Map.empty[Long, String]) {
+          (m, b) => m ++ modelBatch(b)
+        }.tail
+        tss.zip(models).foreach { case (ts, model) =>
+          val seen = MergeSink.scd2AsOf(state, to_timestamp(lit(ts)))
+            .select("id", "v").as[(Long, String)].collect().toMap
+          assert(seen == model, s"as-of $ts: got $seen, model $model")
+        }
+        // 4. version count per key = 1 + number of genuine changes
+        byKey.foreach { case (k, vs) =>
+          val values = models.flatMap(_.get(k)).distinctBy(identity)
+          // consecutive-distinct fold: a value can recur after a change
+          val changes = models.flatMap(_.get(k))
+            .foldLeft(List.empty[String]) {
+              case (acc, v) if acc.headOption.contains(v) => acc
+              case (acc, v) => v :: acc
+            }.size
+          assert(vs.size == changes, s"key $k: ${vs.size} versions, $changes states ($values)")
+        }
+      }
+    }
+  }
+
   test("property: schema-evolution contract over a 5-type lattice — the " +
     "accept/refuse decision is identical in BOTH join shapes, acceptance " +
     "always preserves the target type, and the headline cases hold") {
