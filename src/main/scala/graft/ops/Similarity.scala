@@ -299,14 +299,17 @@ object Similarity {
     if (n == 0.0) v else v.map(_ / n)
   }
 
-  /** `(cell, -dot)` structs sorted best-first against unit-norm centroids;
-    * ranking by dot against unit centroids == ranking by cosine (the
-    * query's own norm is a common factor). Ties break on cell id via the
-    * struct's second field. */
-  private def cellsRanked(v: Column, cents: Array[Array[Double]]): Column =
-    array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-      struct((-dotLit(v, c)).as("negdot"), lit(i).as("cell"))
-    }: _*))
+  /** Cell assignment / probing against the trained centroids. Ranking by
+    * dot against unit-norm centroids == ranking by cosine (the vector's
+    * own norm is a common factor); ties break on the lower cell id. The
+    * centroid matrix rides a BROADCAST, not expression-tree literals —
+    * see [[graft.functions.CentroidOps]] for why (task-binary size:
+    * nlist × dim doubles per literal copy). */
+  private def cellsTop(
+      v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      k: Int): Column =
+    graft.functions.CentroidOps.nearestCells(v, bc, k)
 
   /** One spherical Lloyd round over `train`'s `cv` column: assign each
     * sample to its nearest centroid, return the per-cell decimal means
@@ -318,12 +321,14 @@ object Similarity {
     * [[ivfTopK]] and [[ivfPqTopK]]'s coarse quantizer. */
   private def lloydRound(
       train: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val bc = train.sparkSession.sparkContext.broadcast(cents)
     val means = train
-      .withColumn("cell", element_at(cellsRanked(col("cv"), cents), 1).getField("cell"))
+      .withColumn("cell", element_at(cellsTop(col("cv"), bc, 1), 1))
       .select(col("cell"), posexplode(col("cv")))
       .groupBy("cell", "pos")
       .agg(avg(col("col").cast("decimal(28,10)")).as("m"))
       .collect()
+    bc.unpersist(blocking = false) // this round's block; next round rebroadcasts
     val next = cents.map(_.clone())
     means.foreach(r =>
       next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue())
@@ -410,14 +415,14 @@ object Similarity {
       cents = lloydRound(train, cents)
       it += 1
     }
+    val bcC = corpus.sparkSession.sparkContext.broadcast(cents)
     val assigned = c.withColumn("cell",
-      element_at(cellsRanked(col("cv"), cents), 1).getField("cell"))
+      element_at(cellsTop(col("cv"), bcC, 1), 1))
     val probes = Dedup.widen(queries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
-        explode_outer(slice(cellsRanked(col("qv"), cents), 1, nprobe)).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+        explode_outer(cellsTop(col("qv"), bcC, nprobe)).as("cell"))
+      .filter(col("cell").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
@@ -430,20 +435,8 @@ object Similarity {
   }
 
   // --------------------------------------------------------------- IVF-PQ
-
-  /** Subvector `j` (1-based slice) of a dim-split into `dsub`-wide parts. */
-  private def subCol(v: Column, j: Int, dsub: Int): Column =
-    slice(v, j * dsub + 1, dsub)
-
-  /** Nearest codebook entry for one subvector: argmin over ksub of the
-    * L2 distance. `‖x−e‖² = ‖x‖² − 2x·e + ‖e‖²` and `‖x‖²` is common to
-    * every entry, so ranking by `‖e‖² − 2x·e` suffices — one codegen'd
-    * VecDot per entry, ties on code id via the struct's second field. */
-  private def codeFor(sub: Column, book: Array[Array[Double]]): Column =
-    element_at(array_sort(array(book.zipWithIndex.map { case (e, kk) =>
-      val e2 = e.map(x => x * x).sum
-      struct((lit(e2) - lit(2.0) * dotLit(sub, e)).as("d"), lit(kk).as("code"))
-    }: _*)), 1).getField("code")
+  // (PQ encoding/argmin lives in graft.functions.CentroidOps — the
+  // codebooks ride broadcasts, not expression literals)
 
   /** IVF-PQ approximate top-k: the IVF coarse index of [[ivfTopK]] plus
     * product quantization of the residual scan — the classic
@@ -515,22 +508,30 @@ object Similarity {
     val train =
       if (denom <= 1L) c
       else c.filter(pmod(xxhash64(col("cand_id")), lit(denom)) === 0)
+    val sc = corpus.sparkSession.sparkContext
     var it = 0
     while (it < iters) {
       // one round trains BOTH quantizers from the same bounded sample:
       // a coarse Lloyd round (shared with ivfTopK) and the per-(sub,
-      // code, pos) PQ codebook means
+      // code, pos) PQ codebook means. Codebooks ride a per-round
+      // broadcast (CentroidOps); the mean input is the flat posexplode
+      // of the vector re-sliced into (subspace, within-subspace pos) —
+      // same values, same decimal avg as the subvector-explode
+      // formulation it replaces
       cents = lloydRound(train, cents)
-      val subs = train.select(explode(array((0 until m).map(j =>
-        struct(lit(j).as("sub"), subCol(col("cv"), j, dsub).as("sv"))): _*)).as("e"))
-        .select(col("e.sub").as("sub"), col("e.sv").as("sv"))
-      val pqMeans = subs
-        .withColumn("code", coalesce((0 until m).map(j =>
-          when(col("sub") === j, codeFor(col("sv"), books(j)))): _*))
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .groupBy("sub", "code", "pos")
+      val bcB = sc.broadcast(books)
+      val pqMeans = train
+        .withColumn("codes", graft.functions.CentroidOps.pqEncode(col("cv"), bcB))
+        .select(col("codes"), posexplode(col("cv")))
+        .select(
+          (col("pos") / lit(dsub)).cast("int").as("sub"),
+          pmod(col("pos"), lit(dsub)).as("pos2"),
+          element_at(col("codes"), (col("pos") / lit(dsub)).cast("int") + 1).as("code"),
+          col("col"))
+        .groupBy("sub", "code", "pos2")
         .agg(avg(col("col").cast("decimal(28,10)")).as("m"))
         .collect()
+      bcB.unpersist(blocking = false)
       val nextBooks = books.map(_.map(_.clone()))
       pqMeans.foreach(r =>
         nextBooks(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
@@ -538,25 +539,27 @@ object Similarity {
       books = nextBooks // empty codes keep their old entry
       it += 1
     }
+    // the TRAINED model ships once as broadcasts — the task binaries of
+    // every downstream stage carry handles, not nlist×dim (+ m×ksub×dsub)
+    // of literal doubles (CentroidOps scaladoc)
+    val bcC = sc.broadcast(cents)
+    val bcB = sc.broadcast(books)
     // encode ONCE: cell + m codes + exact norm per corpus vector — the
     // only payload that crosses the probe exchange (no `cv` below it)
     val encoded = c.select(
       col("cand_id"),
-      element_at(cellsRanked(col("cv"), cents), 1).getField("cell").as("cell"),
+      element_at(cellsTop(col("cv"), bcC, 1), 1).as("cell"),
       sqrt(graft.functions.VecDot.dot(col("cv"), col("cv"))).as("cn"),
-      array((0 until m).map(j => codeFor(subCol(col("cv"), j, dsub), books(j))): _*)
-        .as("codes"))
+      graft.functions.CentroidOps.pqEncode(col("cv"), bcB).as("codes"))
     // each query precomputes its ADC lookup table: luts[j][kk] = q_j · e_jk
-    val luts = array((0 until m).map(j =>
-      array(books(j).map(e => dotLit(subCol(col("qv"), j, dsub), e)): _*)): _*)
     val probes = Dedup.widen(queries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
         sqrt(graft.functions.VecDot.dot(col("qv"), col("qv"))).as("qn"),
-        luts.as("luts"),
-        explode_outer(slice(cellsRanked(col("qv"), cents), 1, nprobe)).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("query_id"), col("qn"), col("luts"), col("p.cell").as("cell"))
+        graft.functions.CentroidOps.pqLut(col("qv"), bcB).as("luts"),
+        explode_outer(cellsTop(col("qv"), bcC, nprobe)).as("cell"))
+      .filter(col("cell").isNotNull)
+      .select(col("query_id"), col("qn"), col("luts"), col("cell"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("adc_cos").desc, col("cand_id"))
