@@ -108,6 +108,32 @@ object QueriesEngine {
         .orderBy("probe_ts", "o_orderkey", "valid_from")
     }),
 
+    // -- CDC change feed: what an upsert + a delete CHANGE, as
+    //    insert / update_pre / update_post / delete rows — the derived
+    //    Delta-CDF analogue an incremental consumer applies instead of
+    //    re-reading the target. 'F'-status batch rows are shipped
+    //    UNCHANGED, so their matches must emit nothing (no-op
+    //    suppression is the semantics under test); o_orderpriority is
+    //    excluded, so it can never be the change
+    "q109_change_feed" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") <= 1000)
+      val batch = o.filter(col("o_orderkey").between(500, 1500))
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(col("o_totalprice") * 2))
+        .withColumn("o_orderstatus",
+          when(col("o_orderstatus") === "F", col("o_orderstatus"))
+            .otherwise(lit("X")))
+      val ids = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("o_orderkey"))
+      MergeSink.changeFeed(target, batch, Seq("o_orderkey"),
+          excluded = Seq("o_orderpriority"), broadcastBatch = true)
+        .unionByName(MergeSink.deleteFeed(target, ids, "o_orderkey"))
+        .orderBy("o_orderkey", "_op")
+    }),
+
     // -- bucket-partitioned merge target (the 100 TB incremental-load
     //    shape): create → upsert-with-exclusion → delete against a
     //    hash-bucketed layout, where each batch rewrites only the bucket
@@ -402,6 +428,43 @@ object QueriesEngine {
         |WHERE m.valid_from <= p.probe_ts
         |  AND (m.valid_to IS NULL OR m.valid_to > p.probe_ts)
         |ORDER BY probe_ts, o_orderkey, valid_from""".stripMargin,
+    // change-feed oracle: inserts = batch anti target; updates = matched
+    // rows where a shipped non-key non-EXCLUDED column IS DISTINCT FROM
+    // the target's (pre = target row, post = merged row with the excluded
+    // o_orderpriority kept from the target); deletes = semi join on the
+    // id list. 'F'-status matches are shipped identical → absent.
+    "q109_change_feed" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |        CASE WHEN o_orderstatus = 'F' THEN o_orderstatus ELSE 'X' END AS o_orderstatus,
+        |        CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE o_totalprice * 2 END AS o_totalprice,
+        |        o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey BETWEEN 500 AND 1500),
+        |ins AS (SELECT 'insert' AS _op, b.* FROM b
+        |        WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM t)),
+        |upd AS (SELECT t.o_orderkey,
+        |          t.o_custkey AS tc, b.o_custkey AS bc,
+        |          t.o_orderstatus AS ts, b.o_orderstatus AS bs,
+        |          t.o_totalprice AS tp, b.o_totalprice AS bp,
+        |          t.o_orderdate AS td, b.o_orderdate AS bd,
+        |          t.o_orderpriority AS prio
+        |        FROM t JOIN b ON t.o_orderkey = b.o_orderkey
+        |        WHERE t.o_custkey IS DISTINCT FROM b.o_custkey
+        |           OR t.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |           OR t.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |           OR t.o_orderdate IS DISTINCT FROM b.o_orderdate),
+        |pre AS (SELECT 'update_pre' AS _op, o_orderkey, tc AS o_custkey,
+        |          ts AS o_orderstatus, tp AS o_totalprice, td AS o_orderdate,
+        |          prio AS o_orderpriority FROM upd),
+        |post AS (SELECT 'update_post' AS _op, o_orderkey, bc AS o_custkey,
+        |          bs AS o_orderstatus, bp AS o_totalprice, bd AS o_orderdate,
+        |          prio AS o_orderpriority FROM upd),
+        |del AS (SELECT 'delete' AS _op, t.* FROM t
+        |        WHERE t.o_orderkey IN
+        |          (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45))
+        |SELECT * FROM ins UNION ALL SELECT * FROM pre
+        |UNION ALL SELECT * FROM post UNION ALL SELECT * FROM del
+        |ORDER BY o_orderkey, _op""".stripMargin,
     "q30_merge_upsert" ->
       """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
         |b AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,

@@ -291,6 +291,80 @@ object BucketedMergeSink {
 
   private def versionOf(p: Path): Long = p.getName.stripPrefix("v").toLong
 
+  /** CDC between two retained snapshots: the row-level changes that take
+    * the target from `fromVersion`'s state to `toVersion`'s — the
+    * layout's columns plus `_op` (`insert` / `delete` / `update_pre` /
+    * `update_post`, [[MergeSink.changeFeed]]'s vocabulary). Consecutive
+    * versions yield the feed of the batch that committed `toVersion`;
+    * non-consecutive versions yield the NET change (a key upserted then
+    * deleted in between emits nothing).
+    *
+    * Scale design — the reason this lives on the bucketed sink instead
+    * of `readVersion(a) FULL OUTER JOIN readVersion(b)`: commit dirs are
+    * immutable, so a bucket whose (bucket → commit-dir) manifest entry
+    * is IDENTICAL in both versions is byte-identical data and is pruned
+    * WITHOUT BEING READ — the diff costs O(buckets the interval
+    * touched), not O(target), the same asymmetry the merge itself
+    * enjoys. Untouched-bucket non-listing is pinned in PlanSpec. The
+    * joined slices shuffle at most those buckets' rows on the key.
+    * (A bucket rewritten byte-identically — compaction — is read but
+    * emits nothing: the row diff, not the dir diff, is authoritative.)
+    *
+    * Requires the layout key (plus `extraKey`) to be unique per row in
+    * both snapshots — true for upsert/update/delete targets by
+    * construction; for SCD2 targets pass the version column
+    * (`extraKey = Seq("valid_from")`) so history rows pair up. */
+  def changesBetween(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long,
+      toVersion: Long,
+      extraKey: Seq[String] = Nil,
+      opCol: String = "_op"): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween wants fromVersion < toVersion, got v$fromVersion >= v$toVersion")
+    val fs = fsOf(spark, path)
+    val meta = readMeta(spark, path)
+    require(!meta.schema.fieldNames.contains(opCol),
+      s"layout already has a '$opCol' column — pass a different opCol")
+    val cols = meta.schema.fieldNames.toSeq
+    val mapOf: Long => Map[Int, String] = { v =>
+      val p = new Path(new Path(path, manifestDir), f"v$v%09d")
+      require(fs.exists(p),
+        s"manifest version $v is not retained at $path " +
+          s"(have: ${manifestVersions(spark, path).mkString(",")})")
+      parseManifest(fs, p)
+    }
+    val mFrom = mapOf(fromVersion)
+    val mTo = mapOf(toVersion)
+    // manifest-diff prune: same commit dir ⇒ same bytes ⇒ no changes
+    val touched = (mFrom.keySet ++ mTo.keySet).toSeq.sorted
+      .filter(b => mFrom.get(b) != mTo.get(b))
+    def slice(m: Map[Int, String]): DataFrame = {
+      val dirs = touched.flatMap(b => m.get(b).map(c => leafDir(path, c, b).toString))
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+      else spark.read.schema(meta.schema).parquet(dirs: _*)
+    }
+    val k = meta.key ++ extraKey
+    val t = slice(mFrom).withColumn("__t", lit(true)).alias("t")
+    val b = slice(mTo).withColumn("__b", lit(true)).alias("b")
+    def rowOf(op: String, side: String) =
+      struct((lit(op).as(opCol) +: cols.map(c => col(s"$side.$c").as(c))): _*)
+    def differs = cols.filterNot(k.contains)
+      .map(c => !(col(s"t.$c") <=> col(s"b.$c")))
+      .foldLeft(lit(false))(_ || _)
+    val joined = t.join(b,
+      k.map(c => col(s"t.$c") <=> col(s"b.$c")).reduce(_ && _), "full_outer")
+    joined.select(explode(
+        when(col("__t").isNull, array(rowOf("insert", "b")))
+          .when(col("__b").isNull, array(rowOf("delete", "t")))
+          .when(differs, array(rowOf("update_pre", "t"), rowOf("update_post", "b")))
+          .otherwise(org.apache.spark.sql.functions.slice(
+            array(rowOf("insert", "b")), 1, 0))).as("__r"))
+      .select((opCol +: cols).map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Test seam for the concurrent-writer spec: invoked between a
     * merge/compact's last read of the manifest and its commit attempt,
     * so BucketedMergeSinkSpec can interleave a competing writer's commit

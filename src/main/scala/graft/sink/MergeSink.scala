@@ -475,6 +475,112 @@ object MergeSink {
     target.join(d, col(identifier) === col("__del_id"), "left_anti")
   }
 
+  /** Row-level change feed (CDC): the changes an [[upsert]] of `batch`
+    * into `target` applies, as change-data-feed rows — the target's
+    * columns plus `_op`:
+    *   - `insert`       — a batch key absent from the target (the row as
+    *                      it will exist after the merge)
+    *   - `update_pre`   — the target row a matched, CHANGED key replaces
+    *   - `update_post`  — the row that replaces it (upsert's merged row:
+    *                      excluded / unshipped columns keep the target
+    *                      value, so they can never be the change)
+    * A matched key whose merged row is null-safely identical to the
+    * target row emits NOTHING — no-op writes don't pollute downstream
+    * consumers, so `feed is empty` ⇔ `the merge was a no-op`. The feed
+    * is what an incremental consumer (a downstream aggregate, a
+    * replication stream, an audit log) applies instead of re-reading the
+    * whole target; same role as Delta Lake's Change Data Feed, derived
+    * here rather than stored. Pairs with [[deleteFeed]]; the
+    * apply-feed-equals-merge equivalence is pinned in MergeSinkSpec.
+    *
+    * Scale shape mirrors [[upsert]]: `broadcastBatch = true` is an inner
+    * broadcast join (matched legs) plus upsert's double-broadcast insert
+    * decomposition — the huge target is scanned, never shuffled;
+    * `false` is ONE left join from batch to target (both sides shuffle
+    * on the key, cost O(batch + matched-target), never O(target)). The
+    * pre/post pair is emitted by a per-row explode — narrow. */
+  def changeFeed(
+      target: DataFrame,
+      batch: DataFrame,
+      key: Seq[String] = Seq("id"),
+      excluded: Seq[String] = Nil,
+      broadcastBatch: Boolean = false,
+      opCol: String = "_op"): DataFrame = {
+    require(!target.columns.contains(opCol),
+      s"target already has a '$opCol' column — pass a different opCol")
+    validateBatchSchema(target.schema, batch.schema, key)
+    val cleanBatch = dedupeBatch(batch, key)
+    val batchCols = cleanBatch.columns.toSet
+    val tType = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    def rowOf(op: String, v: String => Column) =
+      struct((lit(op).as(opCol) +: target.columns.toSeq.map(c => v(c).as(c))): _*)
+    // upsert's merged value for a MATCHED key (MergeSink.upsert leg 1)
+    def postVal(c: String): Column =
+      if (key.contains(c) || excluded.contains(c) || !batchCols.contains(c))
+        col(s"t.$c")
+      else col(s"b.$c").cast(tType(c))
+    // upsert's insert-leg value: excluded columns take the batch value
+    def insertVal(c: String): Column =
+      if (batchCols.contains(c)) col(s"b.$c").cast(tType(c))
+      else lit(null).cast(tType(c))
+    def preRow = rowOf("update_pre", c => col(s"t.$c"))
+    def postRow = rowOf("update_post", postVal)
+    def insertRow = rowOf("insert", insertVal)
+    // a matched key changed iff any shipped, non-key, non-excluded column
+    // differs null-safely — all other columns merge to the target value
+    def changed = target.columns.toSeq
+      .filter(c => !key.contains(c) && !excluded.contains(c) && batchCols.contains(c))
+      .map(c => !(col(s"t.$c") <=> col(s"b.$c").cast(tType(c))))
+      .foldLeft(lit(false))(_ || _)
+    def unpack(rows: DataFrame): DataFrame =
+      rows.select((opCol +: target.columns.toSeq).map(c => col(s"__r.$c").as(c)): _*)
+    if (broadcastBatch) {
+      val updates = unpack(target.alias("t")
+        .join(broadcast(cleanBatch).alias("b"), keyCond(key), "inner")
+        .filter(changed)
+        .select(explode(array(preRow, postRow)).as("__r")))
+      val bk = broadcast(cleanBatch.select(key.map(col): _*))
+      val matchedKeys = broadcast(
+        target.select(key.map(col): _*).alias("t")
+          .join(bk.alias("b"), keyCond(key), "left_semi")
+          .distinct())
+      val inserts = unpack(cleanBatch.alias("b")
+        .join(matchedKeys.alias("t"), keyCond(key), "left_anti")
+        .select(insertRow.as("__r")))
+      updates.unionByName(inserts)
+    } else {
+      val joined = cleanBatch.alias("b")
+        .join(target.withColumn("__t", lit(true)).alias("t"), keyCond(key), "left")
+      unpack(joined.select(explode(
+        when(col("__t").isNull, array(insertRow))
+          .when(changed, array(preRow, postRow))
+          // matched no-op: an empty slice of the right element type
+          .otherwise(slice(array(insertRow), 1, 0))).as("__r")))
+    }
+  }
+
+  /** The delete half of the change feed: the target rows a [[delete]] of
+    * `ids` removes, with `_op = delete`. Same id semantics as delete
+    * (first column fallback, NULL ids never match); physically a
+    * semi join against the (broadcast) deduped id set — the feed costs
+    * one target scan, exactly like the delete itself. */
+  def deleteFeed(
+      target: DataFrame,
+      ids: DataFrame,
+      identifier: String = "id",
+      broadcastIds: Boolean = true,
+      opCol: String = "_op"): DataFrame = {
+    require(!target.columns.contains(opCol),
+      s"target already has a '$opCol' column — pass a different opCol")
+    val idCol = deleteIdColumn(ids, identifier)
+    validateDeleteIds(target.schema, ids.schema, identifier, idCol)
+    val dk = ids.select(col(idCol).as("__del_id"))
+      .filter(col("__del_id").isNotNull).distinct()
+    val d = if (broadcastIds) broadcast(dk) else dk
+    target.join(d, col(identifier) === col("__del_id"), "left_semi")
+      .select((lit("delete").as(opCol) +: target.columns.toSeq.map(col)): _*)
+  }
+
   /** Listing fingerprint of the live target dir — every data file's
     * (name, length, mtime), sorted. The flat sink's optimistic-commit
     * base: a concurrent writer's swap replaces the dir contents

@@ -570,4 +570,58 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     val src = scala.io.Source.fromInputStream(fs.open(p))
     try assert(src.mkString == "0\tcwinner\n") finally src.close()
   }
+
+  test("changesBetween: consecutive versions yield that batch's feed, " +
+    "non-consecutive the NET change, and manifest-identical buckets are " +
+    "never even listed") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val n = 8
+    BucketedMergeSink.merge(spark, seed(50), path, "upsert", Seq("id"),
+      numBuckets = n, retainVersions = 3) // v1
+    val b1 = Seq((10L, "TEN", 100L), (999L, "new", 1L)).toDF("id", "name", "v")
+    BucketedMergeSink.merge(spark, b1, path, "upsert", Seq("id")) // v2
+    BucketedMergeSink.merge(spark, Seq(999L).toDF("id"), path,
+      "delete", identifier = "id") // v3
+    val Seq(v1, v2, v3) = BucketedMergeSink.manifestVersions(spark, path)
+
+    val feed12 = BucketedMergeSink.changesBetween(spark, path, v1, v2)
+    assertSameRows(
+      feed12.orderBy("id", "_op"),
+      Seq(
+        ("update_pre", 10L, "name10", 100L),
+        ("update_post", 10L, "TEN", 100L),
+        ("insert", 999L, "new", 1L))
+        .toDF("_op", "id", "name", "v").orderBy("id", "_op"))
+    // the diff must read ONLY buckets whose manifest entry moved — the
+    // buckets keys 10 and 999 hash to
+    val touched = Seq(10L, 999L).toDF("id")
+      .select(BucketedMergeSink.bucketExpr(Seq("id"), n).as("b"))
+      .distinct().as[Int].collect().toSet
+    val scanned = feed12.inputFiles.map { f =>
+      s"${BucketedMergeSink.bucketCol}=(\\d+)".r.findFirstMatchIn(f)
+        .map(_.group(1).toInt)
+        .getOrElse(fail(s"diff scanned a non-bucket path: $f"))
+    }.toSet
+    assert(scanned == touched,
+      s"diff scanned buckets $scanned, batch touched only $touched")
+    assert(touched.size < n, "batch should touch a strict subset of buckets")
+
+    assertSameRows(
+      BucketedMergeSink.changesBetween(spark, path, v2, v3).orderBy("id"),
+      Seq(("delete", 999L, "new", 1L)).toDF("_op", "id", "name", "v"))
+    // net change v1→v3: 999 (inserted then deleted) cancels out entirely
+    val net = BucketedMergeSink.changesBetween(spark, path, v1, v3)
+    assert(net.filter(col("id") === 999L).isEmpty,
+      "insert-then-delete within the interval must net to nothing")
+    assertSameRows(
+      net.orderBy("id", "_op"),
+      Seq(
+        ("update_pre", 10L, "name10", 100L),
+        ("update_post", 10L, "TEN", 100L))
+        .toDF("_op", "id", "name", "v").orderBy("id", "_op"))
+    // identical versions: not a diff anyone should ask for
+    intercept[IllegalArgumentException](
+      BucketedMergeSink.changesBetween(spark, path, v2, v2))
+  }
 }

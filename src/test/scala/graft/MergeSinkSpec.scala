@@ -468,4 +468,49 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
       scdBatch, to_timestamp(lit("2024-06-01 00:00:00")), Seq("id"))
     assertSameRows(spark.read.parquet(path), expected)
   }
+
+  test("changeFeed: inserts and changed-update pre/post pairs; matched " +
+    "no-ops and excluded-only differences emit NOTHING (both shapes)") {
+    for (bb <- Seq(false, true)) {
+      val feed = MergeSink.changeFeed(
+        target, batch, Seq("id"), excluded = Seq("note"), broadcastBatch = bb)
+      // id 2 matches and `val` changes (note is excluded — its diff must
+      // not count; extra is unknown to the target); id 4 inserts
+      val expect = Seq(
+        ("insert", 4L, "b4", "bn4", None),
+        ("update_pre", 2L, "t2", "n2", Some(20)),
+        ("update_post", 2L, "b2", "n2", Some(20)))
+        .toDF("_op", "id", "val", "note", "t_only")
+      assertSameRows(feed.orderBy("id", "_op"), expect.orderBy("id", "_op"))
+      // a batch that merges to the identical row is a no-op feed — here
+      // the only difference is in the EXCLUDED column, which upsert keeps
+      val noop = Seq((2L, "t2", "CHANGED", "x")).toDF("id", "val", "note", "extra")
+      assert(MergeSink.changeFeed(
+        target, noop, Seq("id"), excluded = Seq("note"), broadcastBatch = bb)
+        .isEmpty, "excluded-only difference must emit no feed rows")
+    }
+  }
+
+  test("changeFeed/deleteFeed: applying the feed to the target reproduces " +
+    "the merge exactly") {
+    val feed = MergeSink.changeFeed(target, batch, Seq("id"), excluded = Seq("note"))
+    val replaced = feed.filter(col("_op") === "update_pre").select("id")
+    val applied = target.join(replaced, Seq("id"), "left_anti")
+      .unionByName(feed.filter(col("_op").isin("insert", "update_post")).drop("_op"))
+    assertSameRows(
+      applied.orderBy("id"),
+      MergeSink.upsert(target, batch, Seq("id"), excluded = Seq("note")).orderBy("id"))
+
+    val ids = Seq(Some(2L), Some(2L), Some(404L), None).toDF("id")
+    val dFeed = MergeSink.deleteFeed(target, ids, "id")
+    // feed = exactly the removed rows (dup and NULL ids never match)
+    assertSameRows(
+      dFeed.drop("_op").orderBy("id"),
+      target.join(MergeSink.delete(target, ids, "id"), Seq("id"), "left_anti").orderBy("id"))
+    assert(dFeed.select("_op").distinct().as[String].collect().toSeq == Seq("delete"))
+    val appliedDel = target.join(dFeed.select("id"), Seq("id"), "left_anti")
+    assertSameRows(
+      appliedDel.orderBy("id"),
+      MergeSink.delete(target, ids, "id").orderBy("id"))
+  }
 }
