@@ -456,6 +456,48 @@ object QueriesLlm {
         Similarity.bruteForceTopK(q, e, k = 5), e)
     }),
 
+    // -- SemDeDup (Abbas et al. 2023): k-means the embedding space,
+    //    drop an item when a (probe-)cell neighbor above the cosine
+    //    threshold precedes it in (centroid_cos, id) order — the
+    //    keep-the-diverse-representative rule at a per-cell cost.
+    //    (no oracle: k-means training is not SQL-expressible;
+    //    deterministic init/iters, and q111 audits pair exactness +
+    //    recall against the brute-force ground truth)
+    "q110_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(
+          Tables.load(s, dir, "embeddings"), threshold = 0.4, probeCells = 4)
+        .orderBy("vec_id")
+    }),
+
+    // -- SemDeDup audit, violations-only: (a) every candidate pair must
+    //    exist in the exact pair set with the identical exact cosine
+    //    (precision 1.0 by construction — a false positive or score
+    //    drift means the probe replication attached a wrong vector);
+    //    (b) the measured pair recall vs the brute-force ground truth
+    //    must clear 0.70 (observed at probeCells=4: 0.94 sf0.001 /
+    //    0.93 sf0.01 / 0.81 sf0.1 — cell-boundary losses grow with
+    //    corpus density, the floor leaves era margin)
+    "q111_semdedup_audit" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val sem = Similarity.semanticDupPairs(e, threshold = 0.4, probeCells = 4)
+      val exact = Similarity.cosineDupPairs(e, threshold = 0.4)
+        .withColumnRenamed("cos", "c_exact")
+      val fp = sem.join(exact, Seq("id_a", "id_b"), "left")
+        .filter(col("c_exact").isNull || col("cos") =!= col("c_exact"))
+        .select(col("id_a"), col("id_b"),
+          when(col("c_exact").isNull, lit("false_positive"))
+            .otherwise(lit("score_mismatch")).as("violation"))
+      val low = exact
+        .join(sem.select("id_a", "id_b").withColumn("__hit", lit(1)),
+          Seq("id_a", "id_b"), "left")
+        .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("recall"))
+        .filter(col("recall") < 0.70)
+        .select(lit(-1L).as("id_a"),
+          round(col("recall") * 10000).cast("long").as("id_b"),
+          lit("recall_below_floor").as("violation"))
+      fp.unionByName(low).orderBy("id_a", "id_b")
+    }),
+
     // -- URL decomposition for provenance columns. The corpus carries no
     //    URLs, so a deterministic synthetic URL is derived from doc_id
     //    (the q63 injection pattern) and pushed through Spark's REAL
@@ -1110,6 +1152,7 @@ object QueriesLlm {
     "q61_ann_ivf_audit" -> noViolations("query_id", "cand_id"),
     "q104_ann_ivfpq_audit" -> noViolations("query_id", "cand_id"),
     "q62_simhash_audit" -> noViolations("id_a", "id_b"),
+    "q111_semdedup_audit" -> noViolations("id_a", "id_b"),
     "q85_sketch_recall" -> noRecallViolations,
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id,

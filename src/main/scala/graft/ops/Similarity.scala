@@ -590,4 +590,149 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cos", "rank")
   }
+
+  // ------------------------------------------------------------ SemDeDup
+
+  /** Corpus vectors with their k-means cell and centroid cosine — the
+    * shared front half of [[semanticDedup]] / [[semanticDupPairs]].
+    * Columns: (cand_id, cv, cell, centroid_cos, cells) where `cell` is
+    * the primary (nearest) cell, `centroid_cos` the cosine to ITS
+    * centroid, and `cells` the `probeCells` nearest cells for
+    * multi-probe pair generation. Training mirrors [[ivfTopK]]'s
+    * determinism contract exactly (lowest-id init, id-hash-bounded
+    * sample, [[lloydRound]]'s decimal means, fixed iteration count); the
+    * trained centroids join back as a broadcast of `nl` rows, so the
+    * corpus takes ONE narrow pass for assignment. */
+  private def cellAssigned(
+      df: DataFrame, nlist: Int, iters: Int, trainPerCell: Int,
+      probeCells: Int, idCol: String, vecCol: String): DataFrame = {
+    val corpusN = df.count()
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(4096,
+        math.ceil(math.sqrt(corpusN.toDouble)).toInt))
+    val c = Dedup.widen(df)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    var cents: Array[Array[Double]] = df
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nl)
+      .collect()
+      .map(r => normalized(r.getSeq[Number](1).map(_.doubleValue()).toArray))
+    require(cents.nonEmpty, "semanticDedup: corpus is empty")
+    val denom = math.max(1L, corpusN / (nl.toLong * trainPerCell))
+    val train =
+      if (denom <= 1L) c
+      else c.filter(pmod(xxhash64(col("cand_id")), lit(denom)) === 0)
+    var it = 0
+    while (it < iters) {
+      cents = lloydRound(train, cents)
+      it += 1
+    }
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
+    import spark.implicits._
+    val centsDf = broadcast(
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centv"))
+    c.withColumn("cells", cellsTop(col("cv"), bc, probeCells))
+      .withColumn("cell", element_at(col("cells"), 1))
+      .join(centsDf, "cell")
+      // centroids are unit-norm, so this is dot(v, cent)/|v|; rounded to
+      // 4 like every reported score, which also makes the precedence
+      // order (centroid_cos, id) stable across platforms
+      .withColumn("centroid_cos", round(cosine(col("cv"), col("centv")), 4))
+      .select("cand_id", "cv", "cell", "centroid_cos", "cells")
+  }
+
+  /** Same-cell candidate pairs under multi-probe assignment: each vector
+    * replicates into its `probeCells` nearest cells, a pair qualifies
+    * when ANY cell is shared and its exact cosine clears the threshold.
+    * `centroid_cos` stays the PRIMARY cell's, whichever probe cell
+    * matched the pair — the precedence order must not depend on where a
+    * pair happened to meet. Duplicate meetings (pairs sharing several
+    * probe cells) collapse through one aggregate. */
+  private def probedPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(explode(col("cells")).as("pcell"),
+      col("cand_id").as("id_a"), col("centroid_cos").as("cc_a"),
+      col("cv").as("va"))
+    val b = assigned.select(explode(col("cells")).as("pcell"),
+      col("cand_id").as("id_b"), col("centroid_cos").as("cc_b"),
+      col("cv").as("vb"))
+    a.join(b, Seq("pcell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(first("cos").as("cos"), first("cc_a").as("cc_a"),
+        first("cc_b").as("cc_b"))
+  }
+
+  /** The SHARED-CELL near-dup candidate pairs SemDeDup considers: every
+    * (id_a < id_b) pair meeting in at least one of each side's
+    * `probeCells` nearest k-means cells with exact cosine >=
+    * `threshold`, plus both endpoints' primary centroid cosines.
+    * Precision is 1.0 by construction (each pair's cosine is exactly
+    * computed); recall vs a global pairwise dedup is what the cell
+    * partition trades away — multi-probe widens it at a linear
+    * replication cost (the IVF nprobe idea applied to dedup), and the
+    * q111 audit measures and floors it. */
+  def semanticDupPairs(
+      df: DataFrame,
+      threshold: Double,
+      nlist: Int = 0,
+      iters: Int = 3,
+      trainPerCell: Int = 256,
+      probeCells: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    probedPairs(
+      cellAssigned(df, nlist, iters, trainPerCell, probeCells, idCol, vecCol),
+      threshold)
+
+  /** Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): k-means the embedding space into ~sqrt(corpus)
+    * cells, call two items semantic duplicates when their cosine within
+    * the SAME cell clears `threshold`, and from every duplicate relation
+    * keep the item FARTHEST from its cell centroid (the paper's
+    * keep-the-diverse-representative rule).
+    *
+    * Drop rule, window-free and chain-free exactly like the paper's
+    * released triangular-matrix implementation: an item is dropped iff
+    * some neighbor sharing one of its `probeCells` nearest cells with
+    * cosine >= threshold PRECEDES it in the (centroid_cos ASC, id ASC)
+    * order — one pair generation ([[semanticDupPairs]]), one projection
+    * picking each pair's later endpoint, one distinct. Whether the
+    * earlier neighbor itself survives is irrelevant (no iterative
+    * chasing), so the whole operator is a fixed number of shuffles
+    * (cell exchange + pair dedup + distinct) at any scale.
+    *
+    * Returns one row per input vector: (idCol, cell, centroid_cos,
+    * kept). Approximate BY DESIGN vs global pairwise dedup — near-dups
+    * split across a cell boundary are missed; q111 pins the measured
+    * same-cell pair recall, and OpsSpec pins the drop semantics on a
+    * fixture with known clusters. */
+  def semanticDedup(
+      df: DataFrame,
+      threshold: Double,
+      nlist: Int = 0,
+      iters: Int = 3,
+      trainPerCell: Int = 256,
+      probeCells: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned =
+      cellAssigned(df, nlist, iters, trainPerCell, probeCells, idCol, vecCol)
+    // the pair's LATER endpoint in (centroid_cos, id) order is dropped;
+    // struct comparison is lexicographic, ids are unique, so ties on
+    // the rounded cosine break deterministically
+    val dropped = probedPairs(assigned, threshold)
+      .select(when(
+          struct(col("cc_a"), col("id_a")) < struct(col("cc_b"), col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as("cand_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__d", lit(true)), Seq("cand_id"), "left")
+      .select(col("cand_id").as(idCol), col("cell"), col("centroid_cos"),
+        col("__d").isNull.as("kept"))
+  }
 }

@@ -761,4 +761,60 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       (3L, -1L, ""),    // nothing at-or-before
       (4L, -1L, "")))   // key absent on the right
   }
+
+  test("semanticDedup: each near-dup pair loses exactly its later " +
+    "(centroid_cos, id) endpoint; sub-threshold neighbors and singletons " +
+    "survive; output is deterministic") {
+    // two tight direction clusters (1,3) and (2,4) plus a same-cell
+    // vector (5) below the threshold: cos(1,3)=cos(2,4)≈0.999, cos(1,5)=0.6
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0.95f, 0.05f, 0f, 0f)),
+      (4L, Array(0f, 0.05f, 0.95f, 0f)),
+      (5L, Array(0.6f, 0.8f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, threshold = 0.9, nlist = 2,
+      probeCells = 1)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows.size == 5, "one output row per input vector")
+    assert(rows(5L)._2, "sub-threshold neighbor must be kept")
+    for (pair <- Seq((1L, 3L), (2L, 4L))) {
+      val (x, y) = pair
+      assert(rows(x)._2 ^ rows(y)._2,
+        s"exactly one of near-dup pair $pair must survive")
+      val kept = if (rows(x)._2) x else y
+      val dropped = if (rows(x)._2) y else x
+      // survivor = the pair's EARLIER endpoint: farther from the
+      // centroid, id as tie-break (the paper's diversity rule)
+      val precedes = rows(kept)._1 < rows(dropped)._1 ||
+        (rows(kept)._1 == rows(dropped)._1 && kept < dropped)
+      assert(precedes,
+        s"survivor of $pair must precede in (centroid_cos, id): $rows")
+    }
+    // deterministic: training and drop decisions replay bit-identically
+    assertSameRows(
+      out.orderBy("vec_id"),
+      Similarity.semanticDedup(df, threshold = 0.9, nlist = 2,
+        probeCells = 1).orderBy("vec_id"))
+  }
+
+  test("semanticDupPairs: multi-probe finds a pair split across primary " +
+    "cells and reports exact cosines with primary-cell centroid_cos") {
+    // 6 and 7 sit on either side of the two centroids' midline-ish
+    // direction: with probeCells=2 both probe both cells, so the pair
+    // must surface wherever their primary cells land
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (6L, Array(0.72f, 0f, 0.69f, 0f)),
+      (7L, Array(0.69f, 0f, 0.72f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDupPairs(df, threshold = 0.99,
+      nlist = 2, probeCells = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((6L, 7L)),
+      s"probeCells=2 must surface the straddling pair, got ${pairs.toSeq}")
+  }
 }
