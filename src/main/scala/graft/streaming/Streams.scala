@@ -221,6 +221,82 @@ object Streams {
     }
   }
 
+  /** [[streamingMerge]] that ALSO materializes each micro-batch's CDC
+    * change feed ([[graft.sink.MergeSink.changeFeed]] vocabulary:
+    * insert / update_pre / update_post / delete) under
+    * `feedPath/batch_id=<id>/` — the continuously-maintained input of
+    * an incremental downstream consumer (a replicated table, a running
+    * aggregate, an audit trail).
+    *
+    * Exactly-once feed under at-least-once foreachBatch, with no
+    * transaction layer: the feed for a batch id is computed against the
+    * PRE-merge target and written BEFORE the merge, and a batch id
+    * whose feed dir already exists skips the write. Crash between feed
+    * write and merge → replay skips the (already correct) feed and
+    * re-merges; crash after merge → replay sees the feed present and
+    * the merge idempotent. The per-dir overwrite cleans partial crash
+    * leftovers. Consumers read `feedPath` as ordinary partitioned
+    * parquet (`batch_id` is the partition column).
+    *
+    * Scale: against a bucketed target the pre-merge read is
+    * [[graft.sink.BucketedMergeSink.readForKeys]] — only the buckets
+    * the batch's keys hash to are listed, so the feed costs the same
+    * O(touched buckets) as the merge itself (falls back to a full read
+    * only when the batch lacks the layout's key columns, e.g. a
+    * delete by a non-layout identifier). scd2 streams don't need this
+    * operator: the SCD2 target IS its own history. */
+  def streamingMergeWithFeed(
+      stream: DataFrame,
+      path: String,
+      feedPath: String,
+      key: Seq[String],
+      loadType: String = "upsert",
+      excluded: Seq[String] = Nil,
+      numBuckets: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(key.nonEmpty, "streamingMergeWithFeed needs at least one key column")
+    require(Set("upsert", "update", "delete")(loadType),
+      s"unknown load type: $loadType (expected upsert/update/delete; " +
+        "an scd2 target carries its own history — read it with scd2AsOf)")
+    require(loadType != "delete" || key.size == 1,
+      "delete streams key on exactly ONE identifier column")
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val dir = new org.apache.hadoop.fs.Path(feedPath, s"batch_id=$batchId")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) {
+        val sink = graft.sink.BucketedMergeSink
+        val target: Option[DataFrame] =
+          if (sink.isBucketed(spark, path)) {
+            val meta = sink.readMeta(spark, path)
+            if (meta.key.forall(batch.columns.contains))
+              Some(sink.readForKeys(spark, path, batch))
+            else Some(sink.read(spark, path))
+          } else if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            Some(spark.read.parquet(path))
+          else None
+        val feed: Option[DataFrame] = (target, loadType) match {
+          case (None, "upsert") => // bootstrap: the whole batch inserts
+            Some(graft.sink.MergeSink.dedupeBatch(batch, key)
+              .select((lit("insert").as("_op") +: batch.columns.toSeq.map(col)): _*))
+          case (None, _) => None // update/delete against nothing affect nothing
+          case (Some(t), "delete") =>
+            Some(graft.sink.MergeSink.deleteFeed(t, batch, key.head))
+          case (Some(t), lt) =>
+            val f = graft.sink.MergeSink.changeFeed(t, batch, key, excluded)
+            // update-only never inserts unmatched batch rows
+            Some(if (lt == "update") f.filter(col("_op") =!= "insert") else f)
+        }
+        feed.foreach(_.write.mode("overwrite").parquet(dir.toString))
+      }
+      if (numBuckets > 0)
+        graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
+          identifier = key.head, excluded = excluded, numBuckets = numBuckets)
+      else
+        graft.sink.MergeSink.mergeIntoParquet(spark, batch, path, loadType,
+          key, identifier = key.head, excluded = excluded)
+    }
+  }
+
   /** Corpus-backed streaming exact dedup: the complement of
     * [[dedupStream]]. That one bounds state with the watermark and
     * FORGETS old keys (late duplicates re-emit); this one keeps the

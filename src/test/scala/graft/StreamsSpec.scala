@@ -288,6 +288,69 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, "a", 10L), (2L, "B", 25L), (3L, "c", 30L)))
   }
 
+  test("streamingMergeWithFeed: each micro-batch materializes its CDC " +
+    "delta under batch_id=<n>, and the target matches the plain merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-smf-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-smf-tgt").toString + "/t"
+    val feed = java.nio.file.Files.createTempDirectory("graft-smf-feed").toString + "/f"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smf-ck").toString
+    val batches = Seq(
+      Seq((1L, "a", 10L), (2L, "b", 20L)),          // bootstrap: all inserts
+      Seq((2L, "B", 25L), (3L, "c", 30L)),          // update 2, insert 3
+      Seq((1L, "a", 10L)))                          // identical: no-op feed
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("id", "name", "v"), i)
+    }
+    val stream = spark.readStream
+      .schema("id LONG, name STRING, v LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMergeWithFeed(stream, target, feed, Seq("id"))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(target)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 10L), (2L, "B", 25L), (3L, "c", 30L)))
+    val f = spark.read.parquet(feed)
+    assert(f.columns.contains("batch_id"), "feed reads as partitioned parquet")
+    val got = f.select("batch_id", "_op", "id", "name", "v")
+      .as[(Int, String, Long, String, Long)].collect().sortBy(r => (r._1, r._3, r._2))
+    assert(got.toSeq == Seq(
+      (0, "insert", 1L, "a", 10L),
+      (0, "insert", 2L, "b", 20L),
+      (1, "update_pre", 2L, "b", 20L),
+      (1, "update_post", 2L, "B", 25L),
+      (1, "insert", 3L, "c", 30L)).sortBy(r => (r._1, r._3, r._2)),
+      s"unexpected feed: ${got.toSeq}")
+    // batch 2 was a pure no-op: its feed partition exists but is empty
+    assert(f.filter($"batch_id" === 2).isEmpty)
+  }
+
+  test("streamingMergeWithFeed: a batch id whose feed dir already exists " +
+    "skips the feed write (exactly-once under replay)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-smf2-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-smf2-tgt").toString + "/t"
+    val feed = java.nio.file.Files.createTempDirectory("graft-smf2-feed").toString + "/f"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smf2-ck").toString
+    // plant a marker feed for batch 0 — the operator must leave it alone
+    Seq(("marker", 0L, "x", 0L)).toDF("_op", "id", "name", "v")
+      .write.parquet(s"$feed/batch_id=0")
+    writeSourceBatch(dir, Seq((1L, "a", 10L)).toDF("id", "name", "v"), 0)
+    val stream = spark.readStream
+      .schema("id LONG, name STRING, v LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMergeWithFeed(stream, target, feed, Seq("id"))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // merge still applied; planted feed untouched
+    assert(spark.read.parquet(target).count() == 1)
+    assert(spark.read.parquet(feed).select("_op")
+      .as[String].collect().toSeq == Seq("marker"))
+  }
+
   test("streamingMerge scd2: micro-batches version the target; the batch-id " +
     "timestamp mapping keeps replays history-stable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scd-src").toString
