@@ -293,6 +293,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(expect.size < 16, "key list should touch a strict subset of buckets")
   }
 
+  test("q109: the change feed never shuffles the target — broadcast " +
+    "joins only, pre/post pairs from a narrow explode") {
+    // the scale promise of MergeSink.changeFeed(broadcastBatch = true):
+    // the (huge) target is scanned once per leg and the batch rides
+    // broadcasts; a SortMergeJoin/ShuffledHashJoin here means the feed
+    // costs a target shuffle the merge itself never pays
+    val p = plan("q109_change_feed")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q109 must not shuffle the target for the feed:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"q109's matched/insert legs should broadcast the batch:\n$p")
+    assert(p.contains("Generate explode"),
+      s"q109's pre/post pair emission should be a narrow explode:\n$p")
+  }
+
   test("q47/q100/q101/q102: multimodal codec pipelines are narrow — no exchange " +
     "between scan and sink") {
     // the scale promise of the asset path (Multimodal scaladoc): encode,
