@@ -44,6 +44,11 @@ final case class StageSpec(
                              // persisted into the layout at creation (0 =
                              // layout default of 1); readers pin a retained
                              // snapshot via a `bucketed` source's `version`
+    changeFeed: String = "", // bucketed targets only (retention >= 2):
+                             // CDC outbox name — after each load, publish
+                             // the not-yet-published per-version change
+                             // feeds there (BucketedMergeSink
+                             // .publishChangeFeed; idempotent catch-up)
     debug: Boolean = false)
 
 /** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
@@ -154,6 +159,7 @@ object PipelineSpec {
       compact = str("compact", "false").toBoolean,
       compactMaxFiles = str("compact_max_files", "1").toInt,
       retainVersions = str("retain_versions", "0").toInt,
+      changeFeed = str("change_feed", ""),
       debug = str("debug", "false").toBoolean)
   }
 }

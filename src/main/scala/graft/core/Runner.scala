@@ -206,6 +206,26 @@ final class Runner(
       require(stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path),
         s"stage ${stage.name}: retain_versions needs a bucketed target " +
           "(set buckets: N, or point at an existing bucketed layout)")
+    // change_feed publishes per-version snapshot diffs, so it needs a
+    // bucketed layout AND a retention window deep enough that the
+    // previous snapshot is still readable at publish time. Validate
+    // BEFORE the merge: a misconfigured outbox must not cost a write.
+    if (stage.changeFeed.nonEmpty) {
+      val bucketed =
+        stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path)
+      require(bucketed,
+        s"stage ${stage.name}: change_feed needs a bucketed target " +
+          "(set buckets: N, or point at an existing bucketed layout)")
+      val retain =
+        if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
+          math.max(stage.retainVersions,
+            graft.sink.BucketedMergeSink.retention(spark, path))
+        else stage.retainVersions
+      require(retain >= 2,
+        s"stage ${stage.name}: change_feed needs retain_versions >= 2 " +
+          "(the previous snapshot must still be retained when the feed " +
+          s"is published), got $retain")
+    }
     // `buckets: N` in the stage YAML stores the target hash-bucketed on
     // the merge key (graft.sink.BucketedMergeSink): an incremental load
     // reads and rewrites only the bucket dirs its keys touch instead of
@@ -236,6 +256,14 @@ final class Runner(
     if (stage.compact)
       graft.sink.BucketedMergeSink.compact(spark, path,
         maxFiles = stage.compactMaxFiles)
+    // CDC outbox catch-up AFTER the load (and compaction — a compact
+    // commits a version too, whose feed is an empty diff): every
+    // retained version without a published partition gets one, so a
+    // crash between load and publish self-heals on the next run
+    if (stage.changeFeed.nonEmpty)
+      graft.sink.BucketedMergeSink.publishChangeFeed(
+        spark, path, targetPath(stage.changeFeed),
+        extraKey = if (stage.loadType == "scd2") Seq("valid_from") else Nil): Unit
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

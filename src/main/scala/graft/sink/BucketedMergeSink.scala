@@ -365,6 +365,55 @@ object BucketedMergeSink {
       .select((opCol +: cols).map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** CDC outbox catch-up: publish, under `feedPath/batch_id=<v>/`, the
+    * change feed of every retained manifest version whose partition is
+    * not there yet — [[changesBetween]] of each consecutive retained
+    * pair, plus the all-inserts bootstrap for version 1 while it is
+    * still retained. Returns the versions published this call.
+    *
+    * Idempotent and crash-safe by construction: partitions are keyed by
+    * the DETERMINISTIC manifest version, an existing partition is
+    * skipped (never clobbered), and a partial write from a crash is
+    * cleaned by the per-dir overwrite on the next catch-up. Run it
+    * after every load (the `change_feed:` stage key does) and the
+    * outbox never gaps; a consumer reads `feedPath` as plain
+    * partitioned parquet and resumes from the last `batch_id` it saw.
+    *
+    * Needs layout retention >= 2 — with the default single-version
+    * window the previous snapshot is already GC'd by publish time, so
+    * there is no pair to diff; feeds older than the retention window
+    * are gone for the same reason (publish-after-every-load never hits
+    * this). Cost per publish: O(buckets the batch touched), inherited
+    * from [[changesBetween]]'s manifest-diff pruning. `extraKey` as in
+    * [[changesBetween]] (SCD2 targets pass their version column). */
+  def publishChangeFeed(
+      spark: SparkSession,
+      path: String,
+      feedPath: String,
+      extraKey: Seq[String] = Nil): Seq[Long] = {
+    val fs = fsOf(spark, feedPath)
+    val vs = manifestVersions(spark, path)
+    def publish(v: Long)(feed: => DataFrame): Option[Long] = {
+      val dir = new Path(feedPath, s"batch_id=$v")
+      if (fs.exists(dir)) None
+      else {
+        feed.write.mode("overwrite").parquet(dir.toString)
+        Some(v)
+      }
+    }
+    val bootstrap = vs.headOption.filter(_ == 1L).flatMap(v =>
+      publish(v) {
+        val t = readVersion(spark, path, v)
+        t.select((lit("insert").as("_op") +: t.columns.toSeq.map(col)): _*)
+      })
+    val deltas = vs.sliding(2).flatMap {
+      case Seq(a, b) =>
+        publish(b)(changesBetween(spark, path, a, b, extraKey))
+      case _ => None
+    }
+    (bootstrap.toSeq ++ deltas).sorted
+  }
+
   /** Test seam for the concurrent-writer spec: invoked between a
     * merge/compact's last read of the manifest and its commit attempt,
     * so BucketedMergeSinkSpec can interleave a competing writer's commit

@@ -624,4 +624,40 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       BucketedMergeSink.changesBetween(spark, path, v2, v2))
   }
+
+  test("publishChangeFeed: catch-up publishes bootstrap + every missing " +
+    "per-version delta, skips existing partitions, and is idempotent") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    BucketedMergeSink.merge(spark, seed(20), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 4) // v1
+    BucketedMergeSink.merge(spark,
+      Seq((10L, "TEN", 100L), (21L, "new", 1L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2
+    BucketedMergeSink.merge(spark, Seq(21L).toDF("id"), path,
+      "delete", identifier = "id") // v3
+    // one catch-up call publishes all three missing partitions
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) ==
+      Seq(1L, 2L, 3L))
+    val f = spark.read.parquet(feed)
+    assert(f.filter($"batch_id" === 1 && $"_op" === "insert").count() == 20,
+      "bootstrap feed = every v1 row as an insert")
+    assert(f.filter($"batch_id" === 2).select("_op", "id")
+      .as[(String, Long)].collect().sortBy(r => (r._2, r._1)).toSeq ==
+      Seq(("update_pre", 10L), ("update_post", 10L), ("insert", 21L))
+        .sortBy(r => (r._2, r._1)))
+    assert(f.filter($"batch_id" === 3).select("_op", "id")
+      .as[(String, Long)].collect().toSeq == Seq(("delete", 21L)))
+    // second call: nothing new to publish, nothing clobbered
+    val before = new File(feed).listFiles().map(_.getName).toSet
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed).isEmpty)
+    assert(new File(feed).listFiles().map(_.getName).toSet == before)
+    // a new load followed by catch-up publishes exactly that version
+    BucketedMergeSink.merge(spark,
+      Seq((1L, "ONE", 11L)).toDF("id", "name", "v"), path, "upsert", Seq("id"))
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) == Seq(4L))
+    assert(spark.read.parquet(feed) // fresh read: f's file index predates v4
+      .filter($"batch_id" === 4).count() == 2) // pre+post of key 1
+  }
 }

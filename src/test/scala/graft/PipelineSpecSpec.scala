@@ -59,6 +59,19 @@ class PipelineSpecSpec extends AnyFunSuite {
     assert(PipelineSpec.fromYaml(yaml).stages("stage_a").compactMaxFiles == 1)
   }
 
+  test("parses change_feed (default empty = no CDC outbox)") {
+    val y =
+      """pypes:
+        |  s:
+        |    extract_query: "SELECT 1"
+        |    buckets: 8
+        |    retain_versions: 2
+        |    change_feed: tgt_changes
+        |""".stripMargin
+    assert(PipelineSpec.fromYaml(y).stages("s").changeFeed == "tgt_changes")
+    assert(PipelineSpec.fromYaml(yaml).stages("stage_a").changeFeed == "")
+  }
+
   test("parses scd2 load type with scd2_ts (default empty)") {
     val y =
       """pypes:

@@ -152,6 +152,58 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       s"version-pinned read must see the pre-batch snapshot, got ${m.head.rows}")
   }
 
+  test("change_feed: each run publishes its per-version CDC partitions; " +
+    "a flat or retention-1 target refuses BEFORE the write") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "D")).toDF("id", "v")
+      .createOrReplaceTempView("src")
+    val root = Files.createTempDirectory("graft-runner-cf").toString
+    val ry =
+      s"""pypelines:
+         |  p: [scf]
+         |pypes:
+         |  scf:
+         |    extract_query: "SELECT id, v FROM src WHERE id <= {maxid}"
+         |    target_table: tgt_cf
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    retain_versions: 2
+         |    change_feed: tgt_cf_changes
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "3"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "4")) // adds id 4, ids 1-3 unchanged no-ops
+    val f = spark.read.parquet(s"$root/tgt_cf_changes")
+    import spark.implicits._
+    assert(f.filter($"batch_id" === 1 && $"_op" === "insert").count() == 3,
+      "v1 bootstrap: three inserts")
+    assert(f.filter($"batch_id" === 2).select("_op", "id")
+      .as[(String, Long)].collect().toSeq == Seq(("insert", 4L)),
+      "v2 delta: only the new key (unchanged matches emit nothing)")
+    // misconfigurations refuse before any write
+    def failing(stanza: String): Unit = {
+      val y =
+        s"""pypelines:
+           |  p: [bad]
+           |pypes:
+           |  bad:
+           |    extract_query: "SELECT id, v FROM src"
+           |    target_table: tgt_cf_bad
+           |    key: [id]
+           |$stanza
+           |    change_feed: bad_changes
+           |""".stripMargin
+      val e = intercept[IllegalArgumentException](
+        new Runner(spark, PipelineSpec.fromYaml(y), Map.empty, root).run("p"))
+      assert(e.getMessage.contains("change_feed"))
+      assert(!new java.io.File(s"$root/tgt_cf_bad").exists(),
+        "refusal must land before the write")
+    }
+    failing("") // flat target
+    failing("    buckets: 4") // bucketed but default retention of 1
+  }
+
   test("retain_versions WITHOUT buckets: reaches an existing bucketed layout — " +
     "matching value honored, mismatch fails loudly (never silently dropped)") {
     Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
