@@ -199,4 +199,29 @@ class MergeSinkPropertySpec extends AnyFunSuite with SparkTestBase {
       .foreach(c => assert(!ok.contains(c), s"$c must refuse"))
     types.foreach { case (n, _) => assert(ok.contains(s"$n->$n")) }
   }
+
+  test("property: change feed is the exact merge delta — applying it to " +
+    "the target reproduces upsert, and it is empty iff the merge is a no-op") {
+    import org.apache.spark.sql.functions.col
+    forAllPairs { (t0, b) =>
+      // key-unique target (the sink's own invariant for a real target)
+      val t = t0.groupBy(_._1).map(_._2.head).toList
+      val feed = MergeSink.changeFeed(df(t), df(b)).cache()
+      val replaced = feed.filter(col("_op") === "update_pre").select("id")
+      val applied = df(t).join(replaced, Seq("id"), "left_anti")
+        .unionByName(
+          feed.filter(col("_op").isin("insert", "update_post")).drop("_op"))
+      val merged = MergeSink.upsert(df(t), df(b))
+      assert(canon(applied) == canon(merged))
+      // empty-feed ⇔ no-op merge
+      assert((feed.count() == 0) == (canon(merged) == canon(df(t))))
+      // update ops pair exactly: every pre has its post on the same key
+      val pre = feed.filter(col("_op") === "update_pre")
+        .select("id").as[Long].collect().sorted.toSeq
+      val post = feed.filter(col("_op") === "update_post")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(pre == post, s"pre/post keys must pair: $pre vs $post")
+      feed.unpersist()
+    }
+  }
 }
