@@ -134,6 +134,32 @@ object QueriesEngine {
         .orderBy("o_orderkey", "_op")
     }),
 
+    // -- snapshot-diff CDC over a bucketed target: three committed
+    //    versions (create, upsert-with-exclusion, delete), then the NET
+    //    change v1→v3 from the manifest diff — only buckets whose
+    //    manifest entry moved are read (non-listing pinned in
+    //    BucketedMergeSinkSpec); the oracle replays both states in SQL
+    "q112_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") <= 1000)
+      val batch = o.filter(col("o_orderkey").between(500, 1500))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("X"))
+      val dels = o.filter(col("o_orderkey").between(100, 200))
+        .select("o_orderkey")
+      val tmp = Tables.scratchPath("graft-cdcdiff", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val sink = graft.sink.BucketedMergeSink
+      sink.merge(s, target, tmp, "upsert", Seq("o_orderkey"),
+        numBuckets = 8, retainVersions = 4)
+      sink.merge(s, batch, tmp, "upsert", Seq("o_orderkey"),
+        excluded = Seq("o_orderpriority"))
+      sink.merge(s, dels, tmp, "delete", identifier = "o_orderkey")
+      val vs = sink.manifestVersions(s, tmp)
+      sink.changesBetween(s, tmp, vs.head, vs.last)
+        .orderBy("o_orderkey", "_op")
+    }),
+
     // -- bucket-partitioned merge target (the 100 TB incremental-load
     //    shape): create → upsert-with-exclusion → delete against a
     //    hash-bucketed layout, where each batch rewrites only the bucket
@@ -464,6 +490,33 @@ object QueriesEngine {
         |          (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45))
         |SELECT * FROM ins UNION ALL SELECT * FROM pre
         |UNION ALL SELECT * FROM post UNION ALL SELECT * FROM del
+        |ORDER BY o_orderkey, _op""".stripMargin,
+    // net snapshot diff v1→v3: v1 = t; v3 = (t upsert b, o_orderpriority
+    // excluded) minus keys 100-200. Keys 100-200 delete (v1 rows), batch
+    // keys >1000 insert, matched keys 500-1000 all change (status→'X')
+    // → pre (v1 row) + post (merged row, priority kept from target)
+    "q112_snapshot_diff" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+        |b AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |        o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey BETWEEN 500 AND 1500),
+        |m AS (
+        |  SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+        |    CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+        |  FROM t FULL OUTER JOIN b ON t.o_orderkey = b.o_orderkey),
+        |del AS (SELECT 'delete' AS _op, t.* FROM t
+        |        WHERE o_orderkey BETWEEN 100 AND 200),
+        |ins AS (SELECT 'insert' AS _op, m.* FROM m WHERE o_orderkey > 1000),
+        |pre AS (SELECT 'update_pre' AS _op, t.* FROM t
+        |        WHERE o_orderkey BETWEEN 500 AND 1000),
+        |post AS (SELECT 'update_post' AS _op, m.* FROM m
+        |         WHERE o_orderkey BETWEEN 500 AND 1000)
+        |SELECT * FROM del UNION ALL SELECT * FROM ins
+        |UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post
         |ORDER BY o_orderkey, _op""".stripMargin,
     "q30_merge_upsert" ->
       """WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 1000),

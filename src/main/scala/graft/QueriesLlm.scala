@@ -498,6 +498,20 @@ object QueriesLlm {
       fp.unionByName(low).orderBy("id_a", "id_b")
     }),
 
+    // -- semantic decontamination: corpus items embedding-close to any
+    //    holdout/benchmark item, with their closest holdout and exact
+    //    cosine — catches paraphrased leakage the token-level gates
+    //    (q69/q70/q96) structurally miss. Exact (broadcast holdout, one
+    //    corpus scan, map-side max), so fully DuckDB-oracled.
+    "q113_semantic_decontamination" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      TrainingPrep.semanticContamination(
+          corpus = e.filter(col("vec_id") >= 20),
+          holdout = e.filter(col("vec_id") < 20),
+          threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // -- URL decomposition for provenance columns. The corpus carries no
     //    URLs, so a deterministic synthetic URL is derived from doc_id
     //    (the q63 injection pattern) and pushed through Spark's REAL
@@ -1153,6 +1167,23 @@ object QueriesLlm {
     "q104_ann_ivfpq_audit" -> noViolations("query_id", "cand_id"),
     "q62_simhash_audit" -> noViolations("id_a", "id_b"),
     "q111_semdedup_audit" -> noViolations("id_a", "id_b"),
+    "q113_semantic_decontamination" ->
+      """WITH c AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id >= 20),
+        |h AS (SELECT vec_id AS holdout_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS hv
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT c.vec_id, h.holdout_id,
+        |    round(list_dot_product(v, hv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(hv, hv))), 4) AS cos
+        |  FROM c, h),
+        |r AS (SELECT vec_id, holdout_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, holdout_id) AS rn
+        |  FROM s)
+        |SELECT vec_id, holdout_id, cos FROM r WHERE rn = 1 AND cos >= 0.4
+        |ORDER BY vec_id""".stripMargin,
     "q85_sketch_recall" -> noRecallViolations,
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id,

@@ -147,6 +147,43 @@ object TrainingPrep {
     *
     * Emits each contaminated train doc with the number of holdout
     * matches and the smallest matching holdout id. */
+  /** SEMANTIC decontamination — the similarity complement of the
+    * exact / n-gram / Bloom trio: a corpus item is contaminated when its
+    * EMBEDDING sits within `threshold` cosine of any holdout/benchmark
+    * item, even with zero token overlap (the embedding-based
+    * decontamination used by Gunasekar et al. 2023, "Textbooks Are All
+    * You Need" §2.3, against paraphrased benchmark leakage). Returns the
+    * contaminated corpus rows with their CLOSEST holdout item and the
+    * exact cosine: (vec_id, holdout_id, cos); ties on the rounded cosine
+    * break to the lowest holdout id.
+    *
+    * Scale: the holdout set (benchmarks — thousands, not billions)
+    * broadcasts; the corpus is scanned ONCE against it, and the per-row
+    * max collapses map-side (partial agg over the corpus id), so the
+    * exchange carries one row per corpus vector, no pair blowup. Exact
+    * by construction — no recall floor needed, and fully SQL-expressible
+    * (q113's DuckDB oracle). */
+  def semanticContamination(
+      corpus: DataFrame,
+      holdout: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = Dedup.widen(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val h = broadcast(
+      holdout.select(col(idCol).as("holdout_id"), col(vecCol).as("hv")))
+    c.crossJoin(h)
+      .withColumn("cos", round(Similarity.cosine(col("cv"), col("hv")), 4))
+      .groupBy("vec_id")
+      // lexicographic max of (cos, -holdout_id): max cosine, then the
+      // LOWEST holdout id on a rounded-cosine tie — deterministic
+      .agg(max(struct(col("cos"), (lit(0L) - col("holdout_id")).as("nhid")))
+        .as("best"))
+      .select(col("vec_id"), (lit(0L) - col("best.nhid")).as("holdout_id"),
+        col("best.cos").as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def bloomDecontaminate(
       df: DataFrame,
       idCol: String = "doc_id",

@@ -581,6 +581,39 @@ object MergeSink {
       .select((lit("delete").as(opCol) +: target.columns.toSeq.map(col)): _*)
   }
 
+  /** The CONSUMER side of [[changeFeed]]/[[deleteFeed]]/
+    * [[BucketedMergeSink.changesBetween]]: apply a feed to a replica,
+    * producing the post-feed state. Rows whose key appears as
+    * `update_pre` or `delete` leave; `insert` and `update_post` rows
+    * land. Applying a merge's feed to a copy of its pre-merge target
+    * reproduces the merge exactly (pinned in MergeSinkSpec and the
+    * property suite) — the downstream-replication contract: ship feeds,
+    * not snapshots.
+    *
+    * Feeds compose: applying batch feeds in commit order replays the
+    * target's history. Keys are matched null-safely, mirroring the
+    * feed producers. Scale: one anti join (replica shuffles on the key
+    * only when the feed side is too big to broadcast) + a union —
+    * O(replica + feed), with the replica never rewritten beyond the
+    * keys the feed touches when the caller routes through a bucketed
+    * layout. */
+  def applyFeed(
+      replica: DataFrame,
+      feed: DataFrame,
+      key: Seq[String] = Seq("id"),
+      opCol: String = "_op",
+      broadcastFeed: Boolean = true): DataFrame = {
+    require(feed.columns.contains(opCol),
+      s"feed lacks the '$opCol' column — not a change feed?")
+    val gone0 = feed.filter(col(opCol).isin("update_pre", "delete"))
+      .select(key.map(col): _*).distinct()
+    val gone = (if (broadcastFeed) broadcast(gone0) else gone0).alias("b")
+    val kept = replica.alias("t").join(gone, keyCond(key), "left_anti")
+    val landed = feed.filter(col(opCol).isin("insert", "update_post"))
+      .select(replica.columns.toSeq.map(col): _*)
+    kept.unionByName(landed)
+  }
+
   /** Listing fingerprint of the live target dir — every data file's
     * (name, length, mtime), sorted. The flat sink's optimistic-commit
     * base: a concurrent writer's swap replaces the dir contents

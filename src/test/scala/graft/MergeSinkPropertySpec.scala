@@ -207,10 +207,7 @@ class MergeSinkPropertySpec extends AnyFunSuite with SparkTestBase {
       // key-unique target (the sink's own invariant for a real target)
       val t = t0.groupBy(_._1).map(_._2.head).toList
       val feed = MergeSink.changeFeed(df(t), df(b)).cache()
-      val replaced = feed.filter(col("_op") === "update_pre").select("id")
-      val applied = df(t).join(replaced, Seq("id"), "left_anti")
-        .unionByName(
-          feed.filter(col("_op").isin("insert", "update_post")).drop("_op"))
+      val applied = MergeSink.applyFeed(df(t), feed)
       val merged = MergeSink.upsert(df(t), df(b))
       assert(canon(applied) == canon(merged))
       // empty-feed ⇔ no-op merge

@@ -494,11 +494,8 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
   test("changeFeed/deleteFeed: applying the feed to the target reproduces " +
     "the merge exactly") {
     val feed = MergeSink.changeFeed(target, batch, Seq("id"), excluded = Seq("note"))
-    val replaced = feed.filter(col("_op") === "update_pre").select("id")
-    val applied = target.join(replaced, Seq("id"), "left_anti")
-      .unionByName(feed.filter(col("_op").isin("insert", "update_post")).drop("_op"))
     assertSameRows(
-      applied.orderBy("id"),
+      MergeSink.applyFeed(target, feed, Seq("id")).orderBy("id"),
       MergeSink.upsert(target, batch, Seq("id"), excluded = Seq("note")).orderBy("id"))
 
     val ids = Seq(Some(2L), Some(2L), Some(404L), None).toDF("id")
@@ -508,9 +505,16 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
       dFeed.drop("_op").orderBy("id"),
       target.join(MergeSink.delete(target, ids, "id"), Seq("id"), "left_anti").orderBy("id"))
     assert(dFeed.select("_op").distinct().as[String].collect().toSeq == Seq("delete"))
-    val appliedDel = target.join(dFeed.select("id"), Seq("id"), "left_anti")
     assertSameRows(
-      appliedDel.orderBy("id"),
+      MergeSink.applyFeed(target, dFeed, Seq("id")).orderBy("id"),
       MergeSink.delete(target, ids, "id").orderBy("id"))
+    // feeds COMPOSE: upsert feed then delete feed replays both merges
+    assertSameRows(
+      MergeSink.applyFeed(
+        MergeSink.applyFeed(target, feed, Seq("id")), dFeed, Seq("id"))
+        .orderBy("id"),
+      MergeSink.delete(
+        MergeSink.upsert(target, batch, Seq("id"), excluded = Seq("note")),
+        ids, "id").orderBy("id"))
   }
 }
