@@ -660,4 +660,33 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(feed) // fresh read: f's file index predates v4
       .filter($"batch_id" === 4).count() == 2) // pre+post of key 1
   }
+
+  test("publishChangeFeed on an SCD2 target: version rows pair on " +
+    "(key, valid_from) via extraKey, so a close+reopen is two inserts " +
+    "and one update pair, never a mismatched diff") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    BucketedMergeSink.merge(spark, b1, path, "scd2", Seq("id"),
+      numBuckets = 2, retainVersions = 3, scd2Ts = "2024-01-01 00:00:00") // v1
+    // key 2 changes: its open version CLOSES (an update pair on the same
+    // (key, valid_from) row) and a new open version INSERTS
+    BucketedMergeSink.merge(spark, Seq((2L, "B")).toDF("id", "v"),
+      path, "scd2", Seq("id"), scd2Ts = "2024-06-01 00:00:00") // v2
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed,
+      extraKey = Seq("valid_from")) == Seq(1L, 2L))
+    val f2 = spark.read.parquet(feed).filter($"batch_id" === 2)
+    val ops = f2.select($"_op", $"id",
+        org.apache.spark.sql.functions.date_format($"valid_from", "yyyy-MM").as("vf"))
+      .as[(String, Long, String)].collect().sortBy(r => (r._2, r._3, r._1)).toSeq
+    assert(ops == Seq(
+      ("update_post", 2L, "2024-01"), // the Jan version closes in place...
+      ("update_pre", 2L, "2024-01"),  // ...(pre = its open form)
+      ("insert", 2L, "2024-06")),     // new open version
+      s"unexpected scd2 feed: $ops")
+    // without extraKey the same diff would refuse nothing but mispair —
+    // the Runner always passes valid_from for scd2 stages
+  }
 }

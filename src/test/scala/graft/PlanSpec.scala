@@ -308,6 +308,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"q109's pre/post pair emission should be a narrow explode:\n$p")
   }
 
+  test("q113: semantic decontamination is one broadcast scan + one " +
+    "partial-aggregated max — no shuffle join, no window") {
+    // the scale promise of TrainingPrep.semanticContamination: the
+    // holdout broadcasts, the corpus is scanned once, and the per-row
+    // max collapses map-side so the exchange carries one row per vector
+    val p = plan("q113_semantic_decontamination")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q113 must not shuffle-join the corpus:\n$p")
+    assert(!p.contains("Window"), s"q113 must not plan a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q113's holdout side should broadcast:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"q113's max must partial-aggregate below the exchange:\n$p")
+  }
+
   test("q47/q100/q101/q102: multimodal codec pipelines are narrow — no exchange " +
     "between scan and sink") {
     // the scale promise of the asset path (Multimodal scaladoc): encode,
