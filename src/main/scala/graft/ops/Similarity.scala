@@ -648,22 +648,38 @@ object Similarity {
     * when ANY cell is shared and its exact cosine clears the threshold.
     * `centroid_cos` stays the PRIMARY cell's, whichever probe cell
     * matched the pair — the precedence order must not depend on where a
-    * pair happened to meet. Duplicate meetings (pairs sharing several
-    * probe cells) collapse through one aggregate. */
-  private def probedPairs(assigned: DataFrame, threshold: Double): DataFrame = {
-    val a = assigned.select(explode(col("cells")).as("pcell"),
-      col("cand_id").as("id_a"), col("centroid_cos").as("cc_a"),
-      col("cv").as("va"))
-    val b = assigned.select(explode(col("cells")).as("pcell"),
-      col("cand_id").as("id_b"), col("centroid_cos").as("cc_b"),
-      col("cv").as("vb"))
-    a.join(b, Seq("pcell"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+    * pair happened to meet.
+    *
+    * Shuffle discipline (the [[cosineDupPairsLsh]] shape): ONLY
+    * `(id, cell)` rides the probe exchange — a vector attached here
+    * would cross the wire `probeCells` times, ×4 KB each at dim 1k.
+    * Cell candidate lists are bounded by `maxCell` (a degenerate
+    * training run collapsing the corpus into one cell caps loudly
+    * instead of assembling it in one buffer); the deduped candidate
+    * pairs rehydrate each endpoint's (vector, centroid_cos) exactly
+    * once for exact verification. */
+  private def probedPairs(
+      assigned: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
+    val bucketed = assigned.select(
+      col("cand_id").as("id"), explode(col("cells")).as("pcell"))
+    val capped = udaf(new graft.functions.CappedCollect(maxCell))
+    val cand = Dedup.byKey(bucketed, col("pcell"))
+      .groupBy("pcell")
+      .agg(capped(col("id"), lit(0L)).as("ds"))
+      .filter(size(col("ds")).between(2, maxCell))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val perId = Dedup.restrictToCandidates(
+      assigned.select(col("cand_id").as("id"),
+        struct(col("cv").as("v"), col("centroid_cos").as("cc")).as("p")), cand)
+    Dedup.rehydratePairs(cand, perId)
+      .withColumn("cos", round(cosine(col("p_a.v"), col("p_b.v")), 4))
       .filter(col("cos") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(first("cos").as("cos"), first("cc_a").as("cc_a"),
-        first("cc_b").as("cc_b"))
+      .select(col("id_a"), col("id_b"), col("cos"),
+        col("p_a.cc").as("cc_a"), col("p_b.cc").as("cc_b"))
   }
 
   /** The SHARED-CELL near-dup candidate pairs SemDeDup considers: every
@@ -682,11 +698,12 @@ object Similarity {
       iters: Int = 3,
       trainPerCell: Int = 256,
       probeCells: Int = 1,
+      maxCell: Int = 100000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     probedPairs(
       cellAssigned(df, nlist, iters, trainPerCell, probeCells, idCol, vecCol),
-      threshold)
+      threshold, maxCell)
 
   /** Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication",
@@ -718,6 +735,7 @@ object Similarity {
       iters: Int = 3,
       trainPerCell: Int = 256,
       probeCells: Int = 1,
+      maxCell: Int = 100000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val assigned =
@@ -725,7 +743,7 @@ object Similarity {
     // the pair's LATER endpoint in (centroid_cos, id) order is dropped;
     // struct comparison is lexicographic, ids are unique, so ties on
     // the rounded cosine break deterministically
-    val dropped = probedPairs(assigned, threshold)
+    val dropped = probedPairs(assigned, threshold, maxCell)
       .select(when(
           struct(col("cc_a"), col("id_a")) < struct(col("cc_b"), col("id_b")),
           col("id_b")).otherwise(col("id_a")).as("cand_id"))
