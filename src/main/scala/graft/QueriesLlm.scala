@@ -919,6 +919,44 @@ object QueriesLlm {
             lit("shared canary document for leakage checks"))
             .otherwise(col("text")))
       graft.ops.TrainingPrep.bloomDecontaminate(docs).orderBy("doc_id")
+    }),
+
+    // -- Incremental ingest dedup vs the full re-run it replaces: an
+    //    idHash slice (~5%) plays the newly-ingested batch, the rest is
+    //    the already-loaded corpus whose persisted band index
+    //    (minhashBandIndex) gets probed. The incremental result must
+    //    EQUAL the full-corpus LSH run restricted to pairs touching the
+    //    batch — same pairs, same exact-Jaccard scores — so both
+    //    directions of the symmetric difference are violations, not just
+    //    false positives (the incremental path promises no recall loss
+    //    relative to the full run, unlike the LSH-vs-exact audits).
+    "q114_incremental_minhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isBatch = graft.ops.TrainingPrep.idHash(col("doc_id")) % 20 === 0
+      val batch = docs.filter(isBatch)
+      val corpus = docs.filter(!isBatch)
+      // the "persisted" index: materialized once (localCheckpoint), so
+      // the candidate subtree's plan-level duplication re-reads postings
+      // instead of re-signing the corpus — the same cost profile as the
+      // parquet-backed index a deployment reads
+      val index = Dedup.minhashBandIndex(corpus).localCheckpoint()
+      val inc = Dedup.incrementalMinhashPairs(batch, corpus, index, threshold = 0.3)
+        .withColumnRenamed("jaccard", "j_inc")
+      val full = Dedup.minhashLshPairs(docs, threshold = 0.3)
+        .withColumnRenamed("jaccard", "j_full")
+      // batch membership is deterministic (idHash slice), so the
+      // restriction is a filter, never a join
+      val fullTouch = full.filter(
+        graft.ops.TrainingPrep.idHash(col("id_a")) % 20 === 0 ||
+          graft.ops.TrainingPrep.idHash(col("id_b")) % 20 === 0)
+      inc.join(fullTouch, Seq("id_a", "id_b"), "full")
+        .filter(col("j_inc").isNull || col("j_full").isNull ||
+          col("j_inc") =!= col("j_full"))
+        .select(col("id_a"), col("id_b"),
+          when(col("j_full").isNull, lit("not_in_full"))
+            .when(col("j_inc").isNull, lit("missed_by_incremental"))
+            .otherwise(lit("score_mismatch")).as("violation"))
+        .orderBy("id_a", "id_b")
     }))
 
   /** Empty-result oracle for the audit entries: the invariant is "no
@@ -1167,6 +1205,7 @@ object QueriesLlm {
     "q104_ann_ivfpq_audit" -> noViolations("query_id", "cand_id"),
     "q62_simhash_audit" -> noViolations("id_a", "id_b"),
     "q111_semdedup_audit" -> noViolations("id_a", "id_b"),
+    "q114_incremental_minhash" -> noViolations("id_a", "id_b"),
     "q113_semantic_decontamination" ->
       """WITH c AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -416,13 +416,28 @@ object Dedup {
       rowsPerBand: Int,
       idCol: String,
       textCol: String): DataFrame = {
-    // the signature lands in its own projection so the banding pass
-    // references a materialized column (CollapseProject keeps non-cheap
-    // multi-referenced expressions un-inlined); only (id, band, bucket)
-    // enters the self-join — at 100 TB the shuffle payload is 3 longs
-    // per (doc, band), never the shingle arrays themselves.
     val wide = widen(df)
-    val banded = wide
+    val banded = bandedMinhash(wide, signer, bands, rowsPerBand, idCol, textCol)
+    val cand = bucketPairs(banded.withColumn("isb", lit(0L)), requireFlagged = false)
+    verifyJaccardPairs(
+      cand, wide.select(col(idCol).as("id"), col(textCol).as("__txt")),
+      shingler, threshold)
+  }
+
+  /** (id, band, bucket) band postings of a MinHash signature. The
+    * signature lands in its own projection so the banding pass references
+    * a materialized column (CollapseProject keeps non-cheap
+    * multi-referenced expressions un-inlined); only (id, band, bucket)
+    * flows downstream — at 100 TB the shuffle payload is 3 longs per
+    * (doc, band), never the shingle arrays themselves. */
+  private def bandedMinhash(
+      wide: DataFrame,
+      signer: Column => Column,
+      bands: Int,
+      rowsPerBand: Int,
+      idCol: String,
+      textCol: String): DataFrame =
+    wide
       .select(col(idCol).as("id"), signer(col(textCol)).as("sig"))
       .select(
         col("id"),
@@ -436,26 +451,42 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
       .filter(col("bucket").isNotNull)
-    // candidates via bucket grouping, not a self-join: a self-join would
-    // run the shingle→hash→signature pipeline TWICE. One shuffle groups
-    // ids per (band, bucket); pairs explode from the grouped list. A
-    // bucket with b ids emits b² pairs, so cap bucket size like
-    // jaccardPairs caps df (an over-full LSH bucket means the band hash
-    // carries no discriminating signal).
+
+  /** Candidate pairs from band postings `(id, band, bucket, isb)` via
+    * bucket grouping, not a self-join: a self-join would run the
+    * shingle→hash→signature pipeline TWICE. One shuffle groups ids per
+    * (band, bucket); pairs explode from the grouped list. A bucket with
+    * b ids emits b² pairs, so bucket size is capped like jaccardPairs
+    * caps df (an over-full LSH bucket means the band hash carries no
+    * discriminating signal). The `isb` payload rides the capped collect;
+    * with `requireFlagged` only pairs where at least one side is flagged
+    * survive — the incremental path's "touches the new batch" filter. */
+  private def bucketPairs(banded: DataFrame, requireFlagged: Boolean): DataFrame = {
     val capped = udaf(new graft.functions.CappedCollect(10000))
-    val cand = byKey(banded, col("band"), col("bucket")).groupBy("band", "bucket")
-      .agg(capped(col("id"), lit(0L)).as("ids")) // bounded buffer, see CappedCollect
+    val exploded = byKey(banded, col("band"), col("bucket")).groupBy("band", "bucket")
+      .agg(capped(col("id"), col("isb")).as("ids")) // bounded buffer, see CappedCollect
       .filter(size(col("ids")).between(2, 10000))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a.id") < col("b.id"))
+    val flagged =
+      if (requireFlagged) exploded.filter(col("a.v") + col("b.v") > 0)
+      else exploded
+    flagged
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verification: rehydrate the (deduped, small) candidate list
-    // with shingle sets derived ONLY for candidate docs — see
-    // rehydratePairs for the shape
-    val candDocs = restrictToCandidates(
-      wide.select(col(idCol).as("id"), col(textCol).as("__txt")), cand)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: rehydrate the
+    * (deduped, small) candidate list with shingle sets derived ONLY for
+    * candidate docs — see [[rehydratePairs]] for the shape. `texts` is
+    * `(id, __txt)` for every id a candidate pair may reference. */
+  private def verifyJaccardPairs(
+      cand: DataFrame,
+      texts: DataFrame,
+      shingler: Column => Column,
+      threshold: Double): DataFrame = {
+    val candDocs = restrictToCandidates(texts, cand)
       .select(col("id"), shingler(col("__txt")).as("p"))
     rehydratePairs(cand, candDocs)
       .withColumnRenamed("p_a", "sh_a").withColumnRenamed("p_b", "sh_b")
@@ -465,6 +496,94 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  // --------------------------------------------- incremental ingest dedup
+
+  /** Persistable MinHash band index of a corpus: `(id, band, bucket)` —
+    * the exact band postings [[minhashLshPairs]] computes internally,
+    * exposed so they can be stored once and probed on every ingest.
+    *
+    * 100 TB contract: signing is the expensive pass (reads every text
+    * byte); the index is 3 longs × bands per document (~0.1% of a text
+    * corpus's bytes). Build it once, append each ingested batch's
+    * postings (`minhashBandIndex(batch, ...)` — same parameters!) after
+    * the batch is accepted, and feed it to [[incrementalMinhashPairs]]
+    * so per-ingest near-dup detection re-signs only the batch and scans
+    * only the tiny index, never the corpus texts. Deletes remove the
+    * id's rows. Parameters (k, bands, rowsPerBand, charGrams) are part
+    * of the index's identity — probing with different ones is undefined.
+    *
+    * @param charGrams sign character k-grams (the [[minhashLshPairsChar]]
+    *   family, default k there is 5) instead of word k-grams */
+  def minhashBandIndex(
+      df: DataFrame,
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      charGrams: Boolean = false): DataFrame = {
+    val signer: Column => Column =
+      if (charGrams)
+        t => graft.functions.SketchExprs.charGramMinhash(normalize(t), k, bands * rowsPerBand)
+      else
+        t => graft.functions.SketchExprs.wordGramMinhash(normalize(t), k, bands * rowsPerBand)
+    bandedMinhash(widen(df), signer, bands, rowsPerBand, idCol, textCol)
+  }
+
+  /** Near-dup pairs an ingested `batch` forms with an already-loaded
+    * corpus AND within itself, WITHOUT re-signing the corpus: the batch
+    * is signed and banded ([[minhashBandIndex]] machinery), the
+    * persisted `index` is semi-joined down to the (band, bucket) keys
+    * the batch touches, and the full-run candidate+verification
+    * machinery runs on that touched slice — so the result is exactly
+    * `minhashLshPairs(corpus ∪ batch, ...)` restricted to pairs with at
+    * least one batch side, bucket caps included (pinned in
+    * DedupPropertySpec; q114 audits it in-battery).
+    *
+    * Scale shape (the reason this exists): a 100 TB corpus cannot be
+    * re-signed on every 1 TB ingest. Here the text-reading passes are
+    * O(batch) for signing plus O(candidate partners) for verification
+    * (corpus texts are semi-joined to candidate ids BEFORE shingling —
+    * against a [[graft.sink.BucketedMergeSink]] target that read is
+    * `readForKeys`-shaped); the only O(corpus)-proportional work is one
+    * columnar scan of the 3-long index, whose probe side (the batch's
+    * distinct band keys) broadcasts under AQE. Shuffled bytes are the
+    * touched slice, not the index.
+    *
+    * `corpus` supplies partner texts `(idCol, textCol)` for
+    * verification; ids must be unique across `corpus ∪ batch`, and
+    * `index` must be the PRE-ingest index built with identical
+    * parameters. */
+  def incrementalMinhashPairs(
+      batch: DataFrame,
+      corpus: DataFrame,
+      index: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      charGrams: Boolean = false): DataFrame = {
+    val shingler: Column => Column =
+      if (charGrams) t => charShingles(normalize(t), k)
+      else t => shingles(normalize(t), k)
+    val batchBanded = minhashBandIndex(
+      batch, k, bands, rowsPerBand, idCol, textCol, charGrams)
+    val probeKeys = batchBanded.select("band", "bucket").distinct()
+    val touched = index.select(col("id"), col("band"), col("bucket"))
+      .join(probeKeys, Seq("band", "bucket"), "left_semi")
+    // union BEFORE grouping so a touched bucket sees its full membership
+    // (index rows + batch rows): bucket sizes — and therefore the
+    // over-full-bucket cap — bind identically to the full run
+    val banded = touched.withColumn("isb", lit(0L))
+      .unionByName(batchBanded.withColumn("isb", lit(1L)))
+    val cand = bucketPairs(banded, requireFlagged = true)
+    val texts = corpus.select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("__txt")))
+    verifyJaccardPairs(cand, texts, shingler, threshold)
   }
 
   // ---------------------------------------------------------------- SimHash

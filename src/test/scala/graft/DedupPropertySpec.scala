@@ -119,6 +119,68 @@ class DedupPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: incrementalMinhashPairs equals the full LSH run " +
+    "restricted to pairs touching the batch") {
+    samples(corpusGen, n = 5).foreach { docs =>
+      val threshold = 0.3
+      val all = df(docs)
+      // deterministic ~1/3 slice plays the newly-ingested batch
+      val batch = all.filter($"doc_id" % 3 === 0)
+      val corpus = all.filter($"doc_id" % 3 =!= 0)
+      val index = Dedup.minhashBandIndex(corpus)
+      val inc = Dedup.incrementalMinhashPairs(batch, corpus, index, threshold)
+        .as[(Long, Long, Double)].collect().toSet
+      val fullRestricted = Dedup.minhashLshPairs(all, threshold)
+        .as[(Long, Long, Double)].collect().toSet
+        .filter(t => t._1 % 3 == 0 || t._2 % 3 == 0)
+      withClue(s"docs=$docs: ") {
+        // EQUALITY both ways, scores included: the incremental path
+        // promises no recall loss relative to the full run it replaces
+        assert(inc == fullRestricted)
+      }
+    }
+  }
+
+  test("incrementalMinhashPairs never re-signs the corpus: with a " +
+    "persisted index, every signer in the plan binds to the batch relation") {
+    // batch and corpus as SEPARATE local relations so plan leaves are
+    // attributable; the index is materialized like a real deployment's
+    // persisted postings (a scan of 3 longs, no signer inside).
+    val batch = df(List("alpha beta gamma delta")) // doc_id 0
+    val corpus = List("alpha beta gamma delta", "eps zeta alpha beta",
+      "gamma delta eps zeta").zipWithIndex
+      .map { case (t, i) => (i + 1L, t) }.toDF("doc_id", "text")
+    import scala.jdk.CollectionConverters._
+    val live = Dedup.minhashBandIndex(corpus)
+    val idx = spark.createDataFrame(live.collect().toSeq.asJava, live.schema)
+    val persisted = Dedup.incrementalMinhashPairs(batch, corpus, idx, threshold = 0.3)
+    // tree-walk, not a textual count: for every optimized-plan node whose
+    // expressions contain the fused signer, ALL leaf relations under it
+    // must be the 1-row batch relation — signing the corpus texts (3-row
+    // leaf) or the index anywhere fails regardless of how many times the
+    // optimizer textually duplicates the batch subtree.
+    val plan = persisted.queryExecution.optimizedPlan
+    val signerNodes = plan.collect {
+      case node if node.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.WordGramMinHash])) => node
+    }
+    assert(signerNodes.nonEmpty, "expected the batch to be signed")
+    signerNodes.foreach { node =>
+      val leafSizes = node.collectLeaves().map {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          lr.data.size
+        case other => fail(s"unexpected leaf under a signer: $other")
+      }
+      assert(leafSizes.forall(_ == 1),
+        s"a signer node reaches a non-batch relation (leaf row counts " +
+          s"$leafSizes):\n$node")
+    }
+    // and the persisted-index probe matches the live-index one, scores included
+    assert(persisted.as[(Long, Long, Double)].collect().toSet ==
+      Dedup.incrementalMinhashPairs(batch, corpus, live, threshold = 0.3)
+        .as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("property: simhashPairs equals brute-force hamming pairs (4-band " +
     "blocking is lossless for distance <= 3)") {
     samples(corpusGen).foreach { docs =>
