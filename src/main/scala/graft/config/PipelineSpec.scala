@@ -49,6 +49,14 @@ final case class StageSpec(
                              // the not-yet-published per-version change
                              // feeds there (BucketedMergeSink
                              // .publishChangeFeed; idempotent catch-up)
+    minhashIndex: String = "", // bucketed targets only (retention >= 2,
+                               // single-column key): near-dup index name —
+                               // after each load, bring the persisted
+                               // MinHash band postings there in lockstep
+                               // with the target by signing only the
+                               // load's delta (BucketedMergeSink
+                               // .syncMinhashIndex; idempotent catch-up)
+    minhashIndexText: String = "text", // column the index signs
     debug: Boolean = false)
 
 /** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
@@ -160,6 +168,8 @@ object PipelineSpec {
       compactMaxFiles = str("compact_max_files", "1").toInt,
       retainVersions = str("retain_versions", "0").toInt,
       changeFeed = str("change_feed", ""),
+      minhashIndex = str("minhash_index", ""),
+      minhashIndexText = str("minhash_index_text", "text"),
       debug = str("debug", "false").toBoolean)
   }
 }

@@ -226,6 +226,32 @@ final class Runner(
           "(the previous snapshot must still be retained when the feed " +
           s"is published), got $retain")
     }
+    // minhash_index replays per-version snapshot diffs into the postings
+    // index, so it inherits change_feed's layout requirements, plus a
+    // single-column merge key (postings pair on one id). Validate BEFORE
+    // the merge, same rationale.
+    if (stage.minhashIndex.nonEmpty) {
+      val bucketed =
+        stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path)
+      require(bucketed,
+        s"stage ${stage.name}: minhash_index needs a bucketed target " +
+          "(set buckets: N, or point at an existing bucketed layout)")
+      val retain =
+        if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
+          math.max(stage.retainVersions,
+            graft.sink.BucketedMergeSink.retention(spark, path))
+        else stage.retainVersions
+      require(retain >= 2,
+        s"stage ${stage.name}: minhash_index needs retain_versions >= 2 " +
+          "(the previous snapshot must still be retained when the index " +
+          s"syncs), got $retain")
+      require(stage.key.size == 1,
+        s"stage ${stage.name}: minhash_index needs a single-column key, " +
+          s"got ${stage.key.mkString(",")}")
+      require(stage.loadType != "scd2",
+        s"stage ${stage.name}: minhash_index is undefined over scd2 " +
+          "history targets (multiple versions per key)")
+    }
     // `buckets: N` in the stage YAML stores the target hash-bucketed on
     // the merge key (graft.sink.BucketedMergeSink): an incremental load
     // reads and rewrites only the bucket dirs its keys touch instead of
@@ -264,6 +290,14 @@ final class Runner(
       graft.sink.BucketedMergeSink.publishChangeFeed(
         spark, path, targetPath(stage.changeFeed),
         extraKey = if (stage.loadType == "scd2") Seq("valid_from") else Nil): Unit
+    // near-dup index catch-up AFTER the load, same self-healing contract
+    // as the outbox: every retained version the index hasn't applied is
+    // replayed (signing only its delta), so a crash between load and
+    // sync closes itself on the next run
+    if (stage.minhashIndex.nonEmpty)
+      graft.sink.BucketedMergeSink.syncMinhashIndex(
+        spark, path, targetPath(stage.minhashIndex),
+        textCol = stage.minhashIndexText): Unit
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

@@ -443,11 +443,16 @@ object Dedup {
         col("id"),
         // outer generate: plain posexplode would infer a size>0 filter
         // over the whole sig expression and push it below the widen
-        // exchange (see jaccardPairs) — re-running minhash on one core
-        posexplode_outer(transform(
+        // exchange (see jaccardPairs) — re-running minhash on one core.
+        // A null signature (null text) gets NO postings: without the
+        // isNotNull guard, concat_ws over a null slice yields "" and
+        // every null-text doc lands in ONE xxhash64("")-bucket per band
+        // — a hot-bucket skew hazard whose pairs could never survive
+        // exact verification anyway.
+        posexplode_outer(when(col("sig").isNotNull, transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
       .filter(col("bucket").isNotNull)

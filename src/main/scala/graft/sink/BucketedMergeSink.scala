@@ -414,6 +414,101 @@ object BucketedMergeSink {
     (bootstrap.toSeq ++ deltas).sorted
   }
 
+  /** Keep a persisted MinHash band index ([[graft.ops.Dedup.minhashBandIndex]],
+    * rows `(id, band, bucket)`) in lockstep with this bucketed target:
+    * every retained manifest version the index has not applied yet is
+    * replayed as a merge into `indexPath`, signing ONLY that version's
+    * delta rows — so after each load the index is current and
+    * [[graft.ops.Dedup.incrementalMinhashPairs]] can vet the NEXT ingest
+    * without ever re-signing the corpus. Returns the versions applied.
+    *
+    * Mechanics per version (from [[changesBetween]]'s feed, which costs
+    * O(touched buckets)): inserted/updated docs re-sign and UPSERT their
+    * postings (key = (id, band) — a doc always carries exactly `bands`
+    * rows, so the upsert replaces its whole signature); deleted docs —
+    * and docs whose text became null, which sign to nothing — DELETE
+    * theirs. A fresh index bootstraps by signing the oldest retained
+    * snapshot in full (the one unavoidable corpus pass).
+    *
+    * Idempotence & crash-safety, same contract as [[publishChangeFeed]]:
+    * progress is recorded as `v<NNN>` markers in the SIBLING dir
+    * `<indexPath>.applied` AFTER the version's merges land (a sibling
+    * because a flat index target's atomic full-rewrite swap would wipe
+    * anything stored inside it; markers of a vanished index are reset on
+    * the next sync); a crash in between replays the version, and
+    * replaying a merge batch is idempotent. If the index falls more than
+    * the retention window behind (its next delta is GC'd), the sync
+    * refuses loudly — delete the index dir to rebuild — rather than
+    * silently resyncing from a gapped feed. Sync-after-every-load (the
+    * `minhash_index:` stage key) never hits this with retention >= 2.
+    *
+    * The index target may itself be flat or bucketed parquet
+    * ([[MergeSink.mergeIntoParquet]] routes); at scale create it
+    * bucketed so each sync rewrites O(touched buckets) of postings.
+    * The layout key must be a single LONG column (pair ids). */
+  def syncMinhashIndex(
+      spark: SparkSession,
+      path: String,
+      indexPath: String,
+      textCol: String = "text",
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      charGrams: Boolean = false): Seq[Long] = {
+    val fs = fsOf(spark, indexPath)
+    val meta = readMeta(spark, path)
+    require(meta.key.size == 1,
+      s"minhash index sync needs a single-column layout key, $path has ${meta.key}")
+    val idCol = meta.key.head
+    require(meta.schema.fieldNames.contains(textCol),
+      s"$path has no '$textCol' column to sign")
+    val vs = manifestVersions(spark, path)
+    val appliedDir = new Path(indexPath.stripSuffix("/") + ".applied")
+    // markers without an index = a rebuilt/deleted index; start fresh
+    if (fs.exists(appliedDir) && !fs.exists(new Path(indexPath)))
+      fs.delete(appliedDir, true)
+    val applied =
+      if (fs.exists(appliedDir))
+        fs.listStatus(appliedDir).toSeq
+          .map(_.getPath.getName.stripPrefix("v").toLong).sorted
+      else Seq.empty[Long]
+    def mark(v: Long): Unit =
+      fs.create(new Path(appliedDir, f"v$v%09d"), true).close() // replay-safe
+    def sign(df: DataFrame): DataFrame =
+      graft.ops.Dedup.minhashBandIndex(
+        df, k, bands, rowsPerBand, idCol, textCol, charGrams)
+    val done = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = applied.lastOption.getOrElse(0L)
+    if (last == 0L) {
+      val v0 = vs.head
+      MergeSink.mergeIntoParquet(spark,
+        sign(readVersion(spark, path, v0)), indexPath, "upsert",
+        key = Seq("id", "band"))
+      mark(v0); done += v0; last = v0
+    }
+    require(last >= vs.head,
+      s"minhash index at $indexPath last applied v$last but the oldest " +
+        s"retained version of $path is v${vs.head}: the intermediate " +
+        "deltas are GC'd. Rebuild the index (delete its dir) or raise " +
+        "retain_versions so sync never falls behind the window.")
+    for (Seq(a, b) <- vs.sliding(2) if a >= last && b > last) {
+      val delta = changesBetween(spark, path, a, b)
+      val resign = delta.filter(
+        col("_op").isin("insert", "update_post") && col(textCol).isNotNull)
+      if (!resign.isEmpty)
+        MergeSink.mergeIntoParquet(spark, sign(resign), indexPath, "upsert",
+          key = Seq("id", "band"))
+      val unsign = delta.filter(col("_op") === "delete" ||
+          (col("_op") === "update_post" && col(textCol).isNull))
+        .select(col(idCol).as("id")).distinct()
+      if (!unsign.isEmpty)
+        MergeSink.mergeIntoParquet(spark, unsign, indexPath, "delete",
+          identifier = "id")
+      mark(b); done += b
+    }
+    done.toSeq
+  }
+
   /** Test seam for the concurrent-writer spec: invoked between a
     * merge/compact's last read of the manifest and its commit attempt,
     * so BucketedMergeSinkSpec can interleave a competing writer's commit

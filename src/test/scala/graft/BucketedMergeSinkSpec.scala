@@ -661,6 +661,88 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
       .filter($"batch_id" === 4).count() == 2) // pre+post of key 1
   }
 
+  test("syncMinhashIndex: the postings index tracks the target through " +
+    "upserts, text updates, null-texts, and deletes; idempotent; " +
+    "crash-replay safe; refuses a GC'd gap") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*): DataFrame = {
+      // null text must survive as StringType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    }
+    /** ground truth: postings of the target's CURRENT state, re-signed */
+    def fresh(path: String): Set[(Long, Int, Long)] =
+      graft.ops.Dedup.minhashBandIndex(
+        BucketedMergeSink.read(spark, path), idCol = "doc_id")
+        .as[(Long, Int, Long)].collect().toSet
+    def stored(idxPath: String): Set[(Long, Int, Long)] =
+      spark.read.parquet(idxPath).select("id", "band", "bucket")
+        .as[(Long, Int, Long)].collect().toSet
+    val path = tmpTarget()
+    val idx = tmpTarget() + "-minhash"
+    BucketedMergeSink.merge(spark,
+      docs(1L -> "alpha beta gamma delta", 2L -> "eps zeta eta theta",
+        3L -> "alpha beta gamma delta eps"),
+      path, "upsert", Seq("doc_id"), numBuckets = 4, retainVersions = 4) // v1
+    assert(BucketedMergeSink.syncMinhashIndex(spark, path, idx) == Seq(1L))
+    assert(stored(idx) == fresh(path), "bootstrap = full signing of v1")
+    // v2: update 1's text, insert 4, null-out 2's text (postings must go)
+    BucketedMergeSink.merge(spark,
+      docs(1L -> "totally different words now", 4L -> "alpha beta gamma",
+        2L -> null),
+      path, "upsert", Seq("doc_id")) // v2
+    // v3: delete 3
+    BucketedMergeSink.merge(spark, Seq(3L).toDF("doc_id"), path,
+      "delete", identifier = "doc_id") // v3
+    assert(BucketedMergeSink.syncMinhashIndex(spark, path, idx) == Seq(2L, 3L))
+    assert(stored(idx) == fresh(path),
+      "delta replay = re-sign of the current state (update/insert/null/delete)")
+    assert(!stored(idx).exists(_._1 == 2L), "null-text doc carries no postings")
+    assert(!stored(idx).exists(_._1 == 3L), "deleted doc carries no postings")
+    // idempotent: nothing new, nothing changed
+    assert(BucketedMergeSink.syncMinhashIndex(spark, path, idx).isEmpty)
+    assert(stored(idx) == fresh(path))
+    // crash between merges and marker: drop v3's marker and re-sync —
+    // the version replays (idempotent merges) and converges
+    val m3 = new File(idx + ".applied", "v000000003")
+    assert(m3.exists); m3.delete()
+    assert(BucketedMergeSink.syncMinhashIndex(spark, path, idx) == Seq(3L))
+    assert(stored(idx) == fresh(path))
+    // gap refusal: two more loads with the index left behind, then shrink
+    // the window by GC'ing v3 away via retention — simulate by loading
+    // until v3 leaves the retained set (retention 4 keeps v2..v5 at v5)
+    BucketedMergeSink.merge(spark,
+      docs(5L -> "more words here"), path, "upsert", Seq("doc_id")) // v4
+    BucketedMergeSink.merge(spark,
+      docs(6L -> "and even more words"), path, "upsert", Seq("doc_id")) // v5
+    BucketedMergeSink.merge(spark,
+      docs(7L -> "final batch of words"), path, "upsert", Seq("doc_id")) // v6: retains v3..v6
+    // index is at v3 which is still retained — catches up fine
+    assert(BucketedMergeSink.syncMinhashIndex(spark, path, idx) ==
+      Seq(4L, 5L, 6L))
+    assert(stored(idx) == fresh(path))
+    // now fall PAST the window: three loads, index stays at v6
+    BucketedMergeSink.merge(spark,
+      docs(8L -> "w8"), path, "upsert", Seq("doc_id")) // v7
+    BucketedMergeSink.merge(spark,
+      docs(9L -> "w9"), path, "upsert", Seq("doc_id")) // v8
+    BucketedMergeSink.merge(spark,
+      docs(10L -> "w10"), path, "upsert", Seq("doc_id")) // v9
+    BucketedMergeSink.merge(spark,
+      docs(11L -> "w11"), path, "upsert", Seq("doc_id")) // v10: retains v7..v10
+    val e = intercept[IllegalArgumentException] {
+      BucketedMergeSink.syncMinhashIndex(spark, path, idx)
+    }
+    assert(e.getMessage.contains("Rebuild the index"),
+      s"gap must refuse loudly, got: ${e.getMessage}")
+  }
+
   test("publishChangeFeed on an SCD2 target: version rows pair on " +
     "(key, valid_from) via extraKey, so a close+reopen is two inserts " +
     "and one update pair, never a mismatched diff") {

@@ -204,6 +204,63 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     failing("    buckets: 4") // bucketed but default retention of 1
   }
 
+  test("minhash_index: each run brings the near-dup postings index in " +
+    "lockstep with the target; misconfigurations refuse BEFORE the write") {
+    Seq((1L, "alpha beta gamma delta"), (2L, "eps zeta eta theta"),
+      (3L, "alpha beta gamma delta eps"), (4L, "totally new words here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("mi_src")
+    val root = Files.createTempDirectory("graft-runner-mi").toString
+    val ry =
+      s"""pypelines:
+         |  p: [smi]
+         |pypes:
+         |  smi:
+         |    extract_query: "SELECT doc_id, text FROM mi_src WHERE doc_id <= {maxid}"
+         |    target_table: tgt_mi
+         |    type: upsert
+         |    key: [doc_id]
+         |    buckets: 4
+         |    retain_versions: 2
+         |    minhash_index: tgt_mi_minhash
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "3"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "4")) // adds doc 4 incrementally
+    import spark.implicits._
+    val stored = spark.read.parquet(s"$root/tgt_mi_minhash")
+      .select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    val expected = graft.ops.Dedup.minhashBandIndex(
+      graft.sink.BucketedMergeSink.read(spark, s"$root/tgt_mi"), idCol = "doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(stored == expected,
+      "after two runs the index must equal a fresh signing of the target")
+    assert(stored.exists(_._1 == 4L), "the second run's doc reached the index")
+    // misconfigurations refuse before any write
+    def failing(stanza: String, msg: String): Unit = {
+      val y =
+        s"""pypelines:
+           |  p: [bad]
+           |pypes:
+           |  bad:
+           |    extract_query: "SELECT doc_id, text FROM mi_src"
+           |    target_table: tgt_mi_bad
+           |$stanza
+           |    minhash_index: bad_minhash
+           |""".stripMargin
+      val e = intercept[IllegalArgumentException](
+        new Runner(spark, PipelineSpec.fromYaml(y), Map.empty, root).run("p"))
+      assert(e.getMessage.contains("minhash_index"), e.getMessage)
+      assert(e.getMessage.contains(msg), e.getMessage)
+      assert(!new java.io.File(s"$root/tgt_mi_bad").exists(),
+        "refusal must land before the write")
+    }
+    failing("    key: [doc_id]", "bucketed") // flat target
+    failing("    key: [doc_id]\n    buckets: 4", "retain_versions") // retention 1
+    failing("    key: [doc_id, text]\n    buckets: 4\n    retain_versions: 2",
+      "single-column") // composite key
+  }
+
   test("retain_versions WITHOUT buckets: reaches an existing bucketed layout — " +
     "matching value honored, mismatch fails loudly (never silently dropped)") {
     Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
