@@ -141,6 +141,24 @@ class DedupPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: incrementalMinhashPairs charGrams variant equals the " +
+    "full char-gram LSH run restricted to the batch") {
+    samples(corpusGen, n = 3).foreach { docs =>
+      val threshold = 0.5
+      val all = df(docs)
+      val batch = all.filter($"doc_id" % 3 === 0)
+      val corpus = all.filter($"doc_id" % 3 =!= 0)
+      val index = Dedup.minhashBandIndex(corpus, k = 5, charGrams = true)
+      val inc = Dedup.incrementalMinhashPairs(
+        batch, corpus, index, threshold, k = 5, charGrams = true)
+        .as[(Long, Long, Double)].collect().toSet
+      val fullRestricted = Dedup.minhashLshPairsChar(all, threshold)
+        .as[(Long, Long, Double)].collect().toSet
+        .filter(t => t._1 % 3 == 0 || t._2 % 3 == 0)
+      withClue(s"docs=$docs: ") { assert(inc == fullRestricted) }
+    }
+  }
+
   test("incrementalMinhashPairs never re-signs the corpus: with a " +
     "persisted index, every signer in the plan binds to the batch relation") {
     // batch and corpus as SEPARATE local relations so plan leaves are
