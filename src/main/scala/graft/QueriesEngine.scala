@@ -242,6 +242,50 @@ object QueriesEngine {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // -- the minhash_index stage key end-to-end: two pipeline runs load
+    //    growing document slices into a bucketed target while the config
+    //    keeps a near-dup postings index in lockstep (syncMinhashIndex
+    //    replays each load's snapshot diff, signing only changed docs).
+    //    The emitted rows are VIOLATIONS — postings in the synced index
+    //    but not in a fresh signing of the target's current state, or
+    //    vice versa — so the oracle is the empty relation and any drift
+    //    is a hard hash mismatch.
+    "q116_pipeline_minhash_index" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [docs_indexed]
+          |pypes:
+          |  docs_indexed:
+          |    extract_query: "SELECT doc_id, text FROM documents WHERE doc_id % 20 < {slice}"
+          |    target_table: q116_docs
+          |    type: upsert
+          |    key: [doc_id]
+          |    buckets: 8
+          |    retain_versions: 2
+          |    minhash_index: q116_minhash
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runmi", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("slice" -> "1"), tmp)
+      runner.run("demo")
+      runner.run("demo", Map("slice" -> "2")) // second load grows the slice
+      val stored = s.read.parquet(s"$tmp/q116_minhash")
+        .select(col("id"), col("band").cast("long").as("band"), col("bucket"))
+        .withColumn("src", lit("index"))
+      val freshly = graft.ops.Dedup.minhashBandIndex(
+        graft.sink.BucketedMergeSink.read(s, s"$tmp/q116_docs"), idCol = "doc_id")
+        .select(col("id"), col("band").cast("long").as("band"), col("bucket"))
+        .withColumn("src", lit("fresh"))
+      stored.unionByName(freshly)
+        .groupBy("id", "band", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 2) // present on exactly one side = drift
+        .select(col("id"), col("band"),
+          lit("index_drift").as("violation"))
+        .orderBy("id", "band")
+    }),
+
     // -- LIVE jdbc round-trip (A2 + Layer B jdbc scan/sink): parquet →
     //    Derby (embedded, in-process — the only live DB this container
     //    has; same Spark jdbc codepath as MySQL/Postgres) via writeJdbc,
@@ -587,6 +631,10 @@ object QueriesEngine {
     // full row wins — MergeSink.dedupeBatch), which QUALIFY re-derives
     // q86 = q33's run through a bucketed target: layout changes, the
     // relation does not — the oracle is intentionally identical
+    "q116_pipeline_minhash_index" ->
+      """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS band,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

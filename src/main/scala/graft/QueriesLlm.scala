@@ -957,6 +957,34 @@ object QueriesLlm {
             .when(col("j_inc").isNull, lit("missed_by_incremental"))
             .otherwise(lit("score_mismatch")).as("violation"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // -- q114's embedding twin: incremental cosine near-dup detection
+    //    against a persisted LSH bucket index must equal the full-corpus
+    //    run (q52's operator) restricted to pairs touching the batch —
+    //    both directions of the symmetric difference are violations.
+    "q115_incremental_embed" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val isBatch = graft.ops.TrainingPrep.idHash(col("vec_id")) % 20 === 0
+      val batch = e.filter(isBatch)
+      val corpus = e.filter(!isBatch)
+      val index = Similarity.lshBucketIndex(corpus, bits = 4).localCheckpoint()
+      val inc = Similarity.incrementalCosineDupPairs(
+        batch, corpus, index, threshold = 0.4, bits = 4)
+        .withColumnRenamed("cos", "c_inc")
+      val full = Similarity.cosineDupPairsLsh(e, threshold = 0.4, bits = 4)
+        .withColumnRenamed("cos", "c_full")
+      val fullTouch = full.filter(
+        graft.ops.TrainingPrep.idHash(col("id_a")) % 20 === 0 ||
+          graft.ops.TrainingPrep.idHash(col("id_b")) % 20 === 0)
+      inc.join(fullTouch, Seq("id_a", "id_b"), "full")
+        .filter(col("c_inc").isNull || col("c_full").isNull ||
+          col("c_inc") =!= col("c_full"))
+        .select(col("id_a"), col("id_b"),
+          when(col("c_full").isNull, lit("not_in_full"))
+            .when(col("c_inc").isNull, lit("missed_by_incremental"))
+            .otherwise(lit("score_mismatch")).as("violation"))
+        .orderBy("id_a", "id_b")
     }))
 
   /** Empty-result oracle for the audit entries: the invariant is "no
@@ -1206,6 +1234,7 @@ object QueriesLlm {
     "q62_simhash_audit" -> noViolations("id_a", "id_b"),
     "q111_semdedup_audit" -> noViolations("id_a", "id_b"),
     "q114_incremental_minhash" -> noViolations("id_a", "id_b"),
+    "q115_incremental_embed" -> noViolations("id_a", "id_b"),
     "q113_semantic_decontamination" ->
       """WITH c AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -465,12 +465,15 @@ object Dedup {
     * caps df (an over-full LSH bucket means the band hash carries no
     * discriminating signal). The `isb` payload rides the capped collect;
     * with `requireFlagged` only pairs where at least one side is flagged
-    * survive — the incremental path's "touches the new batch" filter. */
-  private def bucketPairs(banded: DataFrame, requireFlagged: Boolean): DataFrame = {
-    val capped = udaf(new graft.functions.CappedCollect(10000))
+    * survive — the incremental path's "touches the new batch" filter.
+    * Shared with the embedding-LSH family (same shape, (table, sig)
+    * renamed to (band, bucket)). */
+  private[ops] def bucketPairs(
+      banded: DataFrame, requireFlagged: Boolean, cap: Int = 10000): DataFrame = {
+    val capped = udaf(new graft.functions.CappedCollect(cap))
     val exploded = byKey(banded, col("band"), col("bucket")).groupBy("band", "bucket")
       .agg(capped(col("id"), col("isb")).as("ids")) // bounded buffer, see CappedCollect
-      .filter(size(col("ids")).between(2, 10000))
+      .filter(size(col("ids")).between(2, cap))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a.id") < col("b.id"))

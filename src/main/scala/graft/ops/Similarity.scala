@@ -172,41 +172,94 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxBucket: Int = 10000): DataFrame = {
+    val bucketed = lshBucketIndex(df, tables, bits, dim, idCol, vecCol)
+    val cand = Dedup.bucketPairs(
+      bucketed.withColumn("isb", lit(0L)),
+      requireFlagged = false, cap = maxBucket)
+    verifyCosinePairs(cand,
+      Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("p")),
+      threshold)
+  }
+
+  /** Persistable cosine-LSH bucket index: `(id, band, bucket)` — band is
+    * the hyperplane table, bucket its sign signature; the exact postings
+    * [[cosineDupPairsLsh]] derives internally, exposed so they can be
+    * stored once and probed per ingest by [[incrementalCosineDupPairs]].
+    * Same persistence contract as [[graft.ops.Dedup.minhashBandIndex]]:
+    * (tables, bits, dim) are the index's identity; append a batch's rows
+    * after it is accepted; deletes remove the id's rows. ~3 longs ×
+    * tables per vector — a sliver of the embedding bytes. */
+  def lshBucketIndex(
+      df: DataFrame,
+      tables: Int = 8,
+      bits: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val ps = planes(tables, bits, dim)
     val sigs = (0 until tables).map { t =>
-      struct(lit(t).as("table"), signature(col(vecCol), ps(t)).as("sig"))
+      struct(lit(t).as("band"), signature(col(vecCol), ps(t)).as("bucket"))
     }
     // outer generate — see Dedup.jaccardPairs for why plain explode
     // would re-run the signature computation below the widen exchange.
-    // Only (id, table, sig) enters the bucket grouping: shipping the
+    // Only (id, band, bucket) enters the bucket grouping: shipping the
     // vectors through every bucket would multiply the shuffle payload by
     // `tables`, and an over-full bucket would assemble them all in one
     // buffer. Ids are collected with a bounded CappedCollect; vectors
     // re-join once, post-dedup, for exact verification.
-    val bucketed = Dedup.widen(df)
+    Dedup.widen(df)
       .select(col(idCol).as("id"),
         explode_outer(array(sigs: _*)).as("b"))
       .filter(col("b").isNotNull)
-      .select(col("id"), col("b.table"), col("b.sig"))
-    val capped = udaf(new graft.functions.CappedCollect(maxBucket))
-    val cand = Dedup.byKey(bucketed, col("table"), col("sig"))
-      .groupBy("table", "sig")
-      .agg(capped(col("id"), lit(0L)).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // exact verification via the shared candidate-rehydration helpers
-    // (Dedup.restrictToCandidates / rehydratePairs): vectors ship only
-    // for candidate ids, and each pair's payloads join once
-    val candVecs = Dedup.restrictToCandidates(
-      Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("p")), cand)
-    Dedup.rehydratePairs(cand, candVecs)
+      .select(col("id"), col("b.band"), col("b.bucket"))
+  }
+
+  /** Exact-cosine verification of candidate pairs via the shared
+    * candidate-rehydration helpers (Dedup.restrictToCandidates /
+    * rehydratePairs): vectors ship only for candidate ids, and each
+    * pair's payloads join once. */
+  private def verifyCosinePairs(
+      cand: DataFrame, vecs: DataFrame, threshold: Double): DataFrame =
+    Dedup.rehydratePairs(cand, Dedup.restrictToCandidates(vecs, cand))
       .withColumn("cos", round(cosine(col("p_a"), col("p_b")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+
+  /** Embedding near-dup pairs an ingested `batch` forms with the corpus
+    * AND within itself, WITHOUT re-signing the corpus — the embedding
+    * twin of [[graft.ops.Dedup.incrementalMinhashPairs]], same slice
+    * construction: the batch is signed, the persisted `index` is
+    * semi-joined to the batch's touched (band, bucket) keys (probe side
+    * AQE-broadcasts; the index is scanned columnar, never shuffled), and
+    * the full candidate+verification machinery runs on that slice. The
+    * result equals `cosineDupPairsLsh(corpus ∪ batch, ...)` restricted
+    * to pairs with at least one batch side, bucket caps included
+    * (property-pinned). `corpus` supplies partner vectors for the exact
+    * verification, semi-joined to candidate ids before shipping; `index`
+    * must be the PRE-ingest index built with identical parameters. */
+  def incrementalCosineDupPairs(
+      batch: DataFrame,
+      corpus: DataFrame,
+      index: DataFrame,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucket: Int = 10000): DataFrame = {
+    val batchBucketed = lshBucketIndex(batch, tables, bits, dim, idCol, vecCol)
+    val probeKeys = batchBucketed.select("band", "bucket").distinct()
+    val touched = index.select(col("id"), col("band"), col("bucket"))
+      .join(probeKeys, Seq("band", "bucket"), "left_semi")
+    // union BEFORE grouping: a touched bucket sees its full membership,
+    // so the over-full-bucket cap binds identically to the full run
+    val banded = touched.withColumn("isb", lit(0L))
+      .unionByName(batchBucketed.withColumn("isb", lit(1L)))
+    val cand = Dedup.bucketPairs(banded, requireFlagged = true, cap = maxBucket)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("p"))
+      .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("p")))
+    verifyCosinePairs(cand, vecs, threshold)
   }
 
   /** Approximate top-k via LSH bucketing: join on (table, signature),

@@ -321,6 +321,34 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("incrementalCosineDupPairs equals the full LSH run restricted to " +
+    "pairs touching the batch (persisted index, exact scores)") {
+    val rnd = new scala.util.Random(7)
+    // clustered corpus so near-dups genuinely occur: 30 vectors around
+    // 6 anchors with small jitter, 64-dim like the battery table
+    val anchors = Array.fill(6)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val all = (0 until 30).map { i =>
+      val a = anchors(i % 6)
+      (i.toLong, a.map(x => x + (rnd.nextGaussian() * 0.15).toFloat))
+    }.toDF("vec_id", "embedding")
+    val batch = all.filter($"vec_id" % 3 === 0)
+    val corpus = all.filter($"vec_id" % 3 =!= 0)
+    import scala.jdk.CollectionConverters._
+    val live = Similarity.lshBucketIndex(corpus, bits = 4)
+    // persisted-index shape, like a real deployment's postings scan
+    val idx = spark.createDataFrame(live.collect().toSeq.asJava, live.schema)
+    val inc = Similarity.incrementalCosineDupPairs(
+      batch, corpus, idx, threshold = 0.8, bits = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val fullRestricted = Similarity.cosineDupPairsLsh(all, threshold = 0.8, bits = 4)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(t => t._1 % 3 == 0 || t._2 % 3 == 0)
+    assert(fullRestricted.nonEmpty, "fixture must produce near-dup pairs")
+    // equality both ways, scores included: no recall loss vs the full
+    // run the incremental probe replaces
+    assert(inc == fullRestricted)
+  }
+
   test("ivfTopK: exact dup ranks first; results are per-query top-k shaped") {
     val base = (1 to 40).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 37 + d * 11).toFloat))
