@@ -297,6 +297,62 @@ object Streams {
     }
   }
 
+  /** [[streamingMerge]] against a BUCKETED target that also keeps a
+    * near-dup MinHash postings index
+    * ([[graft.sink.BucketedMergeSink.syncMinhashIndex]]) in lockstep per
+    * micro-batch — continuous ingest whose corpus stays incrementally
+    * near-dup-queryable ([[graft.ops.Dedup.incrementalMinhashPairs]])
+    * without ever re-signing it.
+    *
+    * Exactly-once index application under at-least-once foreachBatch,
+    * with no extra machinery: sync catch-up is keyed on the TARGET's
+    * deterministic manifest versions, not on batchId — a replayed
+    * micro-batch re-merges idempotently (content-identical new version),
+    * its snapshot diff is empty, and versions the index already applied
+    * are marker-skipped. A crash between merge and sync self-heals on
+    * the next trigger's catch-up, exactly like the batch Runner's
+    * `minhash_index:` stage key.
+    *
+    * `retainVersions` (>= 2, required by the diff replay) is persisted
+    * into the layout when the first micro-batch creates it; scd2 streams
+    * are refused for the same reason as the batch stage key (multiple
+    * history rows per key have no single posting set). */
+  def streamingMergeWithIndex(
+      stream: DataFrame,
+      path: String,
+      indexPath: String,
+      key: Seq[String],
+      loadType: String = "upsert",
+      excluded: Seq[String] = Nil,
+      numBuckets: Int = 64,
+      retainVersions: Int = 2,
+      textCol: String = "text",
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      charGrams: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(key.size == 1,
+      s"an indexed merge stream needs a single-column key (postings pair " +
+        s"on one id), got ${key.mkString(", ")}")
+    require(Set("upsert", "update", "delete")(loadType),
+      s"unknown load type: $loadType (expected upsert/update/delete; " +
+        "a minhash index over scd2 history is undefined)")
+    require(numBuckets > 0,
+      "an indexed merge stream needs a bucketed target (the index sync " +
+        "replays manifest snapshot diffs) — pass numBuckets > 0")
+    require(retainVersions >= 2,
+      s"the index sync diffs consecutive retained snapshots — " +
+        s"retainVersions must be >= 2, got $retainVersions")
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
+        identifier = key.head, excluded = excluded, numBuckets = numBuckets,
+        retainVersions = retainVersions)
+      graft.sink.BucketedMergeSink.syncMinhashIndex(
+        spark, path, indexPath, textCol, k, bands, rowsPerBand, charGrams): Unit
+    }
+  }
+
   /** Corpus-backed streaming exact dedup: the complement of
     * [[dedupStream]]. That one bounds state with the watermark and
     * FORGETS old keys (late duplicates re-emit); this one keeps the

@@ -89,6 +89,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       val bandExchanges = exec.collect {
         case e: ShuffleExchangeExec if (e.outputPartitioning match {
               case h: HashPartitioning =>
+                // lshTopK's candidate exchange keys on (table, sig) —
+                // unlike the pair family, which renamed to (band, bucket)
+                // when MinHash and embedding merged onto shared machinery
                 h.expressions.flatMap(_.references.map(_.name).toSeq).contains("sig")
               case _ => false
             }) => e
@@ -118,11 +121,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       val bandExchanges = exec.collect {
         case e: ShuffleExchangeExec if (e.outputPartitioning match {
               case h: HashPartitioning =>
-                h.expressions.flatMap(_.references.map(_.name).toSeq).contains("sig")
+                // the bucket exchange keys on (band, bucket) — the LSH
+                // table/signature pair, renamed when the MinHash and
+                // embedding paths merged onto shared machinery
+                h.expressions.flatMap(_.references.map(_.name).toSeq).contains("bucket")
               case _ => false
             }) => e
       }
-      assert(bandExchanges.nonEmpty, s"expected a (table, sig) exchange:\n$exec")
+      assert(bandExchanges.nonEmpty, s"expected a (band, bucket) exchange:\n$exec")
       bandExchanges.foreach { e =>
         assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
           s"a vector column rides the bucket exchange (×tables payload):\n$e")

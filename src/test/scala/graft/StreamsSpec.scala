@@ -288,6 +288,46 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, "a", 10L), (2L, "B", 25L), (3L, "c", 30L)))
   }
 
+  test("streamingMergeWithIndex: the near-dup postings index tracks the " +
+    "target across micro-batches (insert, text update, delete)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-smi-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-smi-tgt").toString + "/t"
+    val idx = java.nio.file.Files.createTempDirectory("graft-smi-idx").toString + "/i"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smi-ck").toString
+    // b0 inserts docs 1-3; b1 rewrites doc 1's text and inserts doc 4
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta"), (2L, "eps zeta eta theta"),
+        (3L, "alpha beta gamma delta eps")),
+      Seq((1L, "completely different words now"), (4L, "alpha beta gamma")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("doc_id", "text"), i)
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMergeWithIndex(
+      stream, target, idx, Seq("doc_id"), numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val stored = spark.read.parquet(idx).select("id", "band", "bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    val expected = graft.ops.Dedup.minhashBandIndex(
+      graft.sink.BucketedMergeSink.read(spark, target), idCol = "doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(stored == expected,
+      "after the stream drains, the index must equal a fresh signing of the target")
+    assert(stored.exists(_._1 == 4L))
+    // construction-time refusals, far from the first micro-batch
+    intercept[IllegalArgumentException](Streams.streamingMergeWithIndex(
+      stream, target, idx, Seq("doc_id", "text")))
+    intercept[IllegalArgumentException](Streams.streamingMergeWithIndex(
+      stream, target, idx, Seq("doc_id"), numBuckets = 0))
+    intercept[IllegalArgumentException](Streams.streamingMergeWithIndex(
+      stream, target, idx, Seq("doc_id"), retainVersions = 1))
+  }
+
   test("streamingMergeWithFeed: each micro-batch materializes its CDC " +
     "delta under batch_id=<n>, and the target matches the plain merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft-smf-src").toString
