@@ -959,6 +959,23 @@ object QueriesLlm {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- per-source quality-quantile gate (DCLM/FineWeb "keep the best
+    //    40% of every source" policy): cutoff = each lang's 0.6-quantile
+    //    of n_chars, computed as ONE aggregation joined back (never a
+    //    percent_rank window over the source partition), gate = a plain
+    //    filter. exact mode so the cutoffs — and therefore the surviving
+    //    row set — hash-match DuckDB's quantile_cont (q26's epsilon
+    //    trick); the approx_percentile default is the 100 TB path, whose
+    //    drift q65's audit already measures.
+    "q117_quantile_gate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      graft.ops.TrainingPrep.qualityQuantileGate(
+        docs, "n_chars", 0.6, Seq("lang"), exact = true)
+        .select("doc_id", "lang", "n_chars", "q_cutoff")
+        .orderBy("doc_id")
+    }),
+
     // -- q114's embedding twin: incremental cosine near-dup detection
     //    against a persisted LSH bucket index must equal the full-corpus
     //    run (q52's operator) restricted to pairs touching the batch —
@@ -1235,6 +1252,14 @@ object QueriesLlm {
     "q111_semdedup_audit" -> noViolations("id_a", "id_b"),
     "q114_incremental_minhash" -> noViolations("id_a", "id_b"),
     "q115_incremental_embed" -> noViolations("id_a", "id_b"),
+    "q117_quantile_gate" ->
+      """WITH c AS (
+        |  SELECT lang, round(quantile_cont(n_chars, 0.6) + 0.000001, 4) AS q_cutoff
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars, c.q_cutoff
+        |FROM documents d JOIN c USING (lang)
+        |WHERE d.n_chars >= c.q_cutoff
+        |ORDER BY doc_id""".stripMargin,
     "q113_semantic_decontamination" ->
       """WITH c AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -534,4 +534,41 @@ object TrainingPrep {
     // left-semi preserves rows 1:1 with no duplication
     df.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** Per-group quality-quantile gate (the DCLM / FineWeb "keep the best
+    * (1−q) of every source" policy): rows survive when `scoreCol` >= the
+    * group's q-quantile, with the cutoff carried along as `q_cutoff`.
+    *
+    * WINDOW-FREE by design, like [[perDomainCap]]: a percent_rank over
+    * the group partition would sort one partition per source — and a
+    * head source at 100 TB is a single giant partition. Instead the
+    * cutoffs are one aggregation (one row per group), joined back under
+    * AQE (group-count-sized table → broadcast), and the gate is a plain
+    * filter over the scan.
+    *
+    * `exact = false` (default) uses `approx_percentile` — the 100 TB
+    * path: a mergeable sketch per group, no per-group value buffering;
+    * its drift vs exact is the same trade q65's audit measures.
+    * `exact = true` uses Catalyst's exact `percentile` (buffers each
+    * group's values — bounded groups only) and matches DuckDB's
+    * `quantile_cont` bit-for-bit after the q26-style epsilon-nudged
+    * rounding, which is what makes the battery's q117 a hash-matched
+    * gate rather than a rows-only one. */
+  def qualityQuantileGate(
+      df: DataFrame,
+      scoreCol: String,
+      q: Double,
+      groupCols: Seq[String],
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0, 1), got $q")
+    require(groupCols.nonEmpty, "qualityQuantileGate needs at least one group column")
+    val cutExpr =
+      if (exact) call_function("percentile", col(scoreCol), lit(q))
+      else call_function("approx_percentile", col(scoreCol), lit(q), lit(accuracy))
+    val cuts = df.groupBy(groupCols.map(col): _*)
+      .agg(round(cutExpr + lit(1e-6), 4).as("q_cutoff"))
+    df.join(cuts, groupCols)
+      .filter(col(scoreCol) >= col("q_cutoff"))
+  }
 }

@@ -397,4 +397,33 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     // rare2 (df=2) and other (df=1): other scores ln(3), rare2 ln(1.5)
     assert(out(3L) == Seq(("other", 1.0986), ("rare2", 0.4055)))
   }
+
+  test("qualityQuantileGate: exact cutoffs match a brute-force quantile, " +
+    "the gate keeps exactly the at-or-above rows, and the plan is window-free") {
+    // two groups with known 0.5-quantiles: a=[10,20,30,40] -> 25.0
+    // (interpolated), b=[5,15,25] -> 15.0 (exact middle)
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (5L, "b", 5L), (6L, "b", 15L), (7L, "b", 25L))
+      .toDF("doc_id", "grp", "score")
+    val out = graft.ops.TrainingPrep.qualityQuantileGate(
+      rows, "score", 0.5, Seq("grp"), exact = true)
+    val got = out.select("doc_id", "q_cutoff")
+      .as[(Long, Double)].collect().toMap
+    // survivors: a's 30,40 (>= 25.000001) and b's 15,25 (>= 15.000001?
+    // no — the epsilon nudges the cutoff ABOVE an exact-integer quantile,
+    // so 15 itself survives only via the rounding: 15 + 1e-6 rounds to
+    // 15.0 at 4 decimals? round(15.000001, 4) = 15.0 -> 15 >= 15.0 keeps)
+    assert(got.keySet == Set(3L, 4L, 6L, 7L), s"got ${got.keySet}")
+    assert(got(3L) == 25.0 && got(6L) == 15.0)
+    // window-free: the gate is an aggregate + join + filter, never a
+    // percent_rank over the group partition
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "qualityQuantileGate must not plan a window")
+    // approx mode at full accuracy agrees on this tiny input
+    val approx = graft.ops.TrainingPrep.qualityQuantileGate(
+      rows, "score", 0.5, Seq("grp"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(approx.subsetOf(Set(2L, 3L, 4L, 6L, 7L)) && approx.size >= 3)
+  }
 }
