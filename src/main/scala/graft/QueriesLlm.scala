@@ -959,6 +959,47 @@ object QueriesLlm {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- the semantic member of the incremental-dedup family: SemDeDup
+    //    pair generation against a persisted cell index (frozen
+    //    centroids + cell postings) must equal the SAME-CENTROID full
+    //    run restricted to pairs touching the batch. The reference side
+    //    is built through the same API with an empty corpus and empty
+    //    index, which degenerates to plain all-pairs generation under
+    //    the frozen model — so the audit isolates the incremental SLICE
+    //    construction, the part that can silently lose pairs. Cosines
+    //    AND both centroid cosines must match; both directions of the
+    //    symmetric difference are violations.
+    "q118_incremental_semantic" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val isBatch = graft.ops.TrainingPrep.idHash(col("vec_id")) % 20 === 0
+      val batch = e.filter(isBatch)
+      val corpus = e.filter(!isBatch)
+      val (postings, cents) = Similarity.semanticCellIndex(corpus, probeCells = 4)
+      // persisted-index shape: postings materialized once, so the
+      // candidate subtree's plan duplication re-reads them instead of
+      // re-running assignment (same rationale as q114's index)
+      val idx = postings.localCheckpoint()
+      val inc = Similarity.incrementalSemanticDupPairs(
+        batch, corpus, idx, cents, threshold = 0.4, probeCells = 4)
+      val full = Similarity.incrementalSemanticDupPairs(
+        e, e.filter(lit(false)), idx.filter(lit(false)), cents,
+        threshold = 0.4, probeCells = 4)
+        .filter(graft.ops.TrainingPrep.idHash(col("id_a")) % 20 === 0 ||
+          graft.ops.TrainingPrep.idHash(col("id_b")) % 20 === 0)
+      val i = inc.select(col("id_a"), col("id_b"),
+        struct(col("cos"), col("cc_a"), col("cc_b")).as("s_inc"))
+      val f = full.select(col("id_a"), col("id_b"),
+        struct(col("cos"), col("cc_a"), col("cc_b")).as("s_full"))
+      i.join(f, Seq("id_a", "id_b"), "full")
+        .filter(col("s_inc").isNull || col("s_full").isNull ||
+          col("s_inc") =!= col("s_full"))
+        .select(col("id_a"), col("id_b"),
+          when(col("s_full").isNull, lit("not_in_full"))
+            .when(col("s_inc").isNull, lit("missed_by_incremental"))
+            .otherwise(lit("score_mismatch")).as("violation"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // -- per-source quality-quantile gate (DCLM/FineWeb "keep the best
     //    40% of every source" policy): cutoff = each lang's 0.6-quantile
     //    of n_chars, computed as ONE aggregation joined back (never a
@@ -1252,6 +1293,7 @@ object QueriesLlm {
     "q111_semdedup_audit" -> noViolations("id_a", "id_b"),
     "q114_incremental_minhash" -> noViolations("id_a", "id_b"),
     "q115_incremental_embed" -> noViolations("id_a", "id_b"),
+    "q118_incremental_semantic" -> noViolations("id_a", "id_b"),
     "q117_quantile_gate" ->
       """WITH c AS (
         |  SELECT lang, round(quantile_cont(n_chars, 0.6) + 0.000001, 4) AS q_cutoff

@@ -658,7 +658,18 @@ object Similarity {
     * corpus takes ONE narrow pass for assignment. */
   private def cellAssigned(
       df: DataFrame, nlist: Int, iters: Int, trainPerCell: Int,
-      probeCells: Int, idCol: String, vecCol: String): DataFrame = {
+      probeCells: Int, idCol: String, vecCol: String): DataFrame =
+    assignCells(df,
+      trainCentroids(df, nlist, iters, trainPerCell, idCol, vecCol),
+      probeCells, idCol, vecCol)
+
+  /** Spherical k-means training exactly as [[ivfTopK]]'s determinism
+    * contract: lowest-id init, id-hash-bounded sample, [[lloydRound]]'s
+    * decimal means, fixed iteration count. Returns unit-norm centroids
+    * indexed by cell id. */
+  private[ops] def trainCentroids(
+      df: DataFrame, nlist: Int, iters: Int, trainPerCell: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] = {
     val corpusN = df.count()
     val nl =
       if (nlist > 0) nlist
@@ -680,13 +691,25 @@ object Similarity {
       cents = lloydRound(train, cents)
       it += 1
     }
+    cents
+  }
+
+  /** Cell assignment under GIVEN centroids — the back half of
+    * [[cellAssigned]], shared with the incremental path (which assigns
+    * only the batch under the index's frozen centroids). One narrow
+    * pass; centroids ride one broadcast. */
+  private def assignCells(
+      df: DataFrame, cents: Array[Array[Double]], probeCells: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(cents)
     import spark.implicits._
     val centsDf = broadcast(
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("cell", "centv"))
-    c.withColumn("cells", cellsTop(col("cv"), bc, probeCells))
+    Dedup.widen(df)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cells", cellsTop(col("cv"), bc, probeCells))
       .withColumn("cell", element_at(col("cells"), 1))
       .join(centsDf, "cell")
       // centroids are unit-norm, so this is dot(v, cent)/|v|; rounded to
@@ -713,18 +736,20 @@ object Similarity {
     * once for exact verification. */
   private def probedPairs(
       assigned: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
-    val bucketed = assigned.select(
-      col("cand_id").as("id"), explode(col("cells")).as("pcell"))
-    val capped = udaf(new graft.functions.CappedCollect(maxCell))
-    val cand = Dedup.byKey(bucketed, col("pcell"))
-      .groupBy("pcell")
-      .agg(capped(col("id"), lit(0L)).as("ds"))
-      .filter(size(col("ds")).between(2, maxCell))
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // single band (band = 0, bucket = probe cell): the same shared
+    // capped-bucket machinery as the MinHash / sign-LSH pair families
+    val banded = assigned.select(
+      col("cand_id").as("id"), lit(0).as("band"),
+      explode(col("cells")).as("bucket"), lit(0L).as("isb"))
+    val cand = Dedup.bucketPairs(banded, requireFlagged = false, cap = maxCell)
+    verifySemanticPairs(cand, assigned, threshold)
+  }
+
+  /** Exact-cosine verification carrying each endpoint's primary
+    * centroid cosine — shared by the full and incremental paths.
+    * `assigned` must cover every candidate id. */
+  private def verifySemanticPairs(
+      cand: DataFrame, assigned: DataFrame, threshold: Double): DataFrame = {
     val perId = Dedup.restrictToCandidates(
       assigned.select(col("cand_id").as("id"),
         struct(col("cv").as("v"), col("centroid_cos").as("cc")).as("p")), cand)
@@ -733,6 +758,103 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"),
         col("p_a.cc").as("cc_a"), col("p_b.cc").as("cc_b"))
+  }
+
+  /** Persistable SemDeDup cell index: (postings, centroids) — postings
+    * `(id, pcell)` are each vector's `probeCells` nearest cells, the
+    * exact replication [[semanticDupPairs]] exchanges internally;
+    * centroids `(cell, centv)` are the trained spherical-k-means model,
+    * FROZEN at build time (the coarse-quantizer contract [[ivfTopK]]
+    * documents: assignment under a fixed model, never per-ingest
+    * retraining — re-cluster offline when drift warrants and rebuild).
+    * Persist both; append an accepted batch's postings
+    * ([[assignBatchCells]]); deletes remove the id's rows. */
+  def semanticCellIndex(
+      df: DataFrame,
+      nlist: Int = 0,
+      iters: Int = 3,
+      trainPerCell: Int = 256,
+      probeCells: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val cents = trainCentroids(df, nlist, iters, trainPerCell, idCol, vecCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "centv")
+    val postings = assignCells(df, cents, probeCells, idCol, vecCol)
+      .select(col("cand_id").as("id"), explode(col("cells")).as("pcell"))
+    (postings, centsDf)
+  }
+
+  /** A batch's cell postings under a persisted centroid model — what a
+    * deployment appends to the postings index after accepting the
+    * batch. */
+  def assignBatchCells(
+      batch: DataFrame,
+      centroids: DataFrame,
+      probeCells: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignCells(batch, collectCentroids(centroids), probeCells, idCol, vecCol)
+      .select(col("cand_id").as("id"), explode(col("cells")).as("pcell"))
+
+  /** `(cell, centv)` rows back to the broadcastable model array —
+    * nlist × dim doubles, the same bounded driver payload the training
+    * loop already holds. */
+  private def collectCentroids(centroids: DataFrame): Array[Array[Double]] =
+    centroids.select("cell", "centv").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray)
+      .sortBy(_._1).map(_._2)
+
+  /** SemDeDup pairs an ingested `batch` forms with the corpus AND within
+    * itself, WITHOUT re-assigning the corpus — the semantic twin of
+    * [[graft.ops.Dedup.incrementalMinhashPairs]] /
+    * [[incrementalCosineDupPairs]], same slice construction: the batch
+    * is assigned under the index's FROZEN centroids, the persisted
+    * postings are semi-joined to the batch's touched cells, and the
+    * shared candidate+verify machinery runs on that slice. Equals
+    * same-centroid full-corpus pair generation restricted to pairs with
+    * at least one batch side, cell caps included (pinned in OpsSpec via
+    * the empty-corpus construction; q118 audits it in-battery).
+    * Verification recomputes each candidate's exact vector cosine and
+    * primary centroid cosine from `corpus ∪ batch` vectors, restricted
+    * to candidate ids BEFORE shipping. */
+  def incrementalSemanticDupPairs(
+      batch: DataFrame,
+      corpus: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      threshold: Double,
+      probeCells: Int = 1,
+      maxCell: Int = 100000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val batchAssigned = assignCells(batch, cents, probeCells, idCol, vecCol)
+    val batchPost = batchAssigned
+      .select(col("cand_id").as("id"), explode(col("cells")).as("pcell"))
+    val probeKeys = batchPost.select("pcell").distinct()
+    val touched = index.select(col("id"), col("pcell"))
+      .join(probeKeys, Seq("pcell"), "left_semi")
+    // union BEFORE grouping: a touched cell sees its full membership, so
+    // the over-full-cell cap binds identically to the full run
+    val banded = touched.withColumn("isb", lit(0L))
+      .unionByName(batchPost.withColumn("isb", lit(1L)))
+      .select(col("id"), lit(0).as("band"), col("pcell").as("bucket"), col("isb"))
+    val cand = Dedup.bucketPairs(banded, requireFlagged = true, cap = maxCell)
+    // verification universe: corpus ∪ batch vectors, semi-joined down to
+    // candidate ids BEFORE cell re-assignment — cellsTop is nlist × dim
+    // dot products per row, exactly the per-corpus-vector cost this
+    // operator exists to avoid, so the restriction must precede it in
+    // the plan rather than hope the optimizer pushes it
+    val universe = corpus.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+    val restricted = Dedup.restrictToCandidates(
+      universe.select(col(idCol).as("id"), col(vecCol).as("p")), cand)
+      .select(col("id").as(idCol), col("p").as(vecCol))
+    verifySemanticPairs(
+      cand, assignCells(restricted, cents, probeCells, idCol, vecCol), threshold)
   }
 
   /** The SHARED-CELL near-dup candidate pairs SemDeDup considers: every

@@ -321,6 +321,39 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("incrementalSemanticDupPairs equals the same-centroid full run " +
+    "restricted to pairs touching the batch") {
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.fill(5)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val all = (0 until 30).map { i =>
+      val a = anchors(i % 5)
+      (i.toLong, a.map(x => x + (rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val batch = all.filter($"vec_id" % 3 === 0)
+    val corpus = all.filter($"vec_id" % 3 =!= 0)
+    // index built on the corpus: centroids FROZEN there (the coarse-
+    // quantizer contract), postings = corpus cell assignments
+    val (postings, cents) = Similarity.semanticCellIndex(
+      corpus, nlist = 5, probeCells = 2)
+    import scala.jdk.CollectionConverters._
+    val idx = spark.createDataFrame( // persisted-postings shape
+      postings.collect().toSeq.asJava, postings.schema)
+    val inc = Similarity.incrementalSemanticDupPairs(
+      batch, corpus, idx, cents, threshold = 0.9, probeCells = 2)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    // reference: the SAME-CENTROID full run over corpus ∪ batch — built
+    // through the incremental API with an empty corpus and empty index,
+    // which degenerates to plain all-pairs generation under `cents`
+    val empty = all.filter(lit(false))
+    val fullSameCents = Similarity.incrementalSemanticDupPairs(
+      all, empty, idx.filter(lit(false)), cents, threshold = 0.9, probeCells = 2)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+      .filter(t => t._1 % 3 == 0 || t._2 % 3 == 0)
+    assert(fullSameCents.nonEmpty, "fixture must produce semantic near-dups")
+    // equality both ways, cosines AND centroid cosines included
+    assert(inc == fullSameCents)
+  }
+
   test("incrementalCosineDupPairs equals the full LSH run restricted to " +
     "pairs touching the batch (persisted index, exact scores)") {
     val rnd = new scala.util.Random(7)
