@@ -286,6 +286,35 @@ object QueriesEngine {
         .orderBy("id", "band")
     }),
 
+    // -- the delete_where stage key end-to-end: a load followed by a
+    //    config-driven predicate purge on the TARGET (row-level TTL /
+    //    GDPR erasure — the set-based complement of the reference's
+    //    id-list delete, Pype.py:179-186), with the retention cutoff
+    //    riding a placeholder. On the bucketed target only buckets
+    //    holding matching rows rewrite (BucketedMergeSinkSpec pins
+    //    that); the oracle replays load + purge in plain SQL.
+    "q119_delete_where" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [orders_ttl]
+          |pypes:
+          |  orders_ttl:
+          |    extract_query: "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 0"
+          |    target_table: q119_orders
+          |    type: upsert
+          |    key: [o_orderkey]
+          |    buckets: 8
+          |    delete_where: "o_totalprice > {cap}"
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-rundw", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      new Runner(s, PipelineSpec.fromYaml(yaml), Map("cap" -> "200000"), tmp)
+        .run("demo")
+      graft.sink.BucketedMergeSink.read(s, s"$tmp/q119_orders")
+        .orderBy("o_orderkey")
+    }),
+
     // -- LIVE jdbc round-trip (A2 + Layer B jdbc scan/sink): parquet →
     //    Derby (embedded, in-process — the only live DB this container
     //    has; same Spark jdbc codepath as MySQL/Postgres) via writeJdbc,
@@ -631,6 +660,11 @@ object QueriesEngine {
     // full row wins — MergeSink.dedupeBatch), which QUALIFY re-derives
     // q86 = q33's run through a bucketed target: layout changes, the
     // relation does not — the oracle is intentionally identical
+    "q119_delete_where" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 10 = 0 AND NOT (o_totalprice > 200000)
+        |ORDER BY o_orderkey""".stripMargin,
     "q116_pipeline_minhash_index" ->
       """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS band,
         |  CAST(NULL AS VARCHAR) AS violation

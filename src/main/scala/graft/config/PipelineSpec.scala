@@ -57,6 +57,11 @@ final case class StageSpec(
                                // load's delta (BucketedMergeSink
                                // .syncMinhashIndex; idempotent catch-up)
     minhashIndexText: String = "text", // column the index signs
+    deleteWhere: String = "", // post-load predicate purge on the TARGET
+                              // (row-level TTL / GDPR erasure): every
+                              // target row matching this SQL boolean is
+                              // removed after the load (MergeSink
+                              // .deleteWhere; placeholders hydrate)
     debug: Boolean = false)
 
 /** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
@@ -170,6 +175,7 @@ object PipelineSpec {
       changeFeed = str("change_feed", ""),
       minhashIndex = str("minhash_index", ""),
       minhashIndexText = str("minhash_index_text", "text"),
+      deleteWhere = str("delete_where", ""),
       debug = str("debug", "false").toBoolean)
   }
 }

@@ -154,7 +154,7 @@ final class Runner(
     val transformed = TransformerRegistry.applyChain(
       extracted, TransformerRegistry.loadChain(stage.transformers))
     val t2 = System.nanoTime()
-    val rows = load(stage, transformed)
+    val rows = load(stage, transformed, ph)
     if (stage.postQuery.nonEmpty)
       // count(), NOT collect(): the reference's post-hook is side-effect
       // SQL (Pype.py:80,164-168) whose result is discarded — a user
@@ -188,7 +188,7 @@ final class Runner(
     spark.sql(Hydrate(stage.extractQuery, ph))
   }
 
-  private def load(stage: StageSpec, df: DataFrame): Long = {
+  private def load(stage: StageSpec, df: DataFrame, ph: Map[String, String]): Long = {
     if (stage.targetTable.isEmpty) return df.count()
     val path = targetPath(stage.targetTable)
     // `compact: true` needs a bucketed layout — validate BEFORE the merge
@@ -276,6 +276,14 @@ final class Runner(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
         stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions,
         scd2Ts = stage.scd2Ts)
+    // `delete_where:` purges matching target rows right after the load —
+    // row-level TTL / GDPR erasure as a stage property (the hydrated
+    // predicate lets a retention cutoff ride placeholders). Runs BEFORE
+    // compaction and the outbox/index catch-ups so the purge lands in
+    // the same maintenance pass and its version is fed/synced like any
+    // other.
+    if (stage.deleteWhere.nonEmpty)
+      MergeSink.deleteWhere(spark, path, Hydrate(stage.deleteWhere, ph))
     // `compact: true` runs the bucketed layout's small-file maintenance
     // after the load (validated before the merge above — a flat target
     // fails loudly BEFORE its write, not silently and not after)

@@ -881,6 +881,63 @@ object BucketedMergeSink {
     fragmented
   }
 
+  /** Predicate-based delete over a bucketed target — see
+    * [[MergeSink.deleteWhere]] for the semantics. Physical cost: ONE
+    * filtered scan locates the buckets holding matching rows (parquet
+    * row-group statistics prune it where the predicate allows), then
+    * only those buckets rewrite — O(touched buckets), the same
+    * asymmetry as the merge; a bucket the purge empties drops from the
+    * manifest (and its dir is GC'd) exactly like an id-based delete
+    * that empties it. Commits one manifest version under the same
+    * optimistic single-writer detection as merge/compact. Returns the
+    * rewritten bucket ids (empty = nothing matched, no version
+    * committed). */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      condition: String,
+      retainVersions: Int = 0): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    val meta = readMeta(spark, path)
+    val retention = resolveRetention(retainVersions, meta, path)
+    val baseFile = currentManifestFile(fs, path)
+    val base = baseFile.map(versionOf).getOrElse(0L)
+    val mapping = baseFile.map(parseManifest(fs, _)).getOrElse(Map.empty[Int, String])
+    gcUnreferenced(fs, path)
+    if (mapping.isEmpty) return Nil
+    val pred = expr(condition)
+    // which buckets hold matching rows? re-derive the routing bucket on
+    // the filtered scan — bounded output (<= numBuckets distinct ids)
+    val touched = readBuckets(spark, path, mapping.keys.toSeq.sorted)
+      .filter(coalesce(pred, lit(false)))
+      .select(bucketExpr(meta.key, meta.numBuckets).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+    // rewrite the touched buckets without their matching rows (null
+    // predicate = not a match = survives, SQL DELETE semantics)
+    val slice = readBuckets(spark, path, touched)
+      .filter(!coalesce(pred, lit(false)))
+      .withColumn(bucketCol, bucketExpr(meta.key, meta.numBuckets))
+    val commit = "c" + UUID.randomUUID().toString
+    val commitPath = new Path(new Path(path, dataDir), commit)
+    try slice.repartition(col(bucketCol))
+      .write.partitionBy(bucketCol).parquet(commitPath.toString)
+    catch { case e: Throwable => fs.delete(commitPath, true); throw e }
+    // a fully-purged bucket writes no partition dir: drop it from the
+    // manifest rather than point at a missing leaf
+    val written = fs.listStatus(commitPath).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(s"$bucketCol="))
+      .map(_.stripPrefix(s"$bucketCol=").toInt).toSet
+    val newMapping = (mapping -- touched) ++
+      touched.filter(written).map(_ -> commit)
+    try commitManifest(fs, path, newMapping, retention, expectedBase = base)
+    catch { case e: ConcurrentWriteException =>
+      fs.delete(commitPath, true); throw e
+    }
+    gcUnreferenced(fs, path)
+    touched
+  }
+
   /** Driver-side parallel map over per-bucket filesystem metadata calls:
     * object stores serve ~tens of listings/s per thread, so a serial
     * loop over 10k buckets takes minutes while 32 threads take seconds.

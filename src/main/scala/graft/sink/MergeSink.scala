@@ -691,6 +691,36 @@ object MergeSink {
     }
   }
 
+  /** Predicate-based delete (row-level TTL expiry, GDPR erasure): remove
+    * every target row matching `condition` (a SQL boolean expression over
+    * the target's columns). The reference's delete is id-list-based
+    * (Pype.py:179-186); this is its set-based complement — the shape a
+    * retention policy or right-to-be-forgotten sweep actually runs,
+    * where the victims are defined by a predicate, not an id feed.
+    *
+    * Flat targets: one read-filter-atomic-rewrite (the same commit
+    * boundary as every flat merge). Bucketed targets route to
+    * [[BucketedMergeSink.deleteWhere]], which rewrites ONLY buckets that
+    * contain at least one matching row. No-op (and no new version /
+    * target creation) when nothing matches or the target is absent. */
+  def deleteWhere(spark: SparkSession, path: String, condition: String): Unit = {
+    if (BucketedMergeSink.isBucketed(spark, path)) {
+      BucketedMergeSink.deleteWhere(spark, path, condition): Unit
+      return
+    }
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return // nothing to delete from
+    val base = dirState(fs, new Path(path))
+    val target = spark.read.parquet(path)
+    val pred = expr(condition)
+    // empty-match fast path: skip the rewrite entirely (and its version
+    // churn) when the predicate hits nothing
+    if (target.filter(pred).isEmpty) return
+    // null-safe complement: a row where the predicate is NULL is NOT a
+    // match and must survive (SQL DELETE semantics)
+    writeAtomicGuarded(target.filter(!coalesce(pred, lit(false))), path, Some(base))
+  }
+
   /** Read-merge-write against a parquet target path, creating it if absent
     * (upsert/update against an empty target = plain insert / no-op).
     *

@@ -661,6 +661,40 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
       .filter($"batch_id" === 4).count() == 2) // pre+post of key 1
   }
 
+  test("deleteWhere: predicate purge rewrites ONLY buckets holding " +
+    "matches, drops emptied buckets, keeps null-predicate rows, and " +
+    "no-ops cleanly when nothing matches") {
+    val path = tmpTarget()
+    val n = 4
+    // v column drives the predicate; key 999 gets a NULL v (predicate
+    // NULL = not a match = survives, SQL DELETE semantics)
+    val rows = seed(40).unionByName(
+      Seq((999L, "nullv", null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "name", "v").selectExpr("id", "name", "CAST(v AS BIGINT) AS v"))
+    BucketedMergeSink.merge(spark, rows, path, "upsert", Seq("id"), numBuckets = n)
+    val before = (0 until n).map(b => b -> bucketState(path, b)).toMap
+    // purge v > 250 — victims 26..40 hash across some buckets
+    val touched = BucketedMergeSink.deleteWhere(spark, path, "v > 250")
+    val victims = (26 to 40).map(_.toLong).toSet
+    val expectTouched = victims.map(id => Seq(id).toDF("id")
+      .select(BucketedMergeSink.bucketExpr(Seq("id"), n)).as[Int].head()).toSet
+    assert(touched.toSet == expectTouched, s"touched $touched vs $expectTouched")
+    for (b <- 0 until n if !expectTouched(b))
+      assert(bucketState(path, b) == before(b), s"untouched bucket $b rewritten")
+    val left = BucketedMergeSink.read(spark, path).select("id").as[Long].collect().toSet
+    assert(left == ((1 to 25).map(_.toLong).toSet + 999L),
+      "survivors = non-matching rows plus the NULL-predicate row")
+    // no-op purge: no version committed, no files moved
+    val vBefore = BucketedMergeSink.manifestVersions(spark, path).max
+    assert(BucketedMergeSink.deleteWhere(spark, path, "v > 100000").isEmpty)
+    assert(BucketedMergeSink.manifestVersions(spark, path).max == vBefore)
+    // purge EVERYTHING: all buckets drop from the manifest
+    BucketedMergeSink.deleteWhere(spark, path, "id IS NOT NULL")
+    assert(BucketedMergeSink.read(spark, path).count() == 0)
+    assert(BucketedMergeSink.manifest(spark, path).isEmpty,
+      "fully-purged buckets must leave the manifest")
+  }
+
   test("syncMinhashIndex: the postings index tracks the target through " +
     "upserts, text updates, null-texts, and deletes; idempotent; " +
     "crash-replay safe; refuses a GC'd gap") {

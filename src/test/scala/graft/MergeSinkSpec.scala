@@ -517,4 +517,26 @@ class MergeSinkSpec extends AnyFunSuite with SparkTestBase {
         MergeSink.upsert(target, batch, Seq("id"), excluded = Seq("note")),
         ids, "id").orderBy("id"))
   }
+
+  test("deleteWhere on a flat target: predicate purge with SQL DELETE " +
+    "null semantics, atomic rewrite, absent/no-match fast paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dw").toString + "/t"
+    // absent target: no-op, no creation
+    MergeSink.deleteWhere(spark, dir, "v > 0")
+    assert(!new java.io.File(dir).exists())
+    Seq((1L, 10L), (2L, 20L), (3L, 300L))
+      .toDF("id", "v")
+      .unionByName(Seq((4L, null.asInstanceOf[java.lang.Long])).toDF("id", "v")
+        .selectExpr("id", "CAST(v AS BIGINT) AS v"))
+      .write.parquet(dir)
+    MergeSink.deleteWhere(spark, dir, "v > 100")
+    // null predicate = not a match = survives (SQL DELETE semantics)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    // no-match purge: content unchanged (fast path skips the rewrite)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    MergeSink.deleteWhere(spark, dir, "v > 100000")
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == files,
+      "a purge matching nothing must not rewrite the target")
+  }
 }

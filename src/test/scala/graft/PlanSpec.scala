@@ -104,6 +104,38 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q115/q118: the incremental pair paths keep every (band, bucket) " +
+    "exchange id-only — no vector payload rides the probe") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" ->
+        spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (q <- Seq("q115_incremental_embed", "q118_incremental_semantic")) {
+        val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+        val bandExchanges = exec.collect {
+          case e: ShuffleExchangeExec if (e.outputPartitioning match {
+                case h: HashPartitioning =>
+                  h.expressions.flatMap(_.references.map(_.name).toSeq)
+                    .contains("bucket")
+                case _ => false
+              }) => e
+        }
+        assert(bandExchanges.nonEmpty, s"$q: expected a (band, bucket) exchange")
+        bandExchanges.foreach { e =>
+          assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"$q: a vector column rides the probe exchange:\n$e")
+        }
+      }
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q52: embedding-LSH bucket exchange carries ids only, like q49") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
