@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract: the LAST stdout line of `sbt "runMain
+// graft.Bench"` must be the bare compact-JSON line — no sbt logger
+// decoration. Two pieces:
+//  1. StdoutOutput inherits the forked JVM's stdout/stderr directly,
+//     so Bench's println lands unprefixed (no `[info] ` wrapper);
+//  2. showSuccess := false drops the `[success] Total time: ...`
+//     trailer sbt would otherwise print AFTER the JSON line.
+// BENCH_r{9,10,11}.json all had parsed:null from exactly these two
+// decorations (see VERDICT r11 "What's wrong" #1).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -75,6 +75,33 @@ class BenchWorkSpec extends AnyFunSuite with SparkTestBase {
     assert(node.get("slowest_10").size() == 10)
     assert(node.get("failed").asInt() == 0)
     assert(node.get("data").size() == Tables.names.size)
+    // the line must be BARE JSON from column 0 — the r11 failure mode
+    // was sbt's `[info] ` logger prefix wrapping an otherwise-intact
+    // line (build.sbt now sets run/outputStrategy := StdoutOutput so
+    // the forked Bench's println is inherited undecorated, and
+    // showSuccess := false so no `[success]` line prints after it);
+    // this guards the Bench side: the emitted string itself must start
+    // the line and parse standalone with no surrounding text
+    assert(line.startsWith("{") && line.endsWith("}"),
+      s"compact line must be a bare standalone JSON object: $line")
+    assert(!line.contains("\n"), "compact line must be a single line")
+  }
+
+  test("build.sbt keeps the undecorated-stdout bench contract") {
+    // The driver parses the tail of `sbt "runMain graft.Bench"` stdout.
+    // BENCH_r{9,10,11}.json were all parsed:null because sbt decorated
+    // the stream. Pin the two build settings that strip the decoration
+    // so a future build.sbt edit can't silently regress the one driver
+    // contract that took three rounds to satisfy.
+    val sbtText = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("build.sbt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(sbtText.contains("OutputStrategy.StdoutOutput"),
+      "run/outputStrategy must inherit the forked JVM's stdout " +
+        "(kills the [info] prefix on the bench JSON line)")
+    assert(sbtText.contains("showSuccess := false"),
+      "showSuccess must be off so sbt's [success] trailer doesn't " +
+        "print after the bench JSON line")
   }
 
   test("host-contention snapshot reads real counters and deltas to sane JSON") {
