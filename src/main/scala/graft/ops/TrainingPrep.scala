@@ -568,7 +568,15 @@ object TrainingPrep {
       else call_function("approx_percentile", col(scoreCol), lit(q), lit(accuracy))
     val cuts = df.groupBy(groupCols.map(col): _*)
       .agg(round(cutExpr + lit(1e-6), 4).as("q_cutoff"))
-    df.join(cuts, groupCols)
+      // NULL group values form their own source group (SQL GROUP BY
+      // semantics, matching DuckDB's): the gate join must be null-SAFE,
+      // because a plain equi-join can never match null=null and would
+      // silently drop every null-group row from the output — neither
+      // gated nor passed through
+      .select(groupCols.map(g => col(g).as(s"__cut_$g")) :+ col("q_cutoff"): _*)
+    val cond = groupCols.map(g => df(g) <=> cuts(s"__cut_$g")).reduce(_ && _)
+    df.join(cuts, cond)
       .filter(col(scoreCol) >= col("q_cutoff"))
+      .drop(groupCols.map(g => s"__cut_$g"): _*)
   }
 }

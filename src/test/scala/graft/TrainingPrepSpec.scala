@@ -426,4 +426,24 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(approx.subsetOf(Set(2L, 3L, 4L, 6L, 7L)) && approx.size >= 3)
   }
+
+  test("qualityQuantileGate: rows with a NULL group key form their own " +
+    "source group (gated against their own cutoff, never dropped)") {
+    // null group = [10,20,30,40] -> 0.5-quantile 25.0; "en" = [5,15,25]
+    // -> 15.0. A null-unsafe equi-join would silently discard all four
+    // null-lang rows (the r11 ADVICE finding); SQL GROUP BY — and
+    // DuckDB — treat NULL as one group, so they must gate normally.
+    val rows = Seq(
+      (1L, null, 10L), (2L, null, 20L), (3L, null, 30L), (4L, null, 40L),
+      (5L, "en", 5L), (6L, "en", 15L), (7L, "en", 25L))
+      .toDF("doc_id", "lang", "score")
+    val out = graft.ops.TrainingPrep.qualityQuantileGate(
+      rows, "score", 0.5, Seq("lang"), exact = true)
+    val got = out.select("doc_id", "q_cutoff")
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(3L, 4L, 6L, 7L), s"got ${got.keySet}")
+    assert(got(3L) == 25.0 && got(6L) == 15.0)
+    // output schema is unchanged by the null-safe join plumbing
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "score", "q_cutoff"))
+  }
 }
