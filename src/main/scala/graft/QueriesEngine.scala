@@ -315,6 +315,93 @@ object QueriesEngine {
         .orderBy("o_orderkey")
     }),
 
+    // -- q116's embedding twin: the lsh_index stage key end-to-end. Two
+    //    pipeline runs load growing embedding slices while the config
+    //    keeps the cosine-LSH bucket postings in lockstep (syncLshIndex
+    //    replays each load's snapshot diff, signing only changed
+    //    vectors). Emitted rows are VIOLATIONS — postings in the synced
+    //    index xor a fresh signing of the target's current state — so
+    //    the oracle is the empty relation and any drift hash-fails.
+    "q120_pipeline_lsh_index" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [vecs_indexed]
+          |pypes:
+          |  vecs_indexed:
+          |    extract_query: "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 < {slice}"
+          |    target_table: q120_vecs
+          |    type: upsert
+          |    key: [vec_id]
+          |    buckets: 8
+          |    retain_versions: 2
+          |    lsh_index: q120_lsh
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runli", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("slice" -> "1"), tmp)
+      runner.run("demo")
+      runner.run("demo", Map("slice" -> "2")) // second load grows the slice
+      val stored = s.read.parquet(s"$tmp/q120_lsh")
+        .select(col("id"), col("band").cast("long").as("band"), col("bucket"))
+        .withColumn("src", lit("index"))
+      val freshly = graft.ops.Similarity.lshBucketIndex(
+        graft.sink.BucketedMergeSink.read(s, s"$tmp/q120_vecs"), idCol = "vec_id")
+        .select(col("id"), col("band").cast("long").as("band"), col("bucket"))
+        .withColumn("src", lit("fresh"))
+      stored.unionByName(freshly)
+        .groupBy("id", "band", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 2) // present on exactly one side = drift
+        .select(col("id"), col("band"),
+          lit("index_drift").as("violation"))
+        .orderBy("id", "band")
+    }),
+
+    // -- q116's SemDeDup twin: the semantic_index stage key end-to-end.
+    //    Two pipeline runs; centroids train at the FIRST run's bootstrap
+    //    and freeze (persisted at <index>.centroids); each later load's
+    //    delta is assigned under that frozen model. Violations = synced
+    //    postings xor the frozen-model assignment of the target's
+    //    current state (the incremental path's whole promise: never a
+    //    retrain, never a stale or missing posting).
+    "q121_pipeline_semantic_index" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [vecs_cells]
+          |pypes:
+          |  vecs_cells:
+          |    extract_query: "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 < {slice}"
+          |    target_table: q121_vecs
+          |    type: upsert
+          |    key: [vec_id]
+          |    buckets: 8
+          |    retain_versions: 2
+          |    semantic_index: q121_cells
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runsi", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("slice" -> "1"), tmp)
+      runner.run("demo")
+      runner.run("demo", Map("slice" -> "2")) // second load grows the slice
+      val stored = s.read.parquet(s"$tmp/q121_cells")
+        .select(col("id"), col("pcell").cast("long").as("pcell"))
+        .withColumn("src", lit("index"))
+      val freshly = graft.ops.Similarity.assignBatchCells(
+          graft.sink.BucketedMergeSink.read(s, s"$tmp/q121_vecs"),
+          s.read.parquet(s"$tmp/q121_cells.centroids"))
+        .select(col("id"), col("pcell").cast("long").as("pcell"))
+        .withColumn("src", lit("fresh"))
+      stored.unionByName(freshly)
+        .groupBy("id", "pcell").agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 2) // present on exactly one side = drift
+        .select(col("id"), col("pcell"),
+          lit("index_drift").as("violation"))
+        .orderBy("id", "pcell")
+    }),
+
     // -- LIVE jdbc round-trip (A2 + Layer B jdbc scan/sink): parquet →
     //    Derby (embedded, in-process — the only live DB this container
     //    has; same Spark jdbc codepath as MySQL/Postgres) via writeJdbc,
@@ -667,6 +754,14 @@ object QueriesEngine {
         |ORDER BY o_orderkey""".stripMargin,
     "q116_pipeline_minhash_index" ->
       """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS band,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q120_pipeline_lsh_index" ->
+      """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS band,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q121_pipeline_semantic_index" ->
+      """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS pcell,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q86_pipeline_bucketed" ->

@@ -57,6 +57,22 @@ final case class StageSpec(
                                // load's delta (BucketedMergeSink
                                // .syncMinhashIndex; idempotent catch-up)
     minhashIndexText: String = "text", // column the index signs
+    lshIndex: String = "", // bucketed targets only (retention like
+                           // minhash_index, single-column key):
+                           // embedding near-dup index name — after each
+                           // load, keep the persisted cosine-LSH bucket
+                           // postings in lockstep with the target by
+                           // signing only the load's delta
+                           // (BucketedMergeSink.syncLshIndex)
+    lshIndexVec: String = "embedding", // column the LSH index signs
+    semanticIndex: String = "", // bucketed targets only (same
+                                // requirements): SemDeDup cell index
+                                // name — postings tracked per load
+                                // under centroids FROZEN at the index's
+                                // bootstrap (BucketedMergeSink
+                                // .syncSemanticIndex; the model lives
+                                // at <index>.centroids)
+    semanticIndexVec: String = "embedding", // column the cell index signs
     deleteWhere: String = "", // post-load predicate purge on the TARGET
                               // (row-level TTL / GDPR erasure): every
                               // target row matching this SQL boolean is
@@ -175,6 +191,10 @@ object PipelineSpec {
       changeFeed = str("change_feed", ""),
       minhashIndex = str("minhash_index", ""),
       minhashIndexText = str("minhash_index_text", "text"),
+      lshIndex = str("lsh_index", ""),
+      lshIndexVec = str("lsh_index_vec", "embedding"),
+      semanticIndex = str("semantic_index", ""),
+      semanticIndexVec = str("semantic_index_vec", "embedding"),
       deleteWhere = str("delete_where", ""),
       debug = str("debug", "false").toBoolean)
   }

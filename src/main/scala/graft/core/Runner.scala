@@ -206,51 +206,60 @@ final class Runner(
       require(stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path),
         s"stage ${stage.name}: retain_versions needs a bucketed target " +
           "(set buckets: N, or point at an existing bucketed layout)")
-    // change_feed publishes per-version snapshot diffs, so it needs a
-    // bucketed layout AND a retention window deep enough that the
-    // previous snapshot is still readable at publish time. Validate
+    // change_feed / *_index replay per-version snapshot diffs, so they
+    // need a bucketed layout AND a retention window covering every
+    // version this run commits PLUS its predecessor: the run commits
+    // one version for the merge and one more for each of delete_where
+    // and compact, and the feeds/indexes catch up once at the end — at
+    // the old minimum of 2, a delete_where stage GC'd the merge
+    // version's predecessor before the feed ever diffed it, silently
+    // losing that batch from the outbox. The index families also need a
+    // single-column merge key (postings pair on one id). Validate
     // BEFORE the merge: a misconfigured outbox must not cost a write.
-    if (stage.changeFeed.nonEmpty) {
+    val derived = Seq(
+      ("change_feed", stage.changeFeed, false),
+      ("minhash_index", stage.minhashIndex, true),
+      ("lsh_index", stage.lshIndex, true),
+      ("semantic_index", stage.semanticIndex, true)).filter(_._2.nonEmpty)
+    if (derived.nonEmpty) {
       val bucketed =
         stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path)
-      require(bucketed,
-        s"stage ${stage.name}: change_feed needs a bucketed target " +
-          "(set buckets: N, or point at an existing bucketed layout)")
       val retain =
         if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
           math.max(stage.retainVersions,
             graft.sink.BucketedMergeSink.retention(spark, path))
         else stage.retainVersions
-      require(retain >= 2,
-        s"stage ${stage.name}: change_feed needs retain_versions >= 2 " +
-          "(the previous snapshot must still be retained when the feed " +
-          s"is published), got $retain")
-    }
-    // minhash_index replays per-version snapshot diffs into the postings
-    // index, so it inherits change_feed's layout requirements, plus a
-    // single-column merge key (postings pair on one id). Validate BEFORE
-    // the merge, same rationale.
-    if (stage.minhashIndex.nonEmpty) {
-      val bucketed =
-        stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path)
-      require(bucketed,
-        s"stage ${stage.name}: minhash_index needs a bucketed target " +
-          "(set buckets: N, or point at an existing bucketed layout)")
-      val retain =
-        if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
-          math.max(stage.retainVersions,
-            graft.sink.BucketedMergeSink.retention(spark, path))
-        else stage.retainVersions
-      require(retain >= 2,
-        s"stage ${stage.name}: minhash_index needs retain_versions >= 2 " +
-          "(the previous snapshot must still be retained when the index " +
-          s"syncs), got $retain")
-      require(stage.key.size == 1,
-        s"stage ${stage.name}: minhash_index needs a single-column key, " +
-          s"got ${stage.key.mkString(",")}")
-      require(stage.loadType != "scd2",
-        s"stage ${stage.name}: minhash_index is undefined over scd2 " +
-          "history targets (multiple versions per key)")
+      val commitsPerRun = 1 + (if (stage.deleteWhere.nonEmpty) 1 else 0) +
+        (if (stage.compact) 1 else 0)
+      derived.foreach { case (kind, _, singleKey) =>
+        require(bucketed,
+          s"stage ${stage.name}: $kind needs a bucketed target " +
+            "(set buckets: N, or point at an existing bucketed layout)")
+        require(retain >= commitsPerRun + 1,
+          s"stage ${stage.name}: $kind needs retain_versions >= " +
+            s"${commitsPerRun + 1} (this stage commits up to " +
+            s"$commitsPerRun versions per run — the merge" +
+            (if (stage.deleteWhere.nonEmpty) ", delete_where" else "") +
+            (if (stage.compact) ", compact" else "") +
+            " — and each one's predecessor must still be retained when " +
+            s"the feed/index catches up), got $retain")
+        if (singleKey) {
+          require(stage.key.size == 1,
+            s"stage ${stage.name}: $kind needs a single-column key, " +
+              s"got ${stage.key.mkString(",")}")
+          require(stage.loadType != "scd2",
+            s"stage ${stage.name}: $kind is undefined over scd2 " +
+              "history targets (multiple versions per key)")
+        }
+      }
+      // CATCH UP BEFORE THE LOAD: versions left pending by a previous
+      // run's crash between its load and its catch-up are
+      // published/synced FIRST, while their predecessors are still
+      // retained — committing this run's versions first could slide
+      // the retention window past the pending version, turning the
+      // self-healing catch-up into a hard refusal.
+      if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
+        catchUpDerived(stage, path)
     }
     // `buckets: N` in the stage YAML stores the target hash-bucketed on
     // the merge key (graft.sink.BucketedMergeSink): an incremental load
@@ -281,7 +290,8 @@ final class Runner(
     // predicate lets a retention cutoff ride placeholders). Runs BEFORE
     // compaction and the outbox/index catch-ups so the purge lands in
     // the same maintenance pass and its version is fed/synced like any
-    // other.
+    // other — sound because the retention validation above guarantees
+    // the window holds every version this run commits plus one.
     if (stage.deleteWhere.nonEmpty)
       MergeSink.deleteWhere(spark, path, Hydrate(stage.deleteWhere, ph))
     // `compact: true` runs the bucketed layout's small-file maintenance
@@ -290,22 +300,12 @@ final class Runner(
     if (stage.compact)
       graft.sink.BucketedMergeSink.compact(spark, path,
         maxFiles = stage.compactMaxFiles)
-    // CDC outbox catch-up AFTER the load (and compaction — a compact
-    // commits a version too, whose feed is an empty diff): every
-    // retained version without a published partition gets one, so a
-    // crash between load and publish self-heals on the next run
-    if (stage.changeFeed.nonEmpty)
-      graft.sink.BucketedMergeSink.publishChangeFeed(
-        spark, path, targetPath(stage.changeFeed),
-        extraKey = if (stage.loadType == "scd2") Seq("valid_from") else Nil): Unit
-    // near-dup index catch-up AFTER the load, same self-healing contract
-    // as the outbox: every retained version the index hasn't applied is
-    // replayed (signing only its delta), so a crash between load and
-    // sync closes itself on the next run
-    if (stage.minhashIndex.nonEmpty)
-      graft.sink.BucketedMergeSink.syncMinhashIndex(
-        spark, path, targetPath(stage.minhashIndex),
-        textCol = stage.minhashIndexText): Unit
+    // outbox/index catch-up AFTER the load, delete_where and compaction
+    // (each commits a version; a compact's feed is an empty diff):
+    // every retained version without a published partition / applied
+    // marker gets one, so a crash anywhere in this pass self-heals on
+    // the next run's catch-up-BEFORE-load
+    if (derived.nonEmpty) catchUpDerived(stage, path)
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)
@@ -315,5 +315,31 @@ final class Runner(
     // count) — counting `df` here would re-run the whole extract+transform
     // plan a second time just for the log line, doubling stage cost
     result.count()
+  }
+
+  /** Publish/sync every retained target version the stage's CDC outbox
+    * and near-dup indexes have not applied yet — each call is an
+    * idempotent catch-up ([[graft.sink.BucketedMergeSink]]'s
+    * publish/sync contract). Invoked BEFORE the load (healing a
+    * previous run's crash while the pending version's predecessor is
+    * still retained) and again AFTER it (applying this run's
+    * versions). */
+  private def catchUpDerived(stage: StageSpec, path: String): Unit = {
+    if (stage.changeFeed.nonEmpty)
+      graft.sink.BucketedMergeSink.publishChangeFeed(
+        spark, path, targetPath(stage.changeFeed),
+        extraKey = if (stage.loadType == "scd2") Seq("valid_from") else Nil): Unit
+    if (stage.minhashIndex.nonEmpty)
+      graft.sink.BucketedMergeSink.syncMinhashIndex(
+        spark, path, targetPath(stage.minhashIndex),
+        textCol = stage.minhashIndexText): Unit
+    if (stage.lshIndex.nonEmpty)
+      graft.sink.BucketedMergeSink.syncLshIndex(
+        spark, path, targetPath(stage.lshIndex),
+        vecCol = stage.lshIndexVec): Unit
+    if (stage.semanticIndex.nonEmpty)
+      graft.sink.BucketedMergeSink.syncSemanticIndex(
+        spark, path, targetPath(stage.semanticIndex),
+        vecCol = stage.semanticIndexVec): Unit
   }
 }

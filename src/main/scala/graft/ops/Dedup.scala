@@ -468,6 +468,32 @@ object Dedup {
     * survive — the incremental path's "touches the new batch" filter.
     * Shared with the embedding-LSH family (same shape, (table, sig)
     * renamed to (band, bucket)). */
+  /** The incremental-family SLICE construction, shared by
+    * [[incrementalMinhashPairs]] /
+    * [[Similarity.incrementalCosineDupPairs]] /
+    * [[Similarity.incrementalSemanticDupPairs]]: semi-join the
+    * persisted postings down to the (band, bucket) keys the signed
+    * batch touches (the probe side broadcasts under AQE; the index is
+    * scanned columnar, never shuffled), then union BEFORE grouping so a
+    * touched bucket sees its FULL membership — bucket sizes, and
+    * therefore the over-full-bucket cap, bind identically to the full
+    * run. That union-before-grouping ordering is the one subtlety every
+    * family must get right, which is why it lives in exactly one place.
+    * Both inputs are `(id, band, bucket)` postings; output is the
+    * deduped candidate pairs with at least one batch side. */
+  private[ops] def incrementalCandidates(
+      batchBanded: DataFrame,
+      index: DataFrame,
+      cap: Int = 10000): DataFrame = {
+    val probeKeys = batchBanded.select("band", "bucket").distinct()
+    val touched = index.select(col("id"), col("band"), col("bucket"))
+      .join(probeKeys, Seq("band", "bucket"), "left_semi")
+    val banded = touched.withColumn("isb", lit(0L))
+      .unionByName(batchBanded.select(col("id"), col("band"), col("bucket"))
+        .withColumn("isb", lit(1L)))
+    bucketPairs(banded, requireFlagged = true, cap = cap)
+  }
+
   private[ops] def bucketPairs(
       banded: DataFrame, requireFlagged: Boolean, cap: Int = 10000): DataFrame = {
     val capped = udaf(new graft.functions.CappedCollect(cap))
@@ -580,15 +606,7 @@ object Dedup {
       else t => shingles(normalize(t), k)
     val batchBanded = minhashBandIndex(
       batch, k, bands, rowsPerBand, idCol, textCol, charGrams)
-    val probeKeys = batchBanded.select("band", "bucket").distinct()
-    val touched = index.select(col("id"), col("band"), col("bucket"))
-      .join(probeKeys, Seq("band", "bucket"), "left_semi")
-    // union BEFORE grouping so a touched bucket sees its full membership
-    // (index rows + batch rows): bucket sizes — and therefore the
-    // over-full-bucket cap — bind identically to the full run
-    val banded = touched.withColumn("isb", lit(0L))
-      .unionByName(batchBanded.withColumn("isb", lit(1L)))
-    val cand = bucketPairs(banded, requireFlagged = true)
+    val cand = incrementalCandidates(batchBanded, index)
     val texts = corpus.select(col(idCol).as("id"), col(textCol).as("__txt"))
       .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("__txt")))
     verifyJaccardPairs(cand, texts, shingler, threshold)

@@ -207,7 +207,13 @@ object Similarity {
     // `tables`, and an over-full bucket would assemble them all in one
     // buffer. Ids are collected with a bounded CappedCollect; vectors
     // re-join once, post-dedup, for exact verification.
+    // NULL vectors sign to NOTHING (like a null text under
+    // minhashBandIndex) — without the explicit filter the signature's
+    // when/otherwise folds every null dot product to bit 0 and all null
+    // vectors pile into bucket 0, bloating its candidate lists with ids
+    // that can never verify (their cosine is null).
     Dedup.widen(df)
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         explode_outer(array(sigs: _*)).as("b"))
       .filter(col("b").isNotNull)
@@ -249,14 +255,7 @@ object Similarity {
       vecCol: String = "embedding",
       maxBucket: Int = 10000): DataFrame = {
     val batchBucketed = lshBucketIndex(batch, tables, bits, dim, idCol, vecCol)
-    val probeKeys = batchBucketed.select("band", "bucket").distinct()
-    val touched = index.select(col("id"), col("band"), col("bucket"))
-      .join(probeKeys, Seq("band", "bucket"), "left_semi")
-    // union BEFORE grouping: a touched bucket sees its full membership,
-    // so the over-full-bucket cap binds identically to the full run
-    val banded = touched.withColumn("isb", lit(0L))
-      .unionByName(batchBucketed.withColumn("isb", lit(1L)))
-    val cand = Dedup.bucketPairs(banded, requireFlagged = true, cap = maxBucket)
+    val cand = Dedup.incrementalCandidates(batchBucketed, index, cap = maxBucket)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("p"))
       .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("p")))
     verifyCosinePairs(cand, vecs, threshold)
@@ -694,6 +693,57 @@ object Similarity {
     cents
   }
 
+  /** The spherical-k-means centroid model as `(cell, centv)` rows — the
+    * trained front half of [[semanticDedup]] / [[semanticDupPairs]] /
+    * [[semanticCellIndex]], exposed standalone because training is the
+    * dominant cost of the SemDeDup family and a PURE DETERMINISTIC
+    * function of (corpus, nlist, iters, trainPerCell) — compute it
+    * once, persist or cache it keyed by a corpus fingerprint, and feed
+    * it back through [[semanticDedupWith]] / [[semanticDupPairsWith]] /
+    * [[assignBatchCells]]. */
+  def trainedCentroids(
+      df: DataFrame,
+      nlist: Int = 0,
+      iters: Int = 3,
+      trainPerCell: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainCentroids(df, nlist, iters, trainPerCell, idCol, vecCol)
+      .zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centv")
+  }
+
+  /** [[semanticDupPairs]] under a GIVEN centroid model (`(cell, centv)`
+    * rows from [[trainedCentroids]] or a persisted index sibling) —
+    * assignment + pair generation + exact verification, no training. */
+  def semanticDupPairsWith(
+      df: DataFrame,
+      centroids: DataFrame,
+      threshold: Double,
+      probeCells: Int = 1,
+      maxCell: Int = 100000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    probedPairs(
+      assignCells(df, collectCentroids(centroids), probeCells, idCol, vecCol),
+      threshold, maxCell)
+
+  /** [[semanticDedup]] under a GIVEN centroid model — identical drop
+    * rule, no training. */
+  def semanticDedupWith(
+      df: DataFrame,
+      centroids: DataFrame,
+      threshold: Double,
+      probeCells: Int = 1,
+      maxCell: Int = 100000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    dropByPrecedence(
+      assignCells(df, collectCentroids(centroids), probeCells, idCol, vecCol),
+      threshold, maxCell, idCol)
+
   /** Cell assignment under GIVEN centroids — the back half of
     * [[cellAssigned]], shared with the incremental path (which assigns
     * only the batch under the index's frozen centroids). One narrow
@@ -834,15 +884,11 @@ object Similarity {
     val batchAssigned = assignCells(batch, cents, probeCells, idCol, vecCol)
     val batchPost = batchAssigned
       .select(col("cand_id").as("id"), explode(col("cells")).as("pcell"))
-    val probeKeys = batchPost.select("pcell").distinct()
-    val touched = index.select(col("id"), col("pcell"))
-      .join(probeKeys, Seq("pcell"), "left_semi")
-    // union BEFORE grouping: a touched cell sees its full membership, so
-    // the over-full-cell cap binds identically to the full run
-    val banded = touched.withColumn("isb", lit(0L))
-      .unionByName(batchPost.withColumn("isb", lit(1L)))
-      .select(col("id"), lit(0).as("band"), col("pcell").as("bucket"), col("isb"))
-    val cand = Dedup.bucketPairs(banded, requireFlagged = true, cap = maxCell)
+    // cells are a single-band posting family: band = 0, bucket = pcell
+    def asBanded(post: DataFrame) = post.select(
+      col("id"), lit(0).as("band"), col("pcell").as("bucket"))
+    val cand = Dedup.incrementalCandidates(
+      asBanded(batchPost), asBanded(index), cap = maxCell)
     // verification universe: corpus ∪ batch vectors, semi-joined down to
     // candidate ids BEFORE cell re-assignment — cellsTop is nlist × dim
     // dot products per row, exactly the per-corpus-vector cost this
@@ -913,8 +959,16 @@ object Similarity {
       maxCell: Int = 100000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val assigned =
-      cellAssigned(df, nlist, iters, trainPerCell, probeCells, idCol, vecCol)
+    dropByPrecedence(
+      cellAssigned(df, nlist, iters, trainPerCell, probeCells, idCol, vecCol),
+      threshold, maxCell, idCol)
+  }
+
+  /** The SemDeDup drop rule over an assigned frame — shared by the
+    * training and given-model ([[semanticDedupWith]]) entry points. */
+  private def dropByPrecedence(
+      assigned: DataFrame, threshold: Double, maxCell: Int,
+      idCol: String): DataFrame = {
     // the pair's LATER endpoint in (centroid_cos, id) order is dropped;
     // struct comparison is lexicographic, ids are unique, so ties on
     // the rounded cosine break deterministically

@@ -379,13 +379,30 @@ object BucketedMergeSink {
     * outbox never gaps; a consumer reads `feedPath` as plain
     * partitioned parquet and resumes from the last `batch_id` it saw.
     *
-    * Needs layout retention >= 2 — with the default single-version
-    * window the previous snapshot is already GC'd by publish time, so
-    * there is no pair to diff; feeds older than the retention window
-    * are gone for the same reason (publish-after-every-load never hits
-    * this). Cost per publish: O(buckets the batch touched), inherited
+    * Needs layout retention >= 1 + the versions committed per run —
+    * with too shallow a window a version's predecessor is already GC'd
+    * by publish time, so its delta can never be produced; feeds older
+    * than the retention window are gone for the same reason
+    * (publish-after-every-load with one commit per run and retention 2
+    * never hits this; a stage that ALSO runs `delete_where:` or
+    * `compact:` commits more versions per run and needs a
+    * correspondingly deeper window — the Runner validates exactly
+    * that). Cost per publish: O(buckets the batch touched), inherited
     * from [[changesBetween]]'s manifest-diff pruning. `extraKey` as in
-    * [[changesBetween]] (SCD2 targets pass their version column). */
+    * [[changesBetween]] (SCD2 targets pass their version column).
+    *
+    * Bootstrap semantics: the FIRST publish into an empty feed emits
+    * the oldest retained snapshot as an all-inserts base partition
+    * (`batch_id=<oldest retained v>`), whatever that version number is
+    * — so a feed added to a target mid-life is self-contained (a
+    * consumer replaying it from scratch reconstructs current state),
+    * never a baseless delta stream. Once a feed has partitions, a
+    * retained version whose partition is missing AND whose predecessor
+    * is GC'd is a GAP the feed can never close: the publish REFUSES
+    * loudly ([[IllegalStateException]]) instead of silently skipping
+    * that batch — raise retain_versions so publish never falls behind,
+    * or start a fresh feed dir (whose base will be the current
+    * snapshot). */
   def publishChangeFeed(
       spark: SparkSession,
       path: String,
@@ -393,19 +410,36 @@ object BucketedMergeSink {
       extraKey: Seq[String] = Nil): Seq[Long] = {
     val fs = fsOf(spark, feedPath)
     val vs = manifestVersions(spark, path)
+    def partDir(v: Long) = new Path(feedPath, s"batch_id=$v")
     def publish(v: Long)(feed: => DataFrame): Option[Long] = {
-      val dir = new Path(feedPath, s"batch_id=$v")
-      if (fs.exists(dir)) None
+      if (fs.exists(partDir(v))) None
       else {
-        feed.write.mode("overwrite").parquet(dir.toString)
+        feed.write.mode("overwrite").parquet(partDir(v).toString)
         Some(v)
       }
     }
-    val bootstrap = vs.headOption.filter(_ == 1L).flatMap(v =>
-      publish(v) {
-        val t = readVersion(spark, path, v)
-        t.select((lit("insert").as("_op") +: t.columns.toSeq.map(col)): _*)
-      })
+    def insertAll(v: Long): DataFrame = {
+      val t = readVersion(spark, path, v)
+      t.select((lit("insert").as("_op") +: t.columns.toSeq.map(col)): _*)
+    }
+    val feedStarted = fs.exists(new Path(feedPath)) &&
+      fs.listStatus(new Path(feedPath))
+        .exists(_.getPath.getName.startsWith("batch_id="))
+    val bootstrap =
+      if (!feedStarted || vs.head == 1L)
+        // empty feed: all-inserts base at the oldest retained version
+        // (v1's base and a mid-life base are the same construction)
+        vs.headOption.flatMap(v => publish(v)(insertAll(v)))
+      else if (!fs.exists(partDir(vs.head)))
+        throw new IllegalStateException(
+          s"change feed at $feedPath has no partition for v${vs.head}, the " +
+            s"oldest retained version of $path, and v${vs.head - 1} is " +
+            "GC'd — the feed can never produce that delta and silently " +
+            "skipping it would hand consumers an outbox with a missing " +
+            "batch. Raise retain_versions so publish never falls behind " +
+            "the retention window, or start a fresh feed dir (its base " +
+            "will be the then-current snapshot).")
+      else None
     val deltas = vs.sliding(2).flatMap {
       case Seq(a, b) =>
         publish(b)(changesBetween(spark, path, a, b, extraKey))
@@ -454,14 +488,135 @@ object BucketedMergeSink {
       k: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      charGrams: Boolean = false): Seq[Long] = {
+      charGrams: Boolean = false): Seq[Long] =
+    syncIndexCore(spark, path, indexPath, "minhash index", textCol,
+      mergeKey = Seq("id", "band"), replaceOnUpdate = false,
+      bootstrap = (df, id) => graft.ops.Dedup.minhashBandIndex(
+        df, k, bands, rowsPerBand, id, textCol, charGrams),
+      sign = (df, id) => graft.ops.Dedup.minhashBandIndex(
+        df, k, bands, rowsPerBand, id, textCol, charGrams))
+
+  /** [[syncMinhashIndex]]'s embedding twin: keep a persisted cosine-LSH
+    * bucket index ([[graft.ops.Similarity.lshBucketIndex]], rows
+    * `(id, band, bucket)` — band is the hyperplane table, bucket its
+    * sign signature) in lockstep with this bucketed target, so
+    * [[graft.ops.Similarity.incrementalCosineDupPairs]] can vet each
+    * ingest without re-signing the corpus. Same replay core, same
+    * marker/bootstrap/refusal contract; (tables, bits, dim) are the
+    * index's identity and must match the probe side's. A doc always
+    * carries exactly `tables` rows keyed (id, band), so a re-sign
+    * UPSERT replaces its whole signature; a null `vecCol` unsigns. */
+  def syncLshIndex(
+      spark: SparkSession,
+      path: String,
+      indexPath: String,
+      vecCol: String = "embedding",
+      tables: Int = 8,
+      bits: Int = 12,
+      dim: Int = 64): Seq[Long] =
+    syncIndexCore(spark, path, indexPath, "lsh index", vecCol,
+      mergeKey = Seq("id", "band"), replaceOnUpdate = false,
+      bootstrap = (df, id) => graft.ops.Similarity.lshBucketIndex(
+        df, tables, bits, dim, id, vecCol),
+      sign = (df, id) => graft.ops.Similarity.lshBucketIndex(
+        df, tables, bits, dim, id, vecCol))
+
+  /** [[syncMinhashIndex]]'s SemDeDup twin: keep a persisted semantic
+    * cell index ([[graft.ops.Similarity.semanticCellIndex]]) in
+    * lockstep with this bucketed target, so
+    * [[graft.ops.Similarity.incrementalSemanticDupPairs]] can vet each
+    * ingest against frozen centroids. Two persisted pieces: postings
+    * `(id, pcell)` at `indexPath`, and the centroid model at the
+    * SIBLING `<indexPath>.centroids` (`(cell, centv)` parquet).
+    * Centroids are TRAINED ONCE at bootstrap on the oldest retained
+    * snapshot and FROZEN from then on — the coarse-quantizer contract
+    * ([[graft.ops.Similarity.ivfTopK]]): per-ingest retraining would
+    * silently shift every assignment; re-cluster offline when drift
+    * warrants and rebuild (delete the index dir — bootstrap retrains
+    * and overwrites the sibling). Unlike the fixed-cardinality MinHash/
+    * LSH signatures, an updated doc's cell SET can change arbitrarily,
+    * so replay deletes an updated id's postings before inserting fresh
+    * ones (`replaceOnUpdate`). The bootstrap snapshot must be
+    * non-empty (there is nothing to train on otherwise). */
+  def syncSemanticIndex(
+      spark: SparkSession,
+      path: String,
+      indexPath: String,
+      vecCol: String = "embedding",
+      nlist: Int = 0,
+      iters: Int = 3,
+      trainPerCell: Int = 256,
+      probeCells: Int = 1): Seq[Long] = {
+    val centsPath = indexPath.stripSuffix("/") + ".centroids"
+    syncIndexCore(spark, path, indexPath, "semantic index", vecCol,
+      mergeKey = Seq("id", "pcell"), replaceOnUpdate = true,
+      bootstrap = (df, id) => {
+        val (postings, cents) = graft.ops.Similarity.semanticCellIndex(
+          df, nlist, iters, trainPerCell, probeCells, id, vecCol)
+        cents.write.mode("overwrite").parquet(centsPath)
+        postings
+      },
+      sign = (df, id) => {
+        require(fsOf(spark, centsPath).exists(new Path(centsPath)),
+          s"semantic index at $indexPath has no centroid model at " +
+            s"$centsPath — rebuild the index (delete its dir) to retrain")
+        graft.ops.Similarity.assignBatchCells(
+          df, spark.read.parquet(centsPath), probeCells, id, vecCol)
+      })
+  }
+
+  /** The shared version-marker replay core behind [[syncMinhashIndex]] /
+    * [[syncLshIndex]] / [[syncSemanticIndex]] — everything about
+    * KEEPING a derived postings index in lockstep with the target that
+    * does not depend on what the postings ARE:
+    *
+    *   - `.applied` sibling markers record the last manifest version
+    *     replayed into the index (a sibling because a flat index
+    *     target's atomic full-rewrite swap would wipe anything stored
+    *     inside it); markers of a vanished index reset on the next
+    *     sync. Only the NEWEST marker is ever consulted, so older ones
+    *     are pruned as each new one lands — the dir stays O(1) files
+    *     instead of one empty file per version forever (the r11 ADVICE
+    *     listing-degradation finding).
+    *   - a fresh index bootstraps by signing the oldest retained
+    *     snapshot in full (the one unavoidable corpus pass), via the
+    *     family's `bootstrap` closure (which may also train/persist a
+    *     model — the semantic family does).
+    *   - each later retained version replays as [[changesBetween]]'s
+    *     delta: ids whose op is delete — or update_post with a null
+    *     `signCol`, which sign to nothing — DELETE their postings;
+    *     inserted/updated rows re-sign through the family's `sign`
+    *     closure and UPSERT on `mergeKey`. With `replaceOnUpdate` an
+    *     updated id's old postings are deleted FIRST (families whose
+    *     per-id posting KEY SET can change between signings — the
+    *     semantic cells — would otherwise strand stale rows; the
+    *     fixed-cardinality families skip the extra delete pass).
+    *   - idempotence & crash-safety, same contract as
+    *     [[publishChangeFeed]]: markers land AFTER the version's merges,
+    *     a crash in between replays the version, and replaying a merge
+    *     batch is idempotent. An index that fell more than the
+    *     retention window behind refuses loudly rather than silently
+    *     resyncing from a gapped feed — and the Runner's
+    *     catch-up-BEFORE-load ordering plus its retention validation
+    *     (>= 1 + versions committed per run) keep the config-driven
+    *     paths from ever manufacturing that state. */
+  private def syncIndexCore(
+      spark: SparkSession,
+      path: String,
+      indexPath: String,
+      family: String,
+      signCol: String,
+      mergeKey: Seq[String],
+      replaceOnUpdate: Boolean,
+      bootstrap: (DataFrame, String) => DataFrame,
+      sign: (DataFrame, String) => DataFrame): Seq[Long] = {
     val fs = fsOf(spark, indexPath)
     val meta = readMeta(spark, path)
     require(meta.key.size == 1,
-      s"minhash index sync needs a single-column layout key, $path has ${meta.key}")
+      s"$family sync needs a single-column layout key, $path has ${meta.key}")
     val idCol = meta.key.head
-    require(meta.schema.fieldNames.contains(textCol),
-      s"$path has no '$textCol' column to sign")
+    require(meta.schema.fieldNames.contains(signCol),
+      s"$path has no '$signCol' column to sign")
     val vs = manifestVersions(spark, path)
     val appliedDir = new Path(indexPath.stripSuffix("/") + ".applied")
     // markers without an index = a rebuilt/deleted index; start fresh
@@ -472,38 +627,45 @@ object BucketedMergeSink {
         fs.listStatus(appliedDir).toSeq
           .map(_.getPath.getName.stripPrefix("v").toLong).sorted
       else Seq.empty[Long]
-    def mark(v: Long): Unit =
+    def mark(v: Long): Unit = {
       fs.create(new Path(appliedDir, f"v$v%09d"), true).close() // replay-safe
-    def sign(df: DataFrame): DataFrame =
-      graft.ops.Dedup.minhashBandIndex(
-        df, k, bands, rowsPerBand, idCol, textCol, charGrams)
+      // prune superseded markers create-THEN-delete: a crash in between
+      // leaves extra markers (harmless — max still wins) never zero
+      fs.listStatus(appliedDir).map(_.getPath)
+        .filter(p => p.getName.stripPrefix("v").toLong < v)
+        .foreach(p => fs.delete(p, false))
+    }
     val done = scala.collection.mutable.ArrayBuffer.empty[Long]
     var last = applied.lastOption.getOrElse(0L)
     if (last == 0L) {
       val v0 = vs.head
       MergeSink.mergeIntoParquet(spark,
-        sign(readVersion(spark, path, v0)), indexPath, "upsert",
-        key = Seq("id", "band"))
+        bootstrap(readVersion(spark, path, v0), idCol), indexPath, "upsert",
+        key = mergeKey)
       mark(v0); done += v0; last = v0
     }
     require(last >= vs.head,
-      s"minhash index at $indexPath last applied v$last but the oldest " +
+      s"$family at $indexPath last applied v$last but the oldest " +
         s"retained version of $path is v${vs.head}: the intermediate " +
         "deltas are GC'd. Rebuild the index (delete its dir) or raise " +
         "retain_versions so sync never falls behind the window.")
     for (Seq(a, b) <- vs.sliding(2) if a >= last && b > last) {
       val delta = changesBetween(spark, path, a, b)
-      val resign = delta.filter(
-        col("_op").isin("insert", "update_post") && col(textCol).isNotNull)
-      if (!resign.isEmpty)
-        MergeSink.mergeIntoParquet(spark, sign(resign), indexPath, "upsert",
-          key = Seq("id", "band"))
-      val unsign = delta.filter(col("_op") === "delete" ||
-          (col("_op") === "update_post" && col(textCol).isNull))
+      // unsign FIRST: under replaceOnUpdate an updated id's stale
+      // postings must be gone before its fresh ones land
+      val unsignOps =
+        if (replaceOnUpdate) Seq("delete", "update_post") else Seq("delete")
+      val unsign = delta.filter(col("_op").isin(unsignOps: _*) ||
+          (col("_op") === "update_post" && col(signCol).isNull))
         .select(col(idCol).as("id")).distinct()
       if (!unsign.isEmpty)
         MergeSink.mergeIntoParquet(spark, unsign, indexPath, "delete",
           identifier = "id")
+      val resign = delta.filter(
+        col("_op").isin("insert", "update_post") && col(signCol).isNotNull)
+      if (!resign.isEmpty)
+        MergeSink.mergeIntoParquet(spark, sign(resign, idCol), indexPath,
+          "upsert", key = mergeKey)
       mark(b); done += b
     }
     done.toSeq
@@ -883,8 +1045,11 @@ object BucketedMergeSink {
 
   /** Predicate-based delete over a bucketed target — see
     * [[MergeSink.deleteWhere]] for the semantics. Physical cost: ONE
-    * filtered scan locates the buckets holding matching rows (parquet
-    * row-group statistics prune it where the predicate allows), then
+    * filtered scan locates the buckets holding matching rows — pruned
+    * to the key's own buckets when the predicate pins the layout key
+    * (the GDPR `user_id = X` shape, [[purgeDiscoveryBuckets]]); for
+    * arbitrary predicates (TTL) it covers every live bucket with
+    * parquet row-group statistics pruning inside — then
     * only those buckets rewrite — O(touched buckets), the same
     * asymmetry as the merge; a bucket the purge empties drops from the
     * manifest (and its dir is GC'd) exactly like an id-based delete
@@ -907,8 +1072,14 @@ object BucketedMergeSink {
     if (mapping.isEmpty) return Nil
     val pred = expr(condition)
     // which buckets hold matching rows? re-derive the routing bucket on
-    // the filtered scan — bounded output (<= numBuckets distinct ids)
-    val touched = readBuckets(spark, path, mapping.keys.toSeq.sorted)
+    // the filtered scan — bounded output (<= numBuckets distinct ids).
+    // The scan itself prunes to the key's buckets when the predicate
+    // pins the layout key (the GDPR `user_id = X` shape); arbitrary
+    // predicates (TTL cutoffs) scan every live bucket, with parquet
+    // row-group stats pruning inside where the predicate allows.
+    val discovery = purgeDiscoveryBuckets(
+      spark, meta, mapping.keys.toSeq, condition)
+    val touched = readBuckets(spark, path, discovery)
       .filter(coalesce(pred, lit(false)))
       .select(bucketExpr(meta.key, meta.numBuckets).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -936,6 +1107,87 @@ object BucketedMergeSink {
     }
     gcUnreferenced(fs, path)
     touched
+  }
+
+  /** The buckets [[deleteWhere]]'s DISCOVERY scan must read for
+    * `condition`: when every layout-key column is pinned to literal
+    * values by top-level equality / IN conjuncts (the GDPR purge shape
+    * — `user_id = 123`, `id IN (7, 42) AND ts < ...`), only the buckets
+    * those key tuples hash to can hold matching rows, so discovery
+    * prunes to them — [[readForKeys]]' routing applied to the predicate
+    * text. Any other shape (ranges, ORs, non-key columns — the TTL
+    * purge) returns every live bucket: the full filtered scan is
+    * inherent there.
+    *
+    * Soundness over cleverness: pruning only engages when the pinned
+    * literal's type equals the key column's, or both are integral (a
+    * value-preserving coercion). A cross-type comparison like
+    * `long_key = '0123'` matches rows via SQL coercion that hash
+    * differently from the literal's own representation — those fall
+    * back to the full scan rather than risk missing a matching row.
+    * Literal combinations are capped (1024) so the local routing job
+    * stays trivial next to the scan it replaces. */
+  private[graft] def purgeDiscoveryBuckets(
+      spark: SparkSession,
+      meta: Meta,
+      live: Seq[Int],
+      condition: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualNullSafe, EqualTo, Expression => CExpr, In => CIn, Literal => CLit}
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    val all = live.sorted
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(condition)
+      catch { case scala.util.control.NonFatal(_) => return all }
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def isKey(e: CExpr, k: String): Boolean = e match {
+      case a: UnresolvedAttribute =>
+        a.nameParts.sizeIs == 1 && a.nameParts.head.equalsIgnoreCase(k)
+      case _ => false
+    }
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    def safeLit(l: CLit, k: String): Boolean = {
+      val kt = meta.schema(meta.schema.fieldIndex(k)).dataType
+      l.dataType == kt || (integral(l.dataType) && integral(kt))
+    }
+    val cs = conjuncts(parsed)
+    // per key column: the literals a conjunct pins it to (None = unpinned)
+    val pinned: Option[Seq[Seq[CLit]]] =
+      meta.key.foldLeft(Option(Vector.empty[Seq[CLit]])) { (acc, k) =>
+        acc.flatMap { v =>
+          cs.collectFirst {
+            case EqualTo(a, l: CLit) if isKey(a, k) && safeLit(l, k) => Seq(l)
+            case EqualTo(l: CLit, a) if isKey(a, k) && safeLit(l, k) => Seq(l)
+            case EqualNullSafe(a, l: CLit) if isKey(a, k) && safeLit(l, k) => Seq(l)
+            case EqualNullSafe(l: CLit, a) if isKey(a, k) && safeLit(l, k) => Seq(l)
+            case CIn(a, ls) if isKey(a, k) && ls.nonEmpty &&
+                ls.forall { case l: CLit => safeLit(l, k); case _ => false } =>
+              ls.map(_.asInstanceOf[CLit])
+          }.map(v :+ _)
+        }
+      }
+    pinned match {
+      case Some(lists) if lists.map(_.size.toLong).product <= 1024L =>
+        val tType = meta.schema.fields.map(f => f.name -> f.dataType).toMap
+        val combos = lists.foldLeft(Seq(Seq.empty[CLit]))(
+          (acc, ls) => acc.flatMap(pre => ls.map(pre :+ _)))
+        // route each combination through the SAME cast + hash as the
+        // merge: one local row per combo, cast to the layout's types
+        val rows = combos.map { combo =>
+          spark.range(1).select(meta.key.zip(combo).map { case (k, l) =>
+            org.apache.spark.sql.GraftSqlBridge.column(l).cast(tType(k)).as(k)
+          }: _*)
+        }.reduce(_ unionByName _)
+        val liveSet = live.toSet
+        rows.select(bucketOf(meta.key.map(k => col(k).cast(tType(k))),
+            meta.numBuckets).as(bucketCol))
+          .distinct().collect().map(_.getInt(0)).toSeq
+          .filter(liveSet).sorted
+      case _ => all
+    }
   }
 
   /** Driver-side parallel map over per-bucket filesystem metadata calls:

@@ -345,6 +345,15 @@ object Streams {
         s"retainVersions must be >= 2, got $retainVersions")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      // catch up versions a previous trigger left unsynced BEFORE this
+      // batch's merge: a crash between a trigger's merge and its sync
+      // otherwise lets this merge slide the retention window past the
+      // pending version, turning the self-healing catch-up into the
+      // hard "Rebuild the index" refusal at the minimum retention — the
+      // same ordering the Runner's batch stage keys use
+      if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
+        graft.sink.BucketedMergeSink.syncMinhashIndex(
+          spark, path, indexPath, textCol, k, bands, rowsPerBand, charGrams): Unit
       graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
         identifier = key.head, excluded = excluded, numBuckets = numBuckets,
         retainVersions = retainVersions)

@@ -742,10 +742,18 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     // idempotent: nothing new, nothing changed
     assert(BucketedMergeSink.syncMinhashIndex(spark, path, idx).isEmpty)
     assert(stored(idx) == fresh(path))
-    // crash between merges and marker: drop v3's marker and re-sync —
-    // the version replays (idempotent merges) and converges
-    val m3 = new File(idx + ".applied", "v000000003")
-    assert(m3.exists); m3.delete()
+    // markers are pruned to the newest as each version lands (the
+    // sibling dir stays O(1) files, never one per version forever)
+    val applied = new File(idx + ".applied")
+    def markers() = // raw java listing sees Hadoop's .crc sidecars; skip
+      applied.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSeq
+    assert(markers() == Seq("v000000003"),
+      s"expected only the newest marker, got ${markers()}")
+    // crash between v3's merges and its marker: the on-disk state at
+    // that moment is v2's marker present, v3's absent — reconstruct it
+    // and re-sync; the version replays (idempotent merges) and converges
+    new File(applied, "v000000002").createNewFile()
+    new File(applied, "v000000003").delete()
     assert(BucketedMergeSink.syncMinhashIndex(spark, path, idx) == Seq(3L))
     assert(stored(idx) == fresh(path))
     // gap refusal: two more loads with the index left behind, then shrink
@@ -804,5 +812,176 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected scd2 feed: $ops")
     // without extraKey the same diff would refuse nothing but mispair —
     // the Runner always passes valid_from for scd2 stages
+  }
+
+  test("deleteWhere: a predicate pinning the layout key prunes the " +
+    "DISCOVERY scan to the key's buckets; anything else scans all live " +
+    "buckets; the purge result is identical either way") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val n = 8
+    BucketedMergeSink.merge(spark, seed(64), path, "upsert", Seq("id"),
+      numBuckets = n)
+    val meta = BucketedMergeSink.readMeta(spark, path)
+    val live = BucketedMergeSink.manifest(spark, path).keys.toSeq
+    def disc(cond: String) =
+      BucketedMergeSink.purgeDiscoveryBuckets(spark, meta, live, cond)
+    def bucketsOf(ids: Long*): Seq[Int] = ids.toDF("id")
+      .select(BucketedMergeSink.bucketExpr(Seq("id"), n))
+      .distinct().as[Int].collect().toSeq.sorted
+    val b42 = bucketsOf(42L)
+    // the GDPR shapes prune
+    assert(disc("id = 42") == b42)
+    assert(disc("42 = id") == b42)
+    assert(disc("id = 42 AND v > 0") == b42, "extra conjuncts don't widen")
+    assert(disc("id IN (7, 42)") == bucketsOf(7L, 42L))
+    // everything else falls back to the full live set
+    assert(disc("v > 250") == live.sorted, "TTL shape scans all")
+    assert(disc("id = 42 OR v > 0") == live.sorted, "OR pins nothing")
+    assert(disc("id > 42") == live.sorted, "a range is not a pin")
+    assert(disc("id = '42'") == live.sorted,
+      "cross-type string-vs-long comparison must not trust the literal's hash")
+    assert(disc("not a predicate ((") == live.sorted, "unparseable = full scan")
+    // end-to-end: the keyed purge touches exactly the key's bucket,
+    // leaves every other bucket's files physically unmoved, and removes
+    // exactly the matching row
+    val before = (0 until n).map(b => b -> bucketState(path, b)).toMap
+    assert(BucketedMergeSink.deleteWhere(spark, path, "id = 42") == b42)
+    for (b <- 0 until n if !b42.contains(b))
+      assert(bucketState(path, b) == before(b), s"untouched bucket $b moved")
+    val left = BucketedMergeSink.read(spark, path)
+    assert(left.filter(col("id") === 42L).isEmpty && left.count() == 63)
+  }
+
+  test("publishChangeFeed: a feed started mid-life bootstraps from the " +
+    "oldest retained snapshot; a feed that fell past the window refuses " +
+    "loudly instead of silently skipping a batch") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    BucketedMergeSink.merge(spark, seed(10), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 2) // v1
+    BucketedMergeSink.merge(spark, Seq((11L, "x", 1L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2: retains {v1, v2}
+    BucketedMergeSink.merge(spark, Seq((12L, "y", 2L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v3: retains {v2, v3} — v1 GC'd
+    // first publish mid-life: the base partition is the all-inserts
+    // SNAPSHOT of v2 (self-contained feed), never a baseless delta
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) ==
+      Seq(2L, 3L))
+    val f = spark.read.parquet(feed)
+    assert(f.filter($"batch_id" === 2 && $"_op" === "insert").count() == 11,
+      "mid-life base = every v2 row as an insert")
+    assert(f.filter($"batch_id" === 2).count() == 11, "base has only inserts")
+    assert(f.filter($"batch_id" === 3).select("_op", "id")
+      .as[(String, Long)].collect().toSeq == Seq(("insert", 12L)))
+    // a consumer replaying the feed from scratch reconstructs the state
+    assert(f.filter($"_op" =!= "delete" && $"_op" =!= "update_pre")
+      .select("id").distinct().count() == 12)
+    // now fall behind: two loads with no publish in between slide the
+    // window past v4 — its predecessor v3 is GC'd, its partition was
+    // never published, so the v4 delta is unreconstructable
+    BucketedMergeSink.merge(spark, Seq((13L, "z", 3L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v4: retains {v3, v4}
+    BucketedMergeSink.merge(spark, Seq((14L, "w", 4L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v5: retains {v4, v5}
+    val e = intercept[IllegalStateException](
+      BucketedMergeSink.publishChangeFeed(spark, path, feed))
+    assert(e.getMessage.contains("missing batch") &&
+      e.getMessage.contains("retain_versions"), e.getMessage)
+  }
+
+  test("syncLshIndex: the embedding postings index tracks the target " +
+    "through upserts, vector updates, null vectors, and deletes") {
+    import spark.implicits._
+    def vecs(rows: (Long, Seq[Double])*): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true)))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    }
+    def fresh(path: String): Set[(Long, Int, Long)] =
+      graft.ops.Similarity.lshBucketIndex(
+        BucketedMergeSink.read(spark, path),
+        tables = 4, bits = 6, dim = 4, idCol = "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+    def stored(idxPath: String): Set[(Long, Int, Long)] =
+      spark.read.parquet(idxPath).select("id", "band", "bucket")
+        .as[(Long, Int, Long)].collect().toSet
+    val path = tmpTarget()
+    val idx = tmpTarget() + "-lsh"
+    def sync() = BucketedMergeSink.syncLshIndex(spark, path, idx,
+      tables = 4, bits = 6, dim = 4)
+    BucketedMergeSink.merge(spark,
+      vecs(1L -> Seq(1.0, 0.0, 0.0, 0.0), 2L -> Seq(0.0, 1.0, 0.0, 0.0),
+        3L -> Seq(0.9, 0.1, 0.0, 0.0)),
+      path, "upsert", Seq("vec_id"), numBuckets = 4, retainVersions = 4) // v1
+    assert(sync() == Seq(1L))
+    assert(stored(idx) == fresh(path), "bootstrap = full signing of v1")
+    // v2: rotate 1's vector, insert 4, null-out 2's (postings must go)
+    BucketedMergeSink.merge(spark,
+      vecs(1L -> Seq(-1.0, 0.0, 0.5, 0.0), 4L -> Seq(0.0, 0.0, 1.0, 0.0),
+        2L -> null),
+      path, "upsert", Seq("vec_id")) // v2
+    BucketedMergeSink.merge(spark, Seq(3L).toDF("vec_id"), path,
+      "delete", identifier = "vec_id") // v3
+    assert(sync() == Seq(2L, 3L))
+    assert(stored(idx) == fresh(path),
+      "delta replay = re-sign of the current state")
+    assert(!stored(idx).exists(_._1 == 2L), "null-vector id carries no postings")
+    assert(!stored(idx).exists(_._1 == 3L), "deleted id carries no postings")
+    assert(sync().isEmpty, "idempotent")
+  }
+
+  test("syncSemanticIndex: cell postings track the target under frozen " +
+    "centroids; an update that MOVES cells strands no stale postings") {
+    import spark.implicits._
+    def vecs(rows: (Long, Seq[Double])*): DataFrame =
+      rows.toDF("vec_id", "embedding")
+    val path = tmpTarget()
+    val idx = tmpTarget() + "-sem"
+    def sync() = BucketedMergeSink.syncSemanticIndex(spark, path, idx,
+      nlist = 2, probeCells = 1)
+    // two clean clusters around e1 and e2
+    BucketedMergeSink.merge(spark,
+      vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1),
+        3L -> Seq(0.0, 1.0), 4L -> Seq(0.1, 0.9)),
+      path, "upsert", Seq("vec_id"), numBuckets = 4, retainVersions = 4) // v1
+    assert(sync() == Seq(1L))
+    val cents = spark.read.parquet(idx + ".centroids")
+      .select("cell", "centv").as[(Int, Seq[Double])].collect().toMap
+    assert(cents.size == 2, "nlist=2 model persisted at the sibling")
+    def expected(): Set[(Long, Int)] =
+      graft.ops.Similarity.assignBatchCells(
+        BucketedMergeSink.read(spark, path),
+        spark.read.parquet(idx + ".centroids"), probeCells = 1)
+        .as[(Long, Int)].collect().toSet
+    def stored(): Set[(Long, Int)] =
+      spark.read.parquet(idx).select("id", "pcell")
+        .as[(Long, Int)].collect().toSet
+    assert(stored() == expected(), "bootstrap postings = frozen-model assignment")
+    // v2: move vector 2 to the OTHER cluster — its posting must move
+    // cells (the stale (2, oldCell) row must be deleted, not shadowed),
+    // plus an insert and a delete in the same version
+    BucketedMergeSink.merge(spark,
+      vecs(2L -> Seq(0.0, 1.0), 5L -> Seq(0.95, 0.05)),
+      path, "upsert", Seq("vec_id")) // v2
+    BucketedMergeSink.merge(spark, Seq(4L).toDF("vec_id"), path,
+      "delete", identifier = "vec_id") // v3
+    assert(sync() == Seq(2L, 3L))
+    assert(stored() == expected(),
+      "postings after replay = frozen-model assignment of current state")
+    assert(stored().count(_._1 == 2L) == 1, "exactly one posting for the moved id")
+    assert(!stored().exists(_._1 == 4L), "deleted id carries no postings")
+    // centroids FROZEN: the sibling model is byte-stable across syncs
+    val centsAfter = spark.read.parquet(idx + ".centroids")
+      .select("cell", "centv").as[(Int, Seq[Double])].collect().toMap
+    assert(centsAfter == cents, "sync must never retrain the model")
+    assert(sync().isEmpty, "idempotent")
   }
 }

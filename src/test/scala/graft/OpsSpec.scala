@@ -878,4 +878,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((6L, 7L)),
       s"probeCells=2 must surface the straddling pair, got ${pairs.toSeq}")
   }
+
+  test("semanticDedupWith / semanticDupPairsWith under trainedCentroids " +
+    "equal the train-inline entry points exactly (the cacheable-model " +
+    "split changes nothing)") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0.95f, 0.05f, 0f, 0f)),
+      (4L, Array(0f, 0.05f, 0.95f, 0f)),
+      (5L, Array(0.6f, 0.8f, 0f, 0f)),
+      (6L, Array(0.72f, 0f, 0.69f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainedCentroids(df, nlist = 2)
+    assertSameRows(
+      Similarity.semanticDedupWith(df, cents, threshold = 0.9, probeCells = 2)
+        .orderBy("vec_id"),
+      Similarity.semanticDedup(df, threshold = 0.9, nlist = 2, probeCells = 2)
+        .orderBy("vec_id"))
+    assertSameRows(
+      Similarity.semanticDupPairsWith(df, cents, threshold = 0.5, probeCells = 2)
+        .orderBy("id_a", "id_b"),
+      Similarity.semanticDupPairs(df, threshold = 0.5, nlist = 2, probeCells = 2)
+        .orderBy("id_a", "id_b"))
+  }
 }

@@ -261,6 +261,165 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       "single-column") // composite key
   }
 
+  test("lsh_index and semantic_index: each run keeps the embedding " +
+    "postings (and the frozen centroid model) in lockstep with the target") {
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)), (4L, Seq(0.0, 0.9, 0.1, 0.0)),
+      (5L, Seq(0.0, 0.0, 1.0, 0.0)), (6L, Seq(0.0, 0.0, 0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    rows.createOrReplaceTempView("vec_src")
+    val root = Files.createTempDirectory("graft-runner-vi").toString
+    val ry =
+      s"""pypelines:
+         |  p: [svi]
+         |pypes:
+         |  svi:
+         |    extract_query: "SELECT vec_id, embedding FROM vec_src WHERE vec_id <= {maxid}"
+         |    target_table: tgt_vi
+         |    type: upsert
+         |    key: [vec_id]
+         |    buckets: 4
+         |    retain_versions: 2
+         |    lsh_index: tgt_vi_lsh
+         |    semantic_index: tgt_vi_sem
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "4"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "6")) // adds vecs 5, 6 incrementally
+    import spark.implicits._
+    val target = graft.sink.BucketedMergeSink.read(spark, s"$root/tgt_vi")
+    // LSH postings == a fresh signing of the current target state
+    val lshStored = spark.read.parquet(s"$root/tgt_vi_lsh")
+      .select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    val lshFresh = graft.ops.Similarity.lshBucketIndex(target, idCol = "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(lshStored == lshFresh,
+      "after two runs the LSH index must equal a fresh signing of the target")
+    assert(lshStored.exists(_._1 == 6L), "the second run's vectors reached it")
+    // semantic postings == assignment of the current state under the
+    // centroids frozen at the FIRST run's bootstrap
+    val semStored = spark.read.parquet(s"$root/tgt_vi_sem")
+      .select("id", "pcell").as[(Long, Int)].collect().toSet
+    val semFresh = graft.ops.Similarity.assignBatchCells(
+      target, spark.read.parquet(s"$root/tgt_vi_sem.centroids"))
+      .as[(Long, Int)].collect().toSet
+    assert(semStored == semFresh,
+      "cell postings must equal the frozen-model assignment of the target")
+    assert(semStored.exists(_._1 == 5L), "the second run's vectors reached it")
+    // misconfiguration refuses before the write, same as minhash_index
+    val e = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(
+        s"""pypelines:
+           |  p: [bad]
+           |pypes:
+           |  bad:
+           |    extract_query: "SELECT vec_id, embedding FROM vec_src"
+           |    target_table: tgt_vi_bad
+           |    key: [vec_id]
+           |    lsh_index: bad_lsh
+           |""".stripMargin), Map.empty, root).run("p"))
+    assert(e.getMessage.contains("lsh_index") &&
+      e.getMessage.contains("bucketed"), e.getMessage)
+  }
+
+  test("change_feed + delete_where: the stage commits TWO versions per " +
+    "run, so retention 2 refuses up front and retention 3 keeps every " +
+    "batch's delta in the outbox (no silently skipped batch_id)") {
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 999L), (4L, "d", 998L))
+      .toDF("id", "v", "score").createOrReplaceTempView("cfdw_src")
+    val root = Files.createTempDirectory("graft-runner-cfdw").toString
+    def yaml(retain: Int) =
+      s"""pypelines:
+         |  p: [scd]
+         |pypes:
+         |  scd:
+         |    extract_query: "SELECT id, v, score FROM cfdw_src WHERE id <= {maxid}"
+         |    target_table: tgt_cfdw
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    retain_versions: $retain
+         |    change_feed: tgt_cfdw_changes
+         |    delete_where: "score > 900"
+         |""".stripMargin
+    // the r11 ADVICE failure mode: at retention 2 each run's purge
+    // commit GCs the merge commit's predecessor, so the NEXT run's
+    // publish could never diff it — the batch would vanish from the
+    // outbox. The Runner now refuses that configuration up front.
+    val e = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(yaml(2)),
+        Map("maxid" -> "3"), root).run("p"))
+    assert(e.getMessage.contains("change_feed") &&
+      e.getMessage.contains(">= 3") && e.getMessage.contains("delete_where"),
+      e.getMessage)
+    // retention 3: two full runs (merge v1 + purge v2, merge v3 + purge
+    // v4) and the outbox holds EVERY version's partition — batch ids
+    // are contiguous, nothing silently skipped
+    val runner = new Runner(spark, PipelineSpec.fromYaml(yaml(3)),
+      placeholders = Map("maxid" -> "3"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "4"))
+    import spark.implicits._
+    val batches = spark.read.parquet(s"$root/tgt_cfdw_changes")
+      .select("batch_id").distinct().as[Long].collect().sorted.toSeq
+    assert(batches == Seq(1L, 2L, 3L, 4L),
+      s"outbox must hold every committed version's feed, got $batches")
+    // and the feed's content is right: v2 purges id 3; run 2's merge
+    // RE-inserts id 3 from the source (it scored > 900 all along), so
+    // v4 purges both 3 and 4
+    val purged = spark.read.parquet(s"$root/tgt_cfdw_changes")
+      .filter($"_op" === "delete").select("batch_id", "id")
+      .as[(Long, Long)].collect().toSet
+    assert(purged == Set((2L, 3L), (4L, 3L), (4L, 4L)), s"got $purged")
+  }
+
+  test("minhash_index self-heal at minimum retention: a crash between a " +
+    "load and its sync is caught up BEFORE the next run's merge, while " +
+    "the pending version's predecessor is still retained") {
+    Seq((1L, "alpha beta gamma"), (2L, "delta eps zeta"),
+      (3L, "eta theta iota"), (4L, "kappa lambda mu"))
+      .toDF("doc_id", "text").createOrReplaceTempView("heal_src")
+    val root = Files.createTempDirectory("graft-runner-heal").toString
+    val ry =
+      s"""pypelines:
+         |  p: [sh]
+         |pypes:
+         |  sh:
+         |    extract_query: "SELECT doc_id, text FROM heal_src WHERE doc_id <= {maxid}"
+         |    target_table: tgt_heal
+         |    type: upsert
+         |    key: [doc_id]
+         |    buckets: 4
+         |    retain_versions: 2
+         |    minhash_index: tgt_heal_minhash
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "2"), targetRoot = root)
+    runner.run("p") // v1, index synced to v1
+    // simulate run 2 crashing between its load and its sync: the merge
+    // committed v2 but the index never applied it
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((3L, "eta theta iota")).toDF("doc_id", "text"),
+      s"$root/tgt_heal", "upsert", Seq("doc_id"))
+    // run 3 through the Runner: without the catch-up-BEFORE-load its
+    // merge (v3) would slide the 2-version window past v1 — the index's
+    // last applied version — and the sync would hard-refuse ("Rebuild
+    // the index"); with it, v2 replays first and everything converges
+    runner.run("p", Map("maxid" -> "4"))
+    import spark.implicits._
+    val stored = spark.read.parquet(s"$root/tgt_heal_minhash")
+      .select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    val expected = graft.ops.Dedup.minhashBandIndex(
+      graft.sink.BucketedMergeSink.read(spark, s"$root/tgt_heal"),
+      idCol = "doc_id").as[(Long, Int, Long)].collect().toSet
+    assert(stored == expected,
+      "the healed index must equal a fresh signing of the target")
+    assert(stored.exists(_._1 == 3L) && stored.exists(_._1 == 4L),
+      "both the crashed run's doc and the healing run's doc are indexed")
+  }
+
   test("retain_versions WITHOUT buckets: reaches an existing bucketed layout — " +
     "matching value honored, mismatch fails loudly (never silently dropped)") {
     Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")

@@ -326,6 +326,30 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       stream, target, idx, Seq("doc_id"), numBuckets = 0))
     intercept[IllegalArgumentException](Streams.streamingMergeWithIndex(
       stream, target, idx, Seq("doc_id"), retainVersions = 1))
+    // self-heal at the minimum retention: simulate a trigger that
+    // crashed between its merge and its sync — the target gains a
+    // version the index never applied. The NEXT trigger must catch that
+    // version up BEFORE its own merge: merging first would slide the
+    // 2-version window past it and hard-refuse ("Rebuild the index").
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((5L, "pending crash words here")).toDF("doc_id", "text"),
+      target, "upsert", Seq("doc_id"))
+    writeSourceBatch(dir,
+      Seq((6L, "post crash batch words")).toDF("doc_id", "text"), 2)
+    val q2 = Streams.streamingMergeWithIndex(
+      stream, target, idx, Seq("doc_id"), numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val healed = spark.read.parquet(idx).select("id", "band", "bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    val expected2 = graft.ops.Dedup.minhashBandIndex(
+      graft.sink.BucketedMergeSink.read(spark, target), idCol = "doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(healed == expected2,
+      "the healed index must equal a fresh signing of the target")
+    assert(healed.exists(_._1 == 5L) && healed.exists(_._1 == 6L),
+      "both the crashed version's doc and the healing trigger's doc are indexed")
   }
 
   test("streamingMergeWithFeed: each micro-batch materializes its CDC " +
