@@ -22,6 +22,9 @@ run / fork := true
 // decorations (see VERDICT r11 "What's wrong" #1).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task, so the
+// unused-key lint flags it; exclude it to keep stdout free of warnings.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -271,7 +271,7 @@ object QueriesEngine {
         Map("slice" -> "1"), tmp)
       runner.run("demo")
       runner.run("demo", Map("slice" -> "2")) // second load grows the slice
-      val stored = s.read.parquet(s"$tmp/q116_minhash")
+      val stored = graft.sink.BucketedMergeSink.readPostings(s, s"$tmp/q116_minhash")
         .select(col("id"), col("band").cast("long").as("band"), col("bucket"))
         .withColumn("src", lit("index"))
       val freshly = graft.ops.Dedup.minhashBandIndex(
@@ -343,7 +343,7 @@ object QueriesEngine {
         Map("slice" -> "1"), tmp)
       runner.run("demo")
       runner.run("demo", Map("slice" -> "2")) // second load grows the slice
-      val stored = s.read.parquet(s"$tmp/q120_lsh")
+      val stored = graft.sink.BucketedMergeSink.readPostings(s, s"$tmp/q120_lsh")
         .select(col("id"), col("band").cast("long").as("band"), col("bucket"))
         .withColumn("src", lit("index"))
       val freshly = graft.ops.Similarity.lshBucketIndex(
@@ -386,7 +386,7 @@ object QueriesEngine {
         Map("slice" -> "1"), tmp)
       runner.run("demo")
       runner.run("demo", Map("slice" -> "2")) // second load grows the slice
-      val stored = s.read.parquet(s"$tmp/q121_cells")
+      val stored = graft.sink.BucketedMergeSink.readPostings(s, s"$tmp/q121_cells")
         .select(col("id"), col("pcell").cast("long").as("pcell"))
         .withColumn("src", lit("index"))
       val freshly = graft.ops.Similarity.assignBatchCells(
@@ -400,6 +400,46 @@ object QueriesEngine {
         .select(col("id"), col("pcell"),
           lit("index_drift").as("violation"))
         .orderBy("id", "pcell")
+    }),
+
+    // -- CDC replication end-to-end from config: a PRODUCER stage loads
+    //    a growing orders slice, purges high-price rows (delete_where)
+    //    and publishes every version to its outbox (change_feed); a
+    //    CONSUMER stage (subscribe_feed) replays the outbox into a
+    //    replica it never reads the producer target for. Two pipeline
+    //    runs; the emitted rows are the REPLICA's final state, so the
+    //    DuckDB oracle re-derives it from the source relation alone —
+    //    inserts, updates, and feed-carried deletes all have to survive
+    //    the outbox round-trip for the hash to match.
+    "q122_pipeline_subscribe_feed" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [producer, consumer]
+          |pypes:
+          |  producer:
+          |    extract_query: "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 20 < {slice}"
+          |    target_table: q122_orders
+          |    type: upsert
+          |    key: [o_orderkey]
+          |    buckets: 8
+          |    retain_versions: 3
+          |    change_feed: q122_outbox
+          |    delete_where: "o_totalprice > 200000"
+          |  consumer:
+          |    subscribe_feed: q122_outbox
+          |    target_table: q122_replica
+          |    key: [o_orderkey]
+          |    buckets: 8
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runsf", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("slice" -> "1"), tmp)
+      runner.run("demo")
+      runner.run("demo", Map("slice" -> "2")) // second load grows the slice
+      graft.sink.BucketedMergeSink.read(s, s"$tmp/q122_replica")
+        .orderBy("o_orderkey")
     }),
 
     // -- LIVE jdbc round-trip (A2 + Layer B jdbc scan/sink): parquet →
@@ -764,6 +804,11 @@ object QueriesEngine {
       """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS pcell,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
+    "q122_pipeline_subscribe_feed" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 20 < 2 AND NOT (o_totalprice > 200000)
+        |ORDER BY o_orderkey""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

@@ -78,6 +78,14 @@ final case class StageSpec(
                               // target row matching this SQL boolean is
                               // removed after the load (MergeSink
                               // .deleteWhere; placeholders hydrate)
+    subscribeFeed: String = "", // CONSUMER stage: instead of an extract→
+                                // transform→load, apply every not-yet-
+                                // applied batch of this CDC outbox to
+                                // the stage's target (the replica) —
+                                // BucketedMergeSink.subscribeFeed;
+                                // mutually exclusive with the producer
+                                // keys (extract_query, transformers,
+                                // change_feed, indexes, delete_where...)
     debug: Boolean = false)
 
 /** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
@@ -196,6 +204,7 @@ object PipelineSpec {
       semanticIndex = str("semantic_index", ""),
       semanticIndexVec = str("semantic_index_vec", "embedding"),
       deleteWhere = str("delete_where", ""),
+      subscribeFeed = str("subscribe_feed", ""),
       debug = str("debug", "false").toBoolean)
   }
 }

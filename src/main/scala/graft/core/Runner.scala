@@ -137,6 +137,7 @@ final class Runner(
       stage: StageSpec,
       ph: Map[String, String],
       peakTaskMem: java.util.concurrent.atomic.AtomicLong): StageMetrics = {
+    if (stage.subscribeFeed.nonEmpty) return runSubscribeStage(stage, ph, peakTaskMem)
     // reject collisions up front: createOrReplaceTempView would overwrite
     // an existing warehouse/target view and the stage-local drop below
     // would then DELETE it (temp views don't layer — a drop can't
@@ -173,6 +174,61 @@ final class Runner(
         f"${m.extractSec}%.3fs/${m.transformSec}%.3fs/${m.loadSec}%.3fs; " +
         s"peakTaskMem: ${m.peakTaskMemoryBytes}B, driverHeap: ${m.driverUsedHeapBytes}B")
     m
+  }
+
+  /** A `subscribe_feed:` CONSUMER stage: no extract/transform — the
+    * stage's input is a CDC outbox (another stage's `change_feed:`
+    * target, or any [[graft.sink.BucketedMergeSink.publishChangeFeed]]
+    * layout), and its load applies every not-yet-applied batch to the
+    * replica at `target_table`, in order, with marker-tracked progress
+    * ([[graft.sink.BucketedMergeSink.subscribeFeed]]). Downstream
+    * replication from config: the producer pipeline ships feeds, the
+    * consumer pipeline replays them — never snapshots. `compact: true`
+    * is honored (per-batch merges fragment the replica exactly like any
+    * other incremental load); the producer-side stage keys are refused
+    * — a replica derives its own feeds/indexes from its OWN pipeline
+    * stage if needed, pointed at the replica as a target. */
+  private def runSubscribeStage(
+      stage: StageSpec,
+      ph: Map[String, String],
+      peakTaskMem: java.util.concurrent.atomic.AtomicLong): StageMetrics = {
+    require(stage.targetTable.nonEmpty,
+      s"stage ${stage.name}: subscribe_feed needs a target_table (the replica)")
+    require(stage.extractQuery.isEmpty && stage.transformers.isEmpty &&
+        stage.sources.isEmpty,
+      s"stage ${stage.name}: subscribe_feed is a consumer stage — the " +
+        "outbox IS its input; extract_query/transformers/sources don't apply " +
+        "(transform on the producer side, or in a stage reading the replica)")
+    Seq("change_feed" -> stage.changeFeed,
+      "minhash_index" -> stage.minhashIndex, "lsh_index" -> stage.lshIndex,
+      "semantic_index" -> stage.semanticIndex,
+      "delete_where" -> stage.deleteWhere, "scd2_ts" -> stage.scd2Ts)
+      .foreach { case (k, v) =>
+        require(v.isEmpty,
+          s"stage ${stage.name}: subscribe_feed cannot combine with $k — " +
+            "derived feeds/indexes/purges belong to a producer stage " +
+            "(point one at the replica as its target if needed)")
+      }
+    val t0 = System.nanoTime()
+    val replica = targetPath(stage.targetTable)
+    graft.sink.BucketedMergeSink.subscribeFeed(
+      spark, targetPath(Hydrate(stage.subscribeFeed, ph)), replica,
+      key = stage.key,
+      numBuckets = if (stage.buckets > 0) stage.buckets else 64,
+      retainVersions = stage.retainVersions): Unit
+    if (stage.compact)
+      graft.sink.BucketedMergeSink.compact(spark, replica,
+        maxFiles = stage.compactMaxFiles)
+    val result = graft.sink.BucketedMergeSink.read(spark, replica)
+    result.createOrReplaceTempView(stage.targetTable)
+    val rows = result.count()
+    if (stage.postQuery.nonEmpty)
+      spark.sql(Hydrate(stage.postQuery, ph)).count()
+    val t1 = System.nanoTime()
+    org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark)
+    val rt = Runtime.getRuntime
+    StageMetrics(stage.name, rows, 0.0, 0.0, (t1 - t0) / 1e9,
+      peakTaskMem.get(), rt.totalMemory() - rt.freeMemory())
   }
 
   /** The extract is declarative SQL over registered views — the engine-side

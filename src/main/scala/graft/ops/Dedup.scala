@@ -545,7 +545,12 @@ object Dedup {
     * the batch is accepted, and feed it to [[incrementalMinhashPairs]]
     * so per-ingest near-dup detection re-signs only the batch and scans
     * only the tiny index, never the corpus texts. Deletes remove the
-    * id's rows. Parameters (k, bands, rowsPerBand, charGrams) are part
+    * id's rows. (The config-driven persistence —
+    * [[graft.sink.BucketedMergeSink.syncMinhashIndex]] — stores these
+    * rows nested one-row-per-id in a bucketed layout and flattens them
+    * back via `readPostings`, so maintenance stays bucket-pruned; the
+    * probe contract here is the flat frame either way.)
+    * Parameters (k, bands, rowsPerBand, charGrams) are part
     * of the index's identity — probing with different ones is undefined.
     *
     * @param charGrams sign character k-grams (the [[minhashLshPairsChar]]

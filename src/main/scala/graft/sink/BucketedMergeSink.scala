@@ -467,19 +467,24 @@ object BucketedMergeSink {
     * Idempotence & crash-safety, same contract as [[publishChangeFeed]]:
     * progress is recorded as `v<NNN>` markers in the SIBLING dir
     * `<indexPath>.applied` AFTER the version's merges land (a sibling
-    * because a flat index target's atomic full-rewrite swap would wipe
-    * anything stored inside it; markers of a vanished index are reset on
-    * the next sync); a crash in between replays the version, and
-    * replaying a merge batch is idempotent. If the index falls more than
-    * the retention window behind (its next delta is GC'd), the sync
-    * refuses loudly — delete the index dir to rebuild — rather than
-    * silently resyncing from a gapped feed. Sync-after-every-load (the
-    * `minhash_index:` stage key) never hits this with retention >= 2.
+    * because the index dir's contents are manifest-managed — a foreign
+    * file inside it would be swept by the layout's own GC; markers of a
+    * vanished index are reset on the next sync); a crash in between
+    * replays the version, and replaying a merge batch is idempotent. If
+    * the index falls more than the retention window behind (its next
+    * delta is GC'd), the sync refuses loudly — delete the index dir to
+    * rebuild — rather than silently resyncing from a gapped feed.
+    * Sync-after-every-load (the `minhash_index:` stage key) never hits
+    * this with retention >= 2.
     *
-    * The index target may itself be flat or bucketed parquet
-    * ([[MergeSink.mergeIntoParquet]] routes); at scale create it
-    * bucketed so each sync rewrites O(touched buckets) of postings.
-    * The layout key must be a single LONG column (pair ids). */
+    * The index is itself a [[BucketedMergeSink]] layout, keyed on `id`
+    * and bucketed like its target, holding ONE nested row per doc
+    * (`id, postings: array<struct<band,bucket>>`, read back flat via
+    * [[readPostings]]) — so each sync rewrites O(touched buckets) of
+    * postings, an upsert replaces a doc's whole signature atomically,
+    * and a delete prunes to the doc's own bucket. A flat posting-per-row
+    * index would pay a full-index rewrite on EVERY sync (the flat
+    * sink's atomic-swap shape), which dominates at corpus scale. */
   def syncMinhashIndex(
       spark: SparkSession,
       path: String,
@@ -490,7 +495,6 @@ object BucketedMergeSink {
       rowsPerBand: Int = 4,
       charGrams: Boolean = false): Seq[Long] =
     syncIndexCore(spark, path, indexPath, "minhash index", textCol,
-      mergeKey = Seq("id", "band"), replaceOnUpdate = false,
       bootstrap = (df, id) => graft.ops.Dedup.minhashBandIndex(
         df, k, bands, rowsPerBand, id, textCol, charGrams),
       sign = (df, id) => graft.ops.Dedup.minhashBandIndex(
@@ -502,10 +506,11 @@ object BucketedMergeSink {
     * sign signature) in lockstep with this bucketed target, so
     * [[graft.ops.Similarity.incrementalCosineDupPairs]] can vet each
     * ingest without re-signing the corpus. Same replay core, same
-    * marker/bootstrap/refusal contract; (tables, bits, dim) are the
-    * index's identity and must match the probe side's. A doc always
-    * carries exactly `tables` rows keyed (id, band), so a re-sign
-    * UPSERT replaces its whole signature; a null `vecCol` unsigns. */
+    * marker/bootstrap/refusal contract, same nested one-row-per-id
+    * layout (read back flat via [[readPostings]]); (tables, bits, dim)
+    * are the index's identity and must match the probe side's. A
+    * re-sign UPSERT replaces a doc's whole signature row; a null
+    * `vecCol` unsigns. */
   def syncLshIndex(
       spark: SparkSession,
       path: String,
@@ -515,7 +520,6 @@ object BucketedMergeSink {
       bits: Int = 12,
       dim: Int = 64): Seq[Long] =
     syncIndexCore(spark, path, indexPath, "lsh index", vecCol,
-      mergeKey = Seq("id", "band"), replaceOnUpdate = false,
       bootstrap = (df, id) => graft.ops.Similarity.lshBucketIndex(
         df, tables, bits, dim, id, vecCol),
       sign = (df, id) => graft.ops.Similarity.lshBucketIndex(
@@ -534,10 +538,11 @@ object BucketedMergeSink {
     * silently shift every assignment; re-cluster offline when drift
     * warrants and rebuild (delete the index dir — bootstrap retrains
     * and overwrites the sibling). Unlike the fixed-cardinality MinHash/
-    * LSH signatures, an updated doc's cell SET can change arbitrarily,
-    * so replay deletes an updated id's postings before inserting fresh
-    * ones (`replaceOnUpdate`). The bootstrap snapshot must be
-    * non-empty (there is nothing to train on otherwise). */
+    * LSH signatures, an updated doc's cell SET can change arbitrarily —
+    * harmless under the nested layout, where the re-sign UPSERT
+    * replaces the doc's whole posting row (old cells can't linger).
+    * The bootstrap snapshot must be non-empty (there is nothing to
+    * train on otherwise). */
   def syncSemanticIndex(
       spark: SparkSession,
       path: String,
@@ -549,7 +554,6 @@ object BucketedMergeSink {
       probeCells: Int = 1): Seq[Long] = {
     val centsPath = indexPath.stripSuffix("/") + ".centroids"
     syncIndexCore(spark, path, indexPath, "semantic index", vecCol,
-      mergeKey = Seq("id", "pcell"), replaceOnUpdate = true,
       bootstrap = (df, id) => {
         val (postings, cents) = graft.ops.Similarity.semanticCellIndex(
           df, nlist, iters, trainPerCell, probeCells, id, vecCol)
@@ -606,8 +610,6 @@ object BucketedMergeSink {
       indexPath: String,
       family: String,
       signCol: String,
-      mergeKey: Seq[String],
-      replaceOnUpdate: Boolean,
       bootstrap: (DataFrame, String) => DataFrame,
       sign: (DataFrame, String) => DataFrame): Seq[Long] = {
     val fs = fsOf(spark, indexPath)
@@ -617,31 +619,34 @@ object BucketedMergeSink {
     val idCol = meta.key.head
     require(meta.schema.fieldNames.contains(signCol),
       s"$path has no '$signCol' column to sign")
+    // The index is itself a bucketed layout keyed on `id`, sized like
+    // its target, holding one NESTED row per doc: the family's flat
+    // postings collapse to `postings: array<struct>`. That single-row
+    // shape is what keeps every sync leg bucket-pruned — the upsert
+    // replaces a doc's complete posting set atomically (no stale rows
+    // can linger when a posting KEY SET changes, e.g. semantic cells),
+    // and the delete leg's id-list prunes to the ids' own buckets.
+    def nest(flat: DataFrame): DataFrame = {
+      val pcols = flat.columns.filterNot(_ == "id").toSeq
+      flat.groupBy("id").agg(
+        // sort for a deterministic array order — replaying a version
+        // must produce byte-identical posting rows
+        sort_array(collect_list(struct(pcols.map(col): _*))).as("postings"))
+    }
+    def put(flat: DataFrame): Unit =
+      merge(spark, nest(flat), indexPath, "upsert", key = Seq("id"),
+        identifier = "id", numBuckets = meta.numBuckets)
     val vs = manifestVersions(spark, path)
     val appliedDir = new Path(indexPath.stripSuffix("/") + ".applied")
     // markers without an index = a rebuilt/deleted index; start fresh
     if (fs.exists(appliedDir) && !fs.exists(new Path(indexPath)))
       fs.delete(appliedDir, true)
-    val applied =
-      if (fs.exists(appliedDir))
-        fs.listStatus(appliedDir).toSeq
-          .map(_.getPath.getName.stripPrefix("v").toLong).sorted
-      else Seq.empty[Long]
-    def mark(v: Long): Unit = {
-      fs.create(new Path(appliedDir, f"v$v%09d"), true).close() // replay-safe
-      // prune superseded markers create-THEN-delete: a crash in between
-      // leaves extra markers (harmless — max still wins) never zero
-      fs.listStatus(appliedDir).map(_.getPath)
-        .filter(p => p.getName.stripPrefix("v").toLong < v)
-        .foreach(p => fs.delete(p, false))
-    }
+    def mark(v: Long): Unit = markApplied(fs, appliedDir, v)
     val done = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var last = applied.lastOption.getOrElse(0L)
+    var last = lastApplied(fs, appliedDir)
     if (last == 0L) {
       val v0 = vs.head
-      MergeSink.mergeIntoParquet(spark,
-        bootstrap(readVersion(spark, path, v0), idCol), indexPath, "upsert",
-        key = mergeKey)
+      put(bootstrap(readVersion(spark, path, v0), idCol))
       mark(v0); done += v0; last = v0
     }
     require(last >= vs.head,
@@ -651,22 +656,131 @@ object BucketedMergeSink {
         "retain_versions so sync never falls behind the window.")
     for (Seq(a, b) <- vs.sliding(2) if a >= last && b > last) {
       val delta = changesBetween(spark, path, a, b)
-      // unsign FIRST: under replaceOnUpdate an updated id's stale
-      // postings must be gone before its fresh ones land
-      val unsignOps =
-        if (replaceOnUpdate) Seq("delete", "update_post") else Seq("delete")
-      val unsign = delta.filter(col("_op").isin(unsignOps: _*) ||
+      // unsign deleted ids and ids whose sign column became null (they
+      // sign to nothing); an id updated to a NEW signature needs no
+      // delete — the nested upsert below replaces its whole posting row
+      val unsign = delta.filter(col("_op") === "delete" ||
           (col("_op") === "update_post" && col(signCol).isNull))
         .select(col(idCol).as("id")).distinct()
       if (!unsign.isEmpty)
-        MergeSink.mergeIntoParquet(spark, unsign, indexPath, "delete",
-          identifier = "id")
+        merge(spark, unsign, indexPath, "delete", identifier = "id")
       val resign = delta.filter(
         col("_op").isin("insert", "update_post") && col(signCol).isNotNull)
-      if (!resign.isEmpty)
-        MergeSink.mergeIntoParquet(spark, sign(resign, idCol), indexPath,
-          "upsert", key = mergeKey)
+      if (!resign.isEmpty) put(sign(resign, idCol))
       mark(b); done += b
+    }
+    done.toSeq
+  }
+
+  /** Last `v<NNN>` progress marker in a sibling `.applied` dir (0 =
+    * none) — shared by the index syncs and [[subscribeFeed]]. */
+  private def lastApplied(fs: FileSystem, appliedDir: Path): Long =
+    if (fs.exists(appliedDir))
+      fs.listStatus(appliedDir).toSeq
+        .map(_.getPath.getName.stripPrefix("v").toLong)
+        .sorted.lastOption.getOrElse(0L)
+    else 0L
+
+  /** Record progress marker `v` and prune superseded ones. Pruning is
+    * create-THEN-delete: a crash in between leaves extra markers
+    * (harmless — max still wins), never zero. */
+  private def markApplied(fs: FileSystem, appliedDir: Path, v: Long): Unit = {
+    fs.create(new Path(appliedDir, f"v$v%09d"), true).close() // replay-safe
+    fs.listStatus(appliedDir).map(_.getPath)
+      .filter(p => p.getName.stripPrefix("v").toLong < v)
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** The flat `(id, <posting fields>)` view of a postings index
+    * maintained by [[syncMinhashIndex]] / [[syncLshIndex]] /
+    * [[syncSemanticIndex]] — explodes the layout's nested one-row-per-id
+    * shape back into the posting-per-row frame the probe operators
+    * ([[graft.ops.Dedup.incrementalMinhashPairs]] and friends) take.
+    * Stays a narrow generate over the manifest-resolved scan: no
+    * shuffle, and bucket/column pruning still reach the parquet leaves. */
+  def readPostings(spark: SparkSession, indexPath: String): DataFrame = {
+    val nested = read(spark, indexPath)
+    val elem = nested.schema("postings").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[StructType]
+    nested.select(col("id"), explode(col("postings")).as("p"))
+      .select(col("id") +: elem.fieldNames.toSeq.map(n => col("p." + n).as(n)): _*)
+  }
+
+  /** The CONSUMER side of the CDC outbox at the TABLE level: apply every
+    * not-yet-applied `batch_id=<N>` partition of the outbox at
+    * `feedPath` ([[publishChangeFeed]]'s layout) to the replica target
+    * at `replicaPath`, in batch order — downstream replication as one
+    * idempotent catch-up call, the same contract shape as the index
+    * syncs. Returns the batch ids applied.
+    *
+    * Per batch: `insert`/`update_post` rows UPSERT (their key's old row
+    * is replaced — `update_pre` rows carry no extra information and are
+    * skipped), `delete` rows delete by key. Net-change feeds give each
+    * key at most one op per batch, so the two merges commute. Against a
+    * bucketed replica both legs cost O(touched buckets); a fresh
+    * replica's first application is the outbox's base partition (which
+    * [[publishChangeFeed]] guarantees is a self-contained all-inserts
+    * snapshot), establishing the layout with `numBuckets`.
+    *
+    * Progress lives in the sibling marker dir `<replicaPath>.applied`
+    * (markers of a vanished replica reset on the next call); markers
+    * land AFTER a batch's merges, so a crash in between replays the
+    * batch — idempotent, like the index syncs. An outbox whose oldest
+    * retained partition has moved past the replica's cursor (someone
+    * pruned the outbox) refuses loudly: the missing deltas are
+    * unreconstructable, rebuild the replica. SCD2 outboxes pair rows on
+    * (key, valid_from) — pass that composite `key`; composite keys are
+    * fine for the upsert leg, and scd2 feeds never carry deletes. */
+  def subscribeFeed(
+      spark: SparkSession,
+      feedPath: String,
+      replicaPath: String,
+      key: Seq[String] = Seq("id"),
+      numBuckets: Int = 64,
+      retainVersions: Int = 0): Seq[Long] = {
+    val feedFs = fsOf(spark, feedPath)
+    require(feedFs.exists(new Path(feedPath)),
+      s"no outbox at $feedPath — publish a change feed there first")
+    val batches = feedFs.listStatus(new Path(feedPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    require(batches.nonEmpty, s"outbox at $feedPath has no batch partitions")
+    require(batches == (batches.head to batches.last),
+      s"outbox at $feedPath has gaps in its batch ids " +
+        s"(${batches.mkString(",")}) — a pruned outbox cannot be replayed")
+    val fs = fsOf(spark, replicaPath)
+    val appliedDir = new Path(replicaPath.stripSuffix("/") + ".applied")
+    // markers without a replica = a rebuilt/deleted replica; start fresh
+    if (fs.exists(appliedDir) && !fs.exists(new Path(replicaPath)))
+      fs.delete(appliedDir, true)
+    val last = lastApplied(fs, appliedDir)
+    require(last == 0L || last >= batches.head - 1,
+      s"replica at $replicaPath last applied batch $last but the " +
+        s"outbox's oldest partition is batch ${batches.head}: the " +
+        "intermediate deltas were pruned and cannot be replayed. " +
+        "Rebuild the replica (delete it and its .applied dir).")
+    val done = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (b <- batches if b > last) {
+      val part = spark.read.parquet(s"$feedPath/batch_id=$b")
+      val dels = part.filter(col("_op") === "delete")
+        .select(col(key.head)).distinct()
+      val ups = part.filter(col("_op").isin("insert", "update_post"))
+        .drop("_op")
+      if (!dels.isEmpty) {
+        require(key.size == 1,
+          s"outbox at $feedPath carries delete ops in batch $b but the " +
+            s"replica key is composite (${key.mkString(",")}) — deletes " +
+            "route by a single identifier column")
+        merge(spark, dels, replicaPath, "delete", identifier = key.head,
+          numBuckets = numBuckets, retainVersions = retainVersions)
+      }
+      if (!ups.isEmpty)
+        merge(spark, ups, replicaPath, "upsert", key = key,
+          identifier = key.head, numBuckets = numBuckets,
+          retainVersions = retainVersions)
+      markApplied(fs, appliedDir, b)
+      done += b
     }
     done.toSeq
   }

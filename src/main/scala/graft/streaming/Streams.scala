@@ -330,13 +330,94 @@ object Streams {
       k: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      charGrams: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      charGrams: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexedMergeStream(stream, path, key, loadType, excluded, numBuckets,
+      retainVersions, family = "minhash", (spark: SparkSession) =>
+        graft.sink.BucketedMergeSink.syncMinhashIndex(
+          spark, path, indexPath, textCol, k, bands, rowsPerBand, charGrams): Unit)
+
+  /** [[streamingMergeWithIndex]]'s embedding twin: continuous ingest
+    * whose cosine-LSH bucket index
+    * ([[graft.sink.BucketedMergeSink.syncLshIndex]]) tracks the target
+    * per micro-batch, so
+    * [[graft.ops.Similarity.incrementalCosineDupPairs]] can vet each
+    * arriving slice without re-signing the corpus. Same exactly-once /
+    * self-heal contract as the MinHash variant (the sync core is
+    * shared); (tables, bits, dim) are the index's identity and must
+    * match the probe side's. */
+  def streamingMergeWithLshIndex(
+      stream: DataFrame,
+      path: String,
+      indexPath: String,
+      key: Seq[String],
+      loadType: String = "upsert",
+      excluded: Seq[String] = Nil,
+      numBuckets: Int = 64,
+      retainVersions: Int = 2,
+      vecCol: String = "embedding",
+      tables: Int = 8,
+      bits: Int = 12,
+      dim: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexedMergeStream(stream, path, key, loadType, excluded, numBuckets,
+      retainVersions, family = "lsh", (spark: SparkSession) =>
+        graft.sink.BucketedMergeSink.syncLshIndex(
+          spark, path, indexPath, vecCol, tables, bits, dim): Unit)
+
+  /** [[streamingMergeWithIndex]]'s SemDeDup twin: continuous ingest
+    * whose semantic cell index
+    * ([[graft.sink.BucketedMergeSink.syncSemanticIndex]]) tracks the
+    * target per micro-batch, feeding
+    * [[graft.ops.Similarity.incrementalSemanticDupPairs]]. Centroids
+    * train ONCE when the first micro-batch bootstraps the index (on the
+    * oldest retained snapshot — for a stream created empty, that first
+    * batch) and freeze at `<indexPath>.centroids`; every later trigger
+    * assigns its delta under the frozen model (coarse-quantizer
+    * contract — re-cluster offline and rebuild when drift warrants).
+    * Streams whose very first batches are unrepresentative of the
+    * eventual corpus should bootstrap the index from a batch load
+    * first, then attach the stream. */
+  def streamingMergeWithSemanticIndex(
+      stream: DataFrame,
+      path: String,
+      indexPath: String,
+      key: Seq[String],
+      loadType: String = "upsert",
+      excluded: Seq[String] = Nil,
+      numBuckets: Int = 64,
+      retainVersions: Int = 2,
+      vecCol: String = "embedding",
+      nlist: Int = 0,
+      iters: Int = 3,
+      trainPerCell: Int = 256,
+      probeCells: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexedMergeStream(stream, path, key, loadType, excluded, numBuckets,
+      retainVersions, family = "semantic", (spark: SparkSession) =>
+        graft.sink.BucketedMergeSink.syncSemanticIndex(
+          spark, path, indexPath, vecCol, nlist, iters, trainPerCell,
+          probeCells): Unit)
+
+  /** The shared merge-plus-index trigger loop behind the three indexed
+    * ingest variants — validation and the catch-up-BEFORE-merge
+    * ordering live here once; `sync` is the family's idempotent
+    * version-replay catch-up ([[graft.sink.BucketedMergeSink]]'s
+    * syncMinhashIndex / syncLshIndex / syncSemanticIndex, closed over
+    * the family's signer parameters). */
+  private def indexedMergeStream(
+      stream: DataFrame,
+      path: String,
+      key: Seq[String],
+      loadType: String,
+      excluded: Seq[String],
+      numBuckets: Int,
+      retainVersions: Int,
+      family: String,
+      sync: SparkSession => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(key.size == 1,
       s"an indexed merge stream needs a single-column key (postings pair " +
         s"on one id), got ${key.mkString(", ")}")
     require(Set("upsert", "update", "delete")(loadType),
       s"unknown load type: $loadType (expected upsert/update/delete; " +
-        "a minhash index over scd2 history is undefined)")
+        s"a $family index over scd2 history is undefined)")
     require(numBuckets > 0,
       "an indexed merge stream needs a bucketed target (the index sync " +
         "replays manifest snapshot diffs) — pass numBuckets > 0")
@@ -351,14 +432,11 @@ object Streams {
       // pending version, turning the self-healing catch-up into the
       // hard "Rebuild the index" refusal at the minimum retention — the
       // same ordering the Runner's batch stage keys use
-      if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
-        graft.sink.BucketedMergeSink.syncMinhashIndex(
-          spark, path, indexPath, textCol, k, bands, rowsPerBand, charGrams): Unit
+      if (graft.sink.BucketedMergeSink.isBucketed(spark, path)) sync(spark)
       graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
         identifier = key.head, excluded = excluded, numBuckets = numBuckets,
         retainVersions = retainVersions)
-      graft.sink.BucketedMergeSink.syncMinhashIndex(
-        spark, path, indexPath, textCol, k, bands, rowsPerBand, charGrams): Unit
+      sync(spark)
     }
   }
 

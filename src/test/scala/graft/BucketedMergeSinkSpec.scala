@@ -716,7 +716,8 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
         BucketedMergeSink.read(spark, path), idCol = "doc_id")
         .as[(Long, Int, Long)].collect().toSet
     def stored(idxPath: String): Set[(Long, Int, Long)] =
-      spark.read.parquet(idxPath).select("id", "band", "bucket")
+      BucketedMergeSink.readPostings(spark, idxPath)
+        .select("id", "band", "bucket")
         .as[(Long, Int, Long)].collect().toSet
     val path = tmpTarget()
     val idx = tmpTarget() + "-minhash"
@@ -911,7 +912,8 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
         tables = 4, bits = 6, dim = 4, idCol = "vec_id")
         .as[(Long, Int, Long)].collect().toSet
     def stored(idxPath: String): Set[(Long, Int, Long)] =
-      spark.read.parquet(idxPath).select("id", "band", "bucket")
+      BucketedMergeSink.readPostings(spark, idxPath)
+        .select("id", "band", "bucket")
         .as[(Long, Int, Long)].collect().toSet
     val path = tmpTarget()
     val idx = tmpTarget() + "-lsh"
@@ -962,7 +964,7 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
         spark.read.parquet(idx + ".centroids"), probeCells = 1)
         .as[(Long, Int)].collect().toSet
     def stored(): Set[(Long, Int)] =
-      spark.read.parquet(idx).select("id", "pcell")
+      BucketedMergeSink.readPostings(spark, idx).select("id", "pcell")
         .as[(Long, Int)].collect().toSet
     assert(stored() == expected(), "bootstrap postings = frozen-model assignment")
     // v2: move vector 2 to the OTHER cluster — its posting must move
@@ -983,5 +985,123 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
       .select("cell", "centv").as[(Int, Seq[Double])].collect().toMap
     assert(centsAfter == cents, "sync must never retrain the model")
     assert(sync().isEmpty, "idempotent")
+  }
+
+  test("index sync cost contract: a single-doc delta rewrites ONLY that " +
+    "doc's index bucket — maintenance is O(touched buckets), never the " +
+    "flat sink's full-index swap") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val idx = tmpTarget() + "-mh"
+    val n = 8
+    val docs = (1 to 32)
+      .map(i => (i.toLong, s"alpha beta gamma doc nr $i with words"))
+      .toDF("doc_id", "text")
+    BucketedMergeSink.merge(spark, docs, path, "upsert", Seq("doc_id"),
+      numBuckets = n, retainVersions = 4)
+    BucketedMergeSink.syncMinhashIndex(spark, path, idx)
+    val before = (0 until n).map(b => b -> bucketState(idx, b)).toMap
+    // one doc's text changes → exactly one nested posting row moves,
+    // and it lives in bucket hash(id) of the INDEX layout
+    BucketedMergeSink.merge(spark,
+      Seq((7L, "completely different text for doc seven")).toDF("doc_id", "text"),
+      path, "upsert", Seq("doc_id"))
+    BucketedMergeSink.syncMinhashIndex(spark, path, idx)
+    val b7 = Seq(7L).toDF("id")
+      .select(BucketedMergeSink.bucketExpr(Seq("id"), n)).as[Int].head()
+    for (b <- 0 until n if b != b7)
+      assert(bucketState(idx, b) == before(b),
+        s"untouched index bucket $b was rewritten by a one-doc sync")
+    assert(bucketState(idx, b7) != before(b7),
+      "the updated doc's index bucket must carry its fresh signature")
+    assert(BucketedMergeSink.readPostings(spark, idx)
+      .filter($"id" === 7L).count() == 8, "bands rows for the re-signed doc")
+  }
+
+  test("subscribeFeed: a replica built from the outbox alone equals the " +
+    "target through inserts, updates, and deletes; idempotent; " +
+    "crash-replay safe; refuses a pruned outbox") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    val replica = tmpTarget() + "-replica"
+    def targetRows() = BucketedMergeSink.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    def replicaRows() = BucketedMergeSink.read(spark, replica)
+      .as[(Long, String, Long)].collect().toSet
+    BucketedMergeSink.merge(spark, seed(10), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 4) // v1
+    BucketedMergeSink.publishChangeFeed(spark, path, feed)
+    // first subscription: the base partition materializes the replica
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4) == Seq(1L))
+    assert(replicaRows() == targetRows(), "base application = snapshot")
+    // v2 updates key 3 and inserts 11; v3 deletes key 5
+    BucketedMergeSink.merge(spark,
+      Seq((3L, "NEW", 33L), (11L, "eleven", 110L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2
+    BucketedMergeSink.merge(spark, Seq(5L).toDF("id"), path,
+      "delete", identifier = "id") // v3
+    BucketedMergeSink.publishChangeFeed(spark, path, feed)
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4) == Seq(2L, 3L), "catch-up applies only new batches")
+    assert(replicaRows() == targetRows(),
+      "replica tracks update + insert + delete")
+    assert(!replicaRows().exists(_._1 == 5L))
+    assert(replicaRows().exists(r => r._1 == 3L && r._2 == "NEW"))
+    // idempotent: nothing pending, nothing changed
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4).isEmpty)
+    assert(replicaRows() == targetRows())
+    // crash between batch 3's merges and its marker: reconstruct that
+    // on-disk state (marker back at 2) — the batch replays and converges
+    val applied = new File(replica + ".applied")
+    new File(applied, "v000000002").createNewFile()
+    new File(applied, "v000000003").delete()
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4) == Seq(3L))
+    assert(replicaRows() == targetRows(), "replayed batch is idempotent")
+    // a pruned outbox refuses loudly: drop the oldest partition while a
+    // FRESH replica would need it (and a holey one refuses for any)
+    val fresh = tmpTarget() + "-replica2"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new File(feed, "batch_id=2"))
+    val e = intercept[IllegalArgumentException](
+      BucketedMergeSink.subscribeFeed(spark, feed, fresh, numBuckets = 4))
+    assert(e.getMessage.contains("gaps"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new File(feed, "batch_id=1"))
+    // existing replica is AT batch 3 — ok even though 1,2 are gone
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4).isEmpty)
+    // but a replica whose cursor is BEFORE the oldest partition refuses
+    new File(applied, "v000000001").createNewFile()
+    new File(applied, "v000000003").delete()
+    val e2 = intercept[IllegalArgumentException](
+      BucketedMergeSink.subscribeFeed(spark, feed, replica, numBuckets = 4))
+    assert(e2.getMessage.contains("pruned"), e2.getMessage)
+  }
+
+  test("subscribeFeed: a consumer arriving mid-life starts from the " +
+    "all-inserts base of a feed that began after the target's window slid") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    val replica = tmpTarget() + "-replica"
+    BucketedMergeSink.merge(spark, seed(6), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 2) // v1
+    BucketedMergeSink.merge(spark, Seq((7L, "seven", 70L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2: retains {v1, v2}
+    BucketedMergeSink.merge(spark, Seq((8L, "eight", 80L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v3: retains {v2, v3} — v1 GC'd
+    // feed starts NOW: base = all-inserts snapshot of v2
+    BucketedMergeSink.publishChangeFeed(spark, path, feed)
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4) == Seq(2L, 3L))
+    assert(BucketedMergeSink.read(spark, replica)
+        .as[(Long, String, Long)].collect().toSet ==
+      BucketedMergeSink.read(spark, path)
+        .as[(Long, String, Long)].collect().toSet,
+      "mid-life subscription reconstructs the current state")
   }
 }

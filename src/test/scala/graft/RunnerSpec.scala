@@ -228,7 +228,7 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     runner.run("p")
     runner.run("p", Map("maxid" -> "4")) // adds doc 4 incrementally
     import spark.implicits._
-    val stored = spark.read.parquet(s"$root/tgt_mi_minhash")
+    val stored = graft.sink.BucketedMergeSink.readPostings(spark, s"$root/tgt_mi_minhash")
       .select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
     val expected = graft.ops.Dedup.minhashBandIndex(
       graft.sink.BucketedMergeSink.read(spark, s"$root/tgt_mi"), idCol = "doc_id")
@@ -291,7 +291,7 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val target = graft.sink.BucketedMergeSink.read(spark, s"$root/tgt_vi")
     // LSH postings == a fresh signing of the current target state
-    val lshStored = spark.read.parquet(s"$root/tgt_vi_lsh")
+    val lshStored = graft.sink.BucketedMergeSink.readPostings(spark, s"$root/tgt_vi_lsh")
       .select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
     val lshFresh = graft.ops.Similarity.lshBucketIndex(target, idCol = "vec_id")
       .as[(Long, Int, Long)].collect().toSet
@@ -300,7 +300,7 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(lshStored.exists(_._1 == 6L), "the second run's vectors reached it")
     // semantic postings == assignment of the current state under the
     // centroids frozen at the FIRST run's bootstrap
-    val semStored = spark.read.parquet(s"$root/tgt_vi_sem")
+    val semStored = graft.sink.BucketedMergeSink.readPostings(spark, s"$root/tgt_vi_sem")
       .select("id", "pcell").as[(Long, Int)].collect().toSet
     val semFresh = graft.ops.Similarity.assignBatchCells(
       target, spark.read.parquet(s"$root/tgt_vi_sem.centroids"))
@@ -409,7 +409,7 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     // the index"); with it, v2 replays first and everything converges
     runner.run("p", Map("maxid" -> "4"))
     import spark.implicits._
-    val stored = spark.read.parquet(s"$root/tgt_heal_minhash")
+    val stored = graft.sink.BucketedMergeSink.readPostings(spark, s"$root/tgt_heal_minhash")
       .select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
     val expected = graft.ops.Dedup.minhashBandIndex(
       graft.sink.BucketedMergeSink.read(spark, s"$root/tgt_heal"),
@@ -671,5 +671,64 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       TransformerRegistry.load("java.lang.Object")
     }
     assert(e.getMessage.contains("Transformer"))
+  }
+
+  test("subscribe_feed: a consumer stage replays the producer's outbox " +
+    "into a replica from config; misconfigurations refuse loudly") {
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "name", "v").createOrReplaceTempView("sf_src")
+    val root = Files.createTempDirectory("graft-runner-sf").toString
+    val ry =
+      s"""pypelines:
+         |  p: [producer, consumer]
+         |pypes:
+         |  producer:
+         |    extract_query: "SELECT id, name, v FROM sf_src WHERE id <= {maxid}"
+         |    target_table: tgt_sf
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    retain_versions: 2
+         |    change_feed: tgt_sf_outbox
+         |  consumer:
+         |    subscribe_feed: tgt_sf_outbox
+         |    target_table: tgt_sf_replica
+         |    key: [id]
+         |    buckets: 4
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "3"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "4")) // second run grows the target
+    import spark.implicits._
+    def rows(p: String) = graft.sink.BucketedMergeSink.read(spark, s"$root/$p")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows("tgt_sf_replica") == rows("tgt_sf"),
+      "after two pipeline runs the replica equals the producer target")
+    assert(rows("tgt_sf_replica").exists(_._1 == 4L))
+    // the consumer registered its replica as a queryable view
+    assert(spark.sql("SELECT count(*) FROM tgt_sf_replica").as[Long].head() == 4L)
+    // consumer stages refuse producer-side keys and extracts
+    def failing(stanza: String, needle: String): Unit = {
+      val y =
+        s"""pypelines:
+           |  p: [bad]
+           |pypes:
+           |  bad:
+           |    subscribe_feed: tgt_sf_outbox
+           |    target_table: tgt_sf_bad
+           |    key: [id]
+           |$stanza
+           |""".stripMargin
+      val e = intercept[IllegalArgumentException](
+        new Runner(spark, PipelineSpec.fromYaml(y), Map.empty, root).run("p"))
+      assert(e.getMessage.contains(needle), e.getMessage)
+      assert(!new java.io.File(s"$root/tgt_sf_bad").exists(),
+        "refusal must land before the write")
+    }
+    failing("    extract_query: \"SELECT 1\"", "consumer stage")
+    failing("    change_feed: somewhere", "cannot combine")
+    failing("    minhash_index: somewhere", "cannot combine")
+    failing("    delete_where: \"v > 0\"", "cannot combine")
   }
 }

@@ -311,7 +311,8 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       .option("checkpointLocation", ckpt)
       .start()
     try q.processAllAvailable() finally q.stop()
-    val stored = spark.read.parquet(idx).select("id", "band", "bucket")
+    val stored = graft.sink.BucketedMergeSink.readPostings(spark, idx)
+      .select("id", "band", "bucket")
       .as[(Long, Int, Long)].collect().toSet
     val expected = graft.ops.Dedup.minhashBandIndex(
       graft.sink.BucketedMergeSink.read(spark, target), idCol = "doc_id")
@@ -341,7 +342,8 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       .option("checkpointLocation", ckpt)
       .start()
     try q2.processAllAvailable() finally q2.stop()
-    val healed = spark.read.parquet(idx).select("id", "band", "bucket")
+    val healed = graft.sink.BucketedMergeSink.readPostings(spark, idx)
+      .select("id", "band", "bucket")
       .as[(Long, Int, Long)].collect().toSet
     val expected2 = graft.ops.Dedup.minhashBandIndex(
       graft.sink.BucketedMergeSink.read(spark, target), idCol = "doc_id")
@@ -350,6 +352,93 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       "the healed index must equal a fresh signing of the target")
     assert(healed.exists(_._1 == 5L) && healed.exists(_._1 == 6L),
       "both the crashed version's doc and the healing trigger's doc are indexed")
+  }
+
+  test("streamingMergeWithLshIndex: the cosine-LSH bucket index tracks " +
+    "the target across micro-batches (insert, vector update)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sml-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-sml-tgt").toString + "/t"
+    val idx = java.nio.file.Files.createTempDirectory("graft-sml-idx").toString + "/i"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sml-ck").toString
+    // b0 inserts vecs 1-3 (bootstrap signs them); b1 rotates vec 1's
+    // embedding (its old postings must be replaced) and inserts vec 4
+    val batches = Seq(
+      Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+        (3L, Seq(0.9, 0.1, 0.0, 0.0))),
+      Seq((1L, Seq(-1.0, 0.0, 0.5, 0.0)), (4L, Seq(0.0, 0.0, 1.0, 0.0))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("vec_id", "embedding"), i)
+    }
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMergeWithLshIndex(
+      stream, target, idx, Seq("vec_id"), numBuckets = 4,
+      tables = 4, bits = 6, dim = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val stored = graft.sink.BucketedMergeSink.readPostings(spark, idx)
+      .select("id", "band", "bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    val expected = graft.ops.Similarity.lshBucketIndex(
+      graft.sink.BucketedMergeSink.read(spark, target),
+      tables = 4, bits = 6, dim = 4, idCol = "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(stored == expected,
+      "after the stream drains, the index must equal a fresh signing of the target")
+    assert(stored.exists(_._1 == 4L))
+    assert(stored.count(_._1 == 1L) == 4,
+      "the updated vector carries exactly `tables` postings — its " +
+        "pre-rotation signature was replaced, not shadowed")
+    // shared-core refusals surface identically through this wrapper
+    intercept[IllegalArgumentException](Streams.streamingMergeWithLshIndex(
+      stream, target, idx, Seq("vec_id", "embedding")))
+    intercept[IllegalArgumentException](Streams.streamingMergeWithLshIndex(
+      stream, target, idx, Seq("vec_id"), retainVersions = 1))
+  }
+
+  test("streamingMergeWithSemanticIndex: cell postings track the target " +
+    "under centroids frozen at the first trigger's bootstrap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sms-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-sms-tgt").toString + "/t"
+    val idx = java.nio.file.Files.createTempDirectory("graft-sms-idx").toString + "/i"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sms-ck").toString
+    // b0: two clean clusters — the bootstrap trains nlist=2 centroids on
+    // it and freezes them; b1: vec 2 MOVES to the other cluster (its
+    // posting must change cells under the frozen model) plus an insert
+    val batches = Seq(
+      Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+        (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 0.9))),
+      Seq((2L, Seq(0.0, 1.0)), (5L, Seq(0.95, 0.05))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("vec_id", "embedding"), i)
+    }
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMergeWithSemanticIndex(
+      stream, target, idx, Seq("vec_id"), numBuckets = 4,
+      nlist = 2, probeCells = 1)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val cents = spark.read.parquet(idx + ".centroids")
+    assert(cents.count() == 2, "nlist=2 model persisted at the sibling")
+    val stored = graft.sink.BucketedMergeSink.readPostings(spark, idx)
+      .select("id", "pcell")
+      .as[(Long, Int)].collect().toSet
+    val expected = graft.ops.Similarity.assignBatchCells(
+      graft.sink.BucketedMergeSink.read(spark, target), cents, probeCells = 1)
+      .as[(Long, Int)].collect().toSet
+    assert(stored == expected,
+      "after the stream drains, postings must equal the frozen-model " +
+        "assignment of the target's current state")
+    assert(stored.count(_._1 == 2L) == 1,
+      "the moved vector's stale posting was deleted, not shadowed")
+    assert(stored.exists(_._1 == 5L))
   }
 
   test("streamingMergeWithFeed: each micro-batch materializes its CDC " +
