@@ -362,6 +362,17 @@ final class Runner(
     // marker gets one, so a crash anywhere in this pass self-heals on
     // the next run's catch-up-BEFORE-load
     if (derived.nonEmpty) catchUpDerived(stage, path)
+    // `compact: true` extends to the stage's postings indexes — their
+    // per-version sync merges fragment index buckets exactly like loads
+    // fragment the target's. AFTER the catch-up (compacting first would
+    // miss the sync's own fragments); compacting an index commits a
+    // version on the INDEX layout only, so the target retention math
+    // above is untouched
+    if (stage.compact)
+      Seq(stage.minhashIndex, stage.lshIndex, stage.semanticIndex)
+        .filter(_.nonEmpty).foreach(idx =>
+          graft.sink.BucketedMergeSink.compact(spark, targetPath(idx),
+            maxFiles = stage.compactMaxFiles))
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

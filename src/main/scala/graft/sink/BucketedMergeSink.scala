@@ -738,7 +738,8 @@ object BucketedMergeSink {
       replicaPath: String,
       key: Seq[String] = Seq("id"),
       numBuckets: Int = 64,
-      retainVersions: Int = 0): Seq[Long] = {
+      retainVersions: Int = 0,
+      upTo: Long = Long.MaxValue): Seq[Long] = {
     val feedFs = fsOf(spark, feedPath)
     require(feedFs.exists(new Path(feedPath)),
       s"no outbox at $feedPath — publish a change feed there first")
@@ -761,28 +762,118 @@ object BucketedMergeSink {
         "intermediate deltas were pruned and cannot be replayed. " +
         "Rebuild the replica (delete it and its .applied dir).")
     val done = scala.collection.mutable.ArrayBuffer.empty[Long]
-    for (b <- batches if b > last) {
-      val part = spark.read.parquet(s"$feedPath/batch_id=$b")
-      val dels = part.filter(col("_op") === "delete")
-        .select(col(key.head)).distinct()
-      val ups = part.filter(col("_op").isin("insert", "update_post"))
-        .drop("_op")
-      if (!dels.isEmpty) {
-        require(key.size == 1,
-          s"outbox at $feedPath carries delete ops in batch $b but the " +
-            s"replica key is composite (${key.mkString(",")}) — deletes " +
-            "route by a single identifier column")
-        merge(spark, dels, replicaPath, "delete", identifier = key.head,
-          numBuckets = numBuckets, retainVersions = retainVersions)
-      }
-      if (!ups.isEmpty)
-        merge(spark, ups, replicaPath, "upsert", key = key,
+    for (b <- batches if b > last && b <= upTo) {
+      val partDir = new Path(feedPath, s"batch_id=$b")
+      val part = spark.read.parquet(partDir.toString)
+      if (feedFs.exists(new Path(partDir, baseMarker)) &&
+          fs.exists(new Path(replicaPath))) {
+        // a REBASED partition ([[compactOutbox]]): its all-inserts rows
+        // are a full snapshot, not a delta — replace the replica
+        // wholesale. Upserting into the existing replica would strand
+        // rows deleted between this consumer's cursor and the rebase
+        // point (their delete ops were pruned with the old partitions).
+        val rows = part.filter(col("_op") === "insert").drop("_op")
+        fs.delete(new Path(replicaPath), true)
+        merge(spark, rows, replicaPath, "upsert", key = key,
           identifier = key.head, numBuckets = numBuckets,
           retainVersions = retainVersions)
+      } else {
+        val dels = part.filter(col("_op") === "delete")
+          .select(col(key.head)).distinct()
+        val ups = part.filter(col("_op").isin("insert", "update_post"))
+          .drop("_op")
+        if (!dels.isEmpty) {
+          require(key.size == 1,
+            s"outbox at $feedPath carries delete ops in batch $b but the " +
+              s"replica key is composite (${key.mkString(",")}) — deletes " +
+              "route by a single identifier column")
+          merge(spark, dels, replicaPath, "delete", identifier = key.head,
+            numBuckets = numBuckets, retainVersions = retainVersions)
+        }
+        if (!ups.isEmpty)
+          merge(spark, ups, replicaPath, "upsert", key = key,
+            identifier = key.head, numBuckets = numBuckets,
+            retainVersions = retainVersions)
+      }
       markApplied(fs, appliedDir, b)
       done += b
     }
     done.toSeq
+  }
+
+  /** Marker file inside a rebased outbox partition: its rows are a full
+    * all-inserts SNAPSHOT ([[compactOutbox]]), not a delta. Underscore
+    * prefix keeps parquet readers from treating it as data. */
+  private val baseMarker = "_base"
+
+  /** Log-compaction for the CDC outbox ([[publishChangeFeed]]'s layout):
+    * REBASE the outbox at batch `upTo` — replace that partition with an
+    * all-inserts snapshot of the state as of `upTo` (marked with
+    * [[baseMarker]]) and prune every older partition. Bounds the
+    * outbox's growth (one partition per target version forever
+    * otherwise) the way a log-compacted topic does: history before the
+    * rebase point collapses into one snapshot. Returns the pruned ids.
+    *
+    * Consumer contract afterwards ([[subscribeFeed]]):
+    *   - cursor >= upTo: untouched — only delta partitions > upTo apply.
+    *   - cursor == upTo - 1, or a fresh replica: the marked base applies
+    *     as a FULL REPLACEMENT (deletes collapsed into the snapshot
+    *     cannot be missed).
+    *   - cursor < upTo - 1: refused loudly (the pruned deltas are
+    *     unreconstructable) — pick `upTo` no newer than your laggiest
+    *     consumer's cursor + 1.
+    *
+    * The snapshot is folded through the consumer machinery itself (a
+    * scratch replica under `<feedPath>.rebase-tmp`), so base semantics
+    * can never drift from apply semantics. Single-writer like the
+    * producer side; a crash mid-rebase leaves either the old layout
+    * (re-run) or a visible gap that consumers refuse loudly — never a
+    * silently wrong feed. */
+  def compactOutbox(
+      spark: SparkSession,
+      feedPath: String,
+      upTo: Long,
+      key: Seq[String] = Seq("id"),
+      numBuckets: Int = 16): Seq[Long] = {
+    val fs = fsOf(spark, feedPath)
+    // heal a crash between the swap's delete and rename: the staged base
+    // is complete (marker written last), finish the rename and continue
+    val stagedPrev = new Path(feedPath, s".rebase-part-$upTo")
+    if (fs.exists(stagedPrev) &&
+        fs.exists(new Path(stagedPrev, baseMarker)) &&
+        !fs.exists(new Path(feedPath, s"batch_id=$upTo")))
+      require(fs.rename(stagedPrev, new Path(feedPath, s"batch_id=$upTo")),
+        s"rebase heal failed: could not rename $stagedPrev")
+    val batches = fs.listStatus(new Path(feedPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    require(batches.contains(upTo),
+      s"outbox at $feedPath has no batch $upTo (batches: ${batches.mkString(",")})")
+    val prune = batches.filter(_ < upTo)
+    val partDir = new Path(feedPath, s"batch_id=$upTo")
+    if (prune.isEmpty && fs.exists(new Path(partDir, baseMarker)))
+      return Nil // already rebased here
+    // fold state-as-of-upTo through subscribeFeed itself
+    val tmp = feedPath.stripSuffix("/") + ".rebase-tmp"
+    fs.delete(new Path(tmp), true)
+    fs.delete(new Path(tmp + ".applied"), true)
+    subscribeFeed(spark, feedPath, tmp, key, numBuckets, upTo = upTo): Unit
+    val state = read(spark, tmp)
+    val base = state.select(
+      (lit("insert").as("_op") +: state.columns.toSeq.map(col)): _*)
+    // stage the base OUTSIDE the partition, then swap: a consumer must
+    // never observe a half-written base without its marker
+    val staged = new Path(feedPath, s".rebase-part-$upTo")
+    fs.delete(staged, true)
+    base.write.mode("overwrite").parquet(staged.toString)
+    fs.create(new Path(staged, baseMarker), true).close()
+    fs.delete(partDir, true)
+    require(fs.rename(staged, partDir),
+      s"rebase swap failed: could not rename $staged over $partDir")
+    prune.foreach(b => fs.delete(new Path(feedPath, s"batch_id=$b"), true))
+    fs.delete(new Path(tmp), true)
+    fs.delete(new Path(tmp + ".applied"), true)
+    prune
   }
 
   /** Test seam for the concurrent-writer spec: invoked between a

@@ -1082,6 +1082,68 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("pruned"), e2.getMessage)
   }
 
+  test("compactOutbox: rebases the outbox at a batch — older partitions " +
+    "prune, the rebase point becomes a marked base, and a consumer one " +
+    "step behind cannot keep ghost rows for pruned deletes") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    def rep(n: String) = tmpTarget() + s"-rep$n"
+    BucketedMergeSink.merge(spark, seed(6), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 6) // v1
+    BucketedMergeSink.merge(spark, Seq((7L, "seven", 70L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2
+    BucketedMergeSink.merge(spark, Seq(2L).toDF("id"), path,
+      "delete", identifier = "id") // v3: the delete a lagging consumer must not miss
+    BucketedMergeSink.merge(spark, Seq((3L, "THREE", 33L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v4
+    BucketedMergeSink.publishChangeFeed(spark, path, feed)
+    def targetRows() = BucketedMergeSink.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    def rows(p: String) = BucketedMergeSink.read(spark, p)
+      .as[(Long, String, Long)].collect().toSet
+    // consumer A fully caught up; consumer B stops at batch 2 (still has id 2)
+    val a = rep("A"); val b = rep("B")
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, a, numBuckets = 4)
+      == Seq(1L, 2L, 3L, 4L))
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, b, numBuckets = 4,
+      upTo = 2L) == Seq(1L, 2L))
+    assert(rows(b).exists(_._1 == 2L), "B's cursor predates the delete")
+    // rebase at batch 3: partitions 1,2 collapse into a base at 3
+    assert(BucketedMergeSink.compactOutbox(spark, feed, 3L) == Seq(1L, 2L))
+    assert(!new File(feed, "batch_id=1").exists())
+    assert(!new File(feed, "batch_id=2").exists())
+    assert(new File(new File(feed, "batch_id=3"), "_base").exists(),
+      "the rebase point must be marked as a base")
+    assert(new File(feed, "batch_id=4").exists(), "later deltas untouched")
+    // idempotent
+    assert(BucketedMergeSink.compactOutbox(spark, feed, 3L).isEmpty)
+    // consumer A (cursor 4): nothing pending, state unchanged
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, a, numBuckets = 4).isEmpty)
+    assert(rows(a) == targetRows())
+    // consumer B (cursor 2): the base applies as a FULL REPLACEMENT —
+    // id 2's delete was pruned with partition 3's delta form, so an
+    // upsert-only application would have stranded it forever
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, b, numBuckets = 4)
+      == Seq(3L, 4L))
+    assert(rows(b) == targetRows(), "lagging consumer converges via the base")
+    assert(!rows(b).exists(_._1 == 2L), "no ghost row for the pruned delete")
+    // a fresh consumer bootstraps from the base
+    val c = rep("C")
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, c, numBuckets = 4)
+      == Seq(3L, 4L))
+    assert(rows(c) == targetRows())
+    // a consumer whose cursor predates the rebase window refuses loudly
+    val d = rep("D")
+    val dApplied = new File(d + ".applied")
+    BucketedMergeSink.subscribeFeed(spark, feed, d, numBuckets = 4): Unit
+    new File(dApplied, "v000000001").createNewFile()
+    new File(dApplied, "v000000004").delete()
+    val e = intercept[IllegalArgumentException](
+      BucketedMergeSink.subscribeFeed(spark, feed, d, numBuckets = 4))
+    assert(e.getMessage.contains("pruned"), e.getMessage)
+  }
+
   test("subscribeFeed: a consumer arriving mid-life starts from the " +
     "all-inserts base of a feed that began after the target's window slid") {
     import spark.implicits._

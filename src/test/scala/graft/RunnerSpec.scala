@@ -731,4 +731,49 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     failing("    minhash_index: somewhere", "cannot combine")
     failing("    delete_where: \"v > 0\"", "cannot combine")
   }
+
+  test("compact: true also compacts the stage's postings indexes — " +
+    "sync merges fragment index buckets like loads fragment the target") {
+    Seq((1L, "alpha beta gamma one"), (2L, "delta epsilon zeta two"),
+      (3L, "eta theta iota three"), (4L, "kappa lambda mu four"),
+      (5L, "nu xi omicron five"), (6L, "pi rho sigma six"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ci_src")
+    val root = Files.createTempDirectory("graft-runner-ci").toString
+    val ry =
+      s"""pypelines:
+         |  p: [sci]
+         |pypes:
+         |  sci:
+         |    extract_query: "SELECT doc_id, text FROM ci_src WHERE doc_id <= {maxid}"
+         |    target_table: tgt_ci
+         |    type: upsert
+         |    key: [doc_id]
+         |    buckets: 2
+         |    retain_versions: 3
+         |    minhash_index: tgt_ci_minhash
+         |    compact: true
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "2"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "4"))
+    runner.run("p", Map("maxid" -> "6"))
+    val idx = s"$root/tgt_ci_minhash"
+    // three runs of merge-per-sync would fragment the index; lockstep
+    // compaction must leave every live index bucket at one data file
+    graft.sink.BucketedMergeSink.manifest(spark, idx).keys.foreach { b =>
+      val dir = graft.sink.BucketedMergeSink.bucketDataDir(spark, idx, b).get
+      val files = new java.io.File(dir).listFiles()
+        .count(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+      assert(files == 1, s"index bucket $b has $files data files after compact")
+    }
+    import spark.implicits._
+    val stored = graft.sink.BucketedMergeSink.readPostings(spark, idx)
+      .select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    val expected = graft.ops.Dedup.minhashBandIndex(
+      graft.sink.BucketedMergeSink.read(spark, s"$root/tgt_ci"), idCol = "doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(stored == expected, "compaction must not change index contents")
+  }
 }
