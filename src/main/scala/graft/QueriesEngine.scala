@@ -404,13 +404,16 @@ object QueriesEngine {
 
     // -- CDC replication end-to-end from config: a PRODUCER stage loads
     //    a growing orders slice, purges high-price rows (delete_where)
-    //    and publishes every version to its outbox (change_feed); a
-    //    CONSUMER stage (subscribe_feed) replays the outbox into a
-    //    replica it never reads the producer target for. Two pipeline
-    //    runs; the emitted rows are the REPLICA's final state, so the
-    //    DuckDB oracle re-derives it from the source relation alone —
-    //    inserts, updates, and feed-carried deletes all have to survive
-    //    the outbox round-trip for the hash to match.
+    //    and publishes every version to its outbox (change_feed) which
+    //    outbox_keep log-compacts down to the newest 3 batches (the
+    //    second run rebases history into a marked base the consumer
+    //    must NOT re-apply); a CONSUMER stage (subscribe_feed) replays
+    //    the outbox into a replica it never reads the producer target
+    //    for. Two pipeline runs; the emitted rows are the REPLICA's
+    //    final state, so the DuckDB oracle re-derives it from the
+    //    source relation alone — inserts, updates, feed-carried
+    //    deletes, and the rebase all have to survive the outbox
+    //    round-trip for the hash to match.
     "q122_pipeline_subscribe_feed" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       val yaml =
@@ -425,6 +428,7 @@ object QueriesEngine {
           |    buckets: 8
           |    retain_versions: 3
           |    change_feed: q122_outbox
+          |    outbox_keep: 3
           |    delete_where: "o_totalprice > 200000"
           |  consumer:
           |    subscribe_feed: q122_outbox

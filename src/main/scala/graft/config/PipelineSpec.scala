@@ -49,6 +49,13 @@ final case class StageSpec(
                              // the not-yet-published per-version change
                              // feeds there (BucketedMergeSink
                              // .publishChangeFeed; idempotent catch-up)
+    outboxKeep: Int = 0, // with change_feed: >0 log-compacts the outbox
+                         // after each publish, keeping only the newest N
+                         // batch partitions (BucketedMergeSink
+                         // .compactOutboxKeep — older history collapses
+                         // into a marked all-inserts base). Size above
+                         // the laggiest consumer's worst lag: a consumer
+                         // more than N-1 batches behind refuses loudly
     minhashIndex: String = "", // bucketed targets only (retention >= 2,
                                // single-column key): near-dup index name —
                                // after each load, bring the persisted
@@ -197,6 +204,7 @@ object PipelineSpec {
       compactMaxFiles = str("compact_max_files", "1").toInt,
       retainVersions = str("retain_versions", "0").toInt,
       changeFeed = str("change_feed", ""),
+      outboxKeep = str("outbox_keep", "0").toInt,
       minhashIndex = str("minhash_index", ""),
       minhashIndexText = str("minhash_index_text", "text"),
       lshIndex = str("lsh_index", ""),

@@ -272,6 +272,9 @@ final class Runner(
     // losing that batch from the outbox. The index families also need a
     // single-column merge key (postings pair on one id). Validate
     // BEFORE the merge: a misconfigured outbox must not cost a write.
+    require(stage.outboxKeep == 0 || stage.changeFeed.nonEmpty,
+      s"stage ${stage.name}: outbox_keep bounds a change_feed outbox — " +
+        "set change_feed, or drop outbox_keep")
     val derived = Seq(
       ("change_feed", stage.changeFeed, false),
       ("minhash_index", stage.minhashIndex, true),
@@ -287,6 +290,14 @@ final class Runner(
         else stage.retainVersions
       val commitsPerRun = 1 + (if (stage.deleteWhere.nonEmpty) 1 else 0) +
         (if (stage.compact) 1 else 0)
+      // a rebase window shallower than one run's own publishes would
+      // strand even a same-pipeline consumer running right after this
+      // stage (its cursor lags exactly commitsPerRun batches)
+      require(stage.outboxKeep == 0 || stage.outboxKeep >= commitsPerRun,
+        s"stage ${stage.name}: outbox_keep must be >= $commitsPerRun " +
+          s"(this stage publishes up to $commitsPerRun batches per run; " +
+          "a shallower window rebases past every consumer, including one " +
+          s"in this very pipeline), got ${stage.outboxKeep}")
       derived.foreach { case (kind, _, singleKey) =>
         require(bucketed,
           s"stage ${stage.name}: $kind needs a bucketed target " +
@@ -373,6 +384,19 @@ final class Runner(
         .filter(_.nonEmpty).foreach(idx =>
           graft.sink.BucketedMergeSink.compact(spark, targetPath(idx),
             maxFiles = stage.compactMaxFiles))
+    // `outbox_keep: N` log-compacts the outbox after this run's
+    // publishes: only the newest N batch partitions survive, the oldest
+    // survivor rebased into a marked all-inserts base — the outbox stays
+    // O(N) partitions for the life of the pipeline instead of one per
+    // version forever (validated above: N covers this run's publishes)
+    if (stage.outboxKeep > 0)
+      graft.sink.BucketedMergeSink.compactOutboxKeep(
+        spark, targetPath(stage.changeFeed), stage.outboxKeep,
+        // scd2 feeds pair rows on (key, valid_from) — same convention as
+        // the publish side (catchUpDerived's extraKey); scd2 feeds carry
+        // no deletes, so the composite-key fold is fully supported
+        key = if (stage.loadType == "scd2") stage.key :+ "valid_from"
+              else stage.key): Unit
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

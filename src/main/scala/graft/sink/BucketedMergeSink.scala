@@ -876,6 +876,29 @@ object BucketedMergeSink {
     prune
   }
 
+  /** [[compactOutbox]] by RETENTION COUNT: keep only the newest `keep`
+    * batch partitions, rebasing at the oldest survivor. No-op while the
+    * outbox holds `keep` or fewer. The policy knob behind the
+    * `outbox_keep:` stage key — size `keep` above your laggiest
+    * consumer's worst lag (a consumer more than `keep - 1` batches
+    * behind the head refuses loudly on its next catch-up). */
+  def compactOutboxKeep(
+      spark: SparkSession,
+      feedPath: String,
+      keep: Int,
+      key: Seq[String] = Seq("id"),
+      numBuckets: Int = 16): Seq[Long] = {
+    require(keep >= 1, s"outbox_keep must be >= 1, got $keep")
+    val fs = fsOf(spark, feedPath)
+    if (!fs.exists(new Path(feedPath))) return Nil
+    val batches = fs.listStatus(new Path(feedPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    if (batches.size <= keep) Nil
+    else compactOutbox(spark, feedPath, batches(batches.size - keep), key,
+      numBuckets)
+  }
+
   /** Test seam for the concurrent-writer spec: invoked between a
     * merge/compact's last read of the manifest and its commit attempt,
     * so BucketedMergeSinkSpec can interleave a competing writer's commit

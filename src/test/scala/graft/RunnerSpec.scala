@@ -732,6 +732,70 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     failing("    delete_where: \"v > 0\"", "cannot combine")
   }
 
+  test("outbox_keep: the producer's outbox stays bounded across runs — " +
+    "older batches collapse into a marked base; the in-pipeline " +
+    "consumer keeps converging") {
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "name", "v").createOrReplaceTempView("ok_src")
+    val root = Files.createTempDirectory("graft-runner-ok").toString
+    val ry =
+      s"""pypelines:
+         |  p: [producer, consumer]
+         |pypes:
+         |  producer:
+         |    extract_query: "SELECT id, name, v FROM ok_src WHERE id <= {maxid}"
+         |    target_table: tgt_ok
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    retain_versions: 2
+         |    change_feed: tgt_ok_outbox
+         |    outbox_keep: 2
+         |  consumer:
+         |    subscribe_feed: tgt_ok_outbox
+         |    target_table: tgt_ok_replica
+         |    key: [id]
+         |    buckets: 4
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "1"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "2"))
+    runner.run("p", Map("maxid" -> "3")) // third publish triggers the rebase
+    val outbox = new java.io.File(s"$root/tgt_ok_outbox")
+    val parts = outbox.listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(parts == Seq("batch_id=2", "batch_id=3"),
+      s"outbox must hold exactly the newest 2 partitions, got $parts")
+    assert(new java.io.File(new java.io.File(outbox, "batch_id=2"), "_base").exists(),
+      "the oldest survivor is the rebased base")
+    import spark.implicits._
+    def rows(p: String) = graft.sink.BucketedMergeSink.read(spark, s"$root/$p")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows("tgt_ok_replica") == rows("tgt_ok"),
+      "the lockstep consumer converges across the rebase")
+    // a fresh consumer arriving after the rebase bootstraps from the base
+    assert(graft.sink.BucketedMergeSink.subscribeFeed(spark,
+      s"$root/tgt_ok_outbox", s"$root/tgt_ok_fresh", numBuckets = 4)
+      == Seq(2L, 3L))
+    assert(rows("tgt_ok_fresh") == rows("tgt_ok"))
+    // outbox_keep without a change_feed refuses before any write
+    val e = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(
+        s"""pypelines:
+           |  p: [bad]
+           |pypes:
+           |  bad:
+           |    extract_query: "SELECT id, name, v FROM ok_src"
+           |    target_table: tgt_ok_bad
+           |    key: [id]
+           |    buckets: 4
+           |    outbox_keep: 2
+           |""".stripMargin), Map.empty, root).run("p"))
+    assert(e.getMessage.contains("outbox_keep"), e.getMessage)
+    assert(!new java.io.File(s"$root/tgt_ok_bad").exists())
+  }
+
   test("compact: true also compacts the stage's postings indexes — " +
     "sync merges fragment index buckets like loads fragment the target") {
     Seq((1L, "alpha beta gamma one"), (2L, "delta epsilon zeta two"),
