@@ -428,8 +428,12 @@ object BucketedMergeSink {
     val bootstrap =
       if (!feedStarted || vs.head == 1L)
         // empty feed: all-inserts base at the oldest retained version
-        // (v1's base and a mid-life base are the same construction)
-        vs.headOption.flatMap(v => publish(v)(insertAll(v)))
+        // (v1's base and a mid-life base are the same construction);
+        // marked _base so a consumer can tell a true base from a
+        // hand-pruned prefix ([[subscribeFeed]] refuses the latter)
+        vs.headOption.flatMap(v => publish(v)(insertAll(v)).map { pv =>
+          fs.create(new Path(partDir(pv), baseMarker), true).close(); pv
+        })
       else if (!fs.exists(partDir(vs.head)))
         throw new IllegalStateException(
           s"change feed at $feedPath has no partition for v${vs.head}, the " +
@@ -747,6 +751,11 @@ object BucketedMergeSink {
       .map(_.getPath.getName).filter(_.startsWith("batch_id="))
       .map(_.stripPrefix("batch_id=").toLong).sorted
     require(batches.nonEmpty, s"outbox at $feedPath has no batch partitions")
+    require(batches.head >= 1,
+      s"outbox at $feedPath starts at batch_id=${batches.head} — " +
+        "subscribeFeed consumes publishChangeFeed outboxes (batch ids = " +
+        "manifest versions, >= 1); a streaming feed numbering from 0 " +
+        "(streamingMergeWithFeed) is a different layout")
     require(batches == (batches.head to batches.last),
       s"outbox at $feedPath has gaps in its batch ids " +
         s"(${batches.mkString(",")}) — a pruned outbox cannot be replayed")
@@ -761,6 +770,17 @@ object BucketedMergeSink {
         s"outbox's oldest partition is batch ${batches.head}: the " +
         "intermediate deltas were pruned and cannot be replayed. " +
         "Rebuild the replica (delete it and its .applied dir).")
+    // a FRESH consumer needs the oldest partition to be a base — batch 1
+    // (delta from empty) or a marked all-inserts snapshot. A consecutive
+    // run of deltas whose base was hand-pruned outside compactOutbox
+    // would replay into a silently incomplete replica.
+    require(last != 0L || batches.head == 1L ||
+        feedFs.exists(new Path(
+          new Path(feedPath, s"batch_id=${batches.head}"), baseMarker)),
+      s"outbox at $feedPath has no base: its oldest partition " +
+        s"(batch ${batches.head}) is an unmarked delta — the base was " +
+        "pruned outside compactOutbox. Rebase the outbox (compactOutbox) " +
+        "or start a fresh feed before subscribing new replicas.")
     val done = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (b <- batches if b > last && b <= upTo) {
       val partDir = new Path(feedPath, s"batch_id=$b")

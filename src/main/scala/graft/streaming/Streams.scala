@@ -297,6 +297,29 @@ object Streams {
     }
   }
 
+  /** Continuous replica maintenance: the streaming CONSUMER of a
+    * [[graft.sink.BucketedMergeSink.publishChangeFeed]] outbox. Each
+    * trigger runs one idempotent [[graft.sink.BucketedMergeSink
+    * .subscribeFeed]] catch-up — the marker-tracked batch machinery IS
+    * the exactly-once state, so this wrapper adds only scheduling:
+    * a replayed or overlapping trigger re-lists and finds nothing
+    * pending. Pair with `.trigger(ProcessingTime("30 seconds"))` for a
+    * replication daemon, or `Trigger.AvailableNow` for a one-shot
+    * catch-up that terminates (the spec's shape). The rate source's
+    * rows are ignored — it exists to give the scheduler a heartbeat. */
+  def subscribeFeedStream(
+      spark: SparkSession,
+      feedPath: String,
+      replicaPath: String,
+      key: Seq[String] = Seq("id"),
+      numBuckets: Int = 64,
+      retainVersions: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream.foreachBatch { (_: DataFrame, _: Long) =>
+        graft.sink.BucketedMergeSink.subscribeFeed(
+          spark, feedPath, replicaPath, key, numBuckets, retainVersions): Unit
+      }
+
   /** [[streamingMerge]] against a BUCKETED target that also keeps a
     * near-dup MinHash postings index
     * ([[graft.sink.BucketedMergeSink.syncMinhashIndex]]) in lockstep per

@@ -1144,6 +1144,37 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("pruned"), e.getMessage)
   }
 
+  test("subscribeFeed: refuses a streaming-numbered feed (batch 0) and " +
+    "a baseless hand-pruned prefix, loudly") {
+    import spark.implicits._
+    // batch ids numbered from 0 = streamingMergeWithFeed's layout, not a
+    // publishChangeFeed outbox — a fresh consumer's cursor of 0 would
+    // silently skip batch 0
+    val streamy = tmpTarget() + "-sfeed"
+    new File(streamy, "batch_id=0").mkdirs()
+    val e0 = intercept[IllegalArgumentException](
+      BucketedMergeSink.subscribeFeed(spark, streamy, tmpTarget() + "-r0"))
+    assert(e0.getMessage.contains("different layout"), e0.getMessage)
+    // a mid-life outbox whose base partition lost its marker (prefix
+    // pruned by hand, not via compactOutbox) must refuse fresh consumers
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    BucketedMergeSink.merge(spark, seed(4), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 2) // v1
+    BucketedMergeSink.merge(spark, Seq((5L, "e", 50L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2
+    BucketedMergeSink.merge(spark, Seq((6L, "f", 60L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v3: retains {v2, v3} — base will be at 2
+    BucketedMergeSink.publishChangeFeed(spark, path, feed)
+    assert(new File(new File(feed, "batch_id=2"), "_base").exists(),
+      "a mid-life bootstrap partition is marked as a base")
+    new File(new File(feed, "batch_id=2"), "_base").delete()
+    val e1 = intercept[IllegalArgumentException](
+      BucketedMergeSink.subscribeFeed(spark, feed, tmpTarget() + "-r1",
+        numBuckets = 4))
+    assert(e1.getMessage.contains("no base"), e1.getMessage)
+  }
+
   test("subscribeFeed: a consumer arriving mid-life starts from the " +
     "all-inserts base of a feed that began after the target's window slid") {
     import spark.implicits._

@@ -383,4 +383,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
             s"range partitioning, found: ${e.outputPartitioning}"))
     }
   }
+
+  test("readPostings: the flat probe view of a postings index is a " +
+    "narrow generate over the scan — no exchange, postings not pruned away") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-idx").toString + "/t"
+    val idx = path + "-mh"
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((1L, "alpha beta gamma delta"), (2L, "eps zeta eta theta"))
+        .toDF("doc_id", "text"),
+      path, "upsert", Seq("doc_id"), numBuckets = 2, retainVersions = 2)
+    graft.sink.BucketedMergeSink.syncMinhashIndex(spark, path, idx)
+    val df = graft.sink.BucketedMergeSink.readPostings(spark, idx)
+    val exec = df.queryExecution.executedPlan
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"readPostings must not shuffle — the explode is per-row:\n$exec")
+    assert(exec.toString.contains("Generate"),
+      s"expected the nested postings to explode via Generate:\n$exec")
+    assert(df.select("id", "band", "bucket").count() == 16,
+      "2 docs x 8 bands of flat postings")
+  }
 }

@@ -354,6 +354,40 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       "both the crashed version's doc and the healing trigger's doc are indexed")
   }
 
+  test("subscribeFeedStream: an AvailableNow trigger catches the replica " +
+    "up to the outbox; the next one converges after more publishes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val target = java.nio.file.Files.createTempDirectory("graft-sfs-tgt").toString + "/t"
+    val feed = java.nio.file.Files.createTempDirectory("graft-sfs-feed").toString + "/f"
+    val replica = java.nio.file.Files.createTempDirectory("graft-sfs-rep").toString + "/r"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sfs-ck").toString
+    def rows(p: String) = graft.sink.BucketedMergeSink.read(spark, p)
+      .as[(Long, String)].collect().toSet
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      target, "upsert", Seq("id"), numBuckets = 4, retainVersions = 4)
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((3L, "c")).toDF("id", "name"), target, "upsert", Seq("id"))
+    graft.sink.BucketedMergeSink.publishChangeFeed(spark, target, feed)
+    def catchUp(ck: String): Unit = {
+      val q = Streams.subscribeFeedStream(spark, feed, replica, numBuckets = 4)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+    catchUp(ckpt)
+    assert(rows(replica) == rows(target), "first daemon pass = full catch-up")
+    // more target history, another publish, another daemon pass
+    graft.sink.BucketedMergeSink.merge(spark, Seq(2L).toDF("id"), target,
+      "delete", identifier = "id")
+    graft.sink.BucketedMergeSink.publishChangeFeed(spark, target, feed)
+    catchUp(java.nio.file.Files.createTempDirectory("graft-sfs-ck2").toString)
+    assert(rows(replica) == rows(target),
+      "the next pass applies only the new batch (delete included)")
+    assert(!rows(replica).exists(_._1 == 2L))
+  }
+
   test("streamingMergeWithLshIndex: the cosine-LSH bucket index tracks " +
     "the target across micro-batches (insert, vector update)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sml-src").toString
