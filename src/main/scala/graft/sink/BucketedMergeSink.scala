@@ -782,8 +782,14 @@ object BucketedMergeSink {
         "pruned outside compactOutbox. Rebase the outbox (compactOutbox) " +
         "or start a fresh feed before subscribing new replicas.")
     val done = scala.collection.mutable.ArrayBuffer.empty[Long]
-    for (b <- batches if b > last && b <= upTo) {
+    def applyBatch(b: Long): Unit = {
       val partDir = new Path(feedPath, s"batch_id=$b")
+      // an EMPTY delta (a compact's no-op diff) may have been written
+      // with zero part files — only _SUCCESS — and a parquet read of
+      // that dir fails schema inference; it applies as a no-op
+      val hasData = feedFs.listStatus(partDir).exists(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (!hasData) return
       val part = spark.read.parquet(partDir.toString)
       if (feedFs.exists(new Path(partDir, baseMarker)) &&
           fs.exists(new Path(replicaPath))) {
@@ -797,24 +803,27 @@ object BucketedMergeSink {
         merge(spark, rows, replicaPath, "upsert", key = key,
           identifier = key.head, numBuckets = numBuckets,
           retainVersions = retainVersions)
-      } else {
-        val dels = part.filter(col("_op") === "delete")
-          .select(col(key.head)).distinct()
-        val ups = part.filter(col("_op").isin("insert", "update_post"))
-          .drop("_op")
-        if (!dels.isEmpty) {
-          require(key.size == 1,
-            s"outbox at $feedPath carries delete ops in batch $b but the " +
-              s"replica key is composite (${key.mkString(",")}) — deletes " +
-              "route by a single identifier column")
-          merge(spark, dels, replicaPath, "delete", identifier = key.head,
-            numBuckets = numBuckets, retainVersions = retainVersions)
-        }
-        if (!ups.isEmpty)
-          merge(spark, ups, replicaPath, "upsert", key = key,
-            identifier = key.head, numBuckets = numBuckets,
-            retainVersions = retainVersions)
+        return
       }
+      val dels = part.filter(col("_op") === "delete")
+        .select(col(key.head)).distinct()
+      val ups = part.filter(col("_op").isin("insert", "update_post"))
+        .drop("_op")
+      if (!dels.isEmpty) {
+        require(key.size == 1,
+          s"outbox at $feedPath carries delete ops in batch $b but the " +
+            s"replica key is composite (${key.mkString(",")}) — deletes " +
+            "route by a single identifier column")
+        merge(spark, dels, replicaPath, "delete", identifier = key.head,
+          numBuckets = numBuckets, retainVersions = retainVersions)
+      }
+      if (!ups.isEmpty)
+        merge(spark, ups, replicaPath, "upsert", key = key,
+          identifier = key.head, numBuckets = numBuckets,
+          retainVersions = retainVersions)
+    }
+    for (b <- batches if b > last && b <= upTo) {
+      applyBatch(b)
       markApplied(fs, appliedDir, b)
       done += b
     }

@@ -732,6 +732,42 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     failing("    delete_where: \"v > 0\"", "cannot combine")
   }
 
+  test("a compact: true producer's empty-diff version flows through the " +
+    "outbox and applies as a no-op batch at the consumer") {
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "name", "v").createOrReplaceTempView("ed_src")
+    val root = Files.createTempDirectory("graft-runner-ed").toString
+    val ry =
+      s"""pypelines:
+         |  p: [producer, consumer]
+         |pypes:
+         |  producer:
+         |    extract_query: "SELECT id, name, v FROM ed_src WHERE id <= {maxid}"
+         |    target_table: tgt_ed
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 2
+         |    retain_versions: 3
+         |    change_feed: tgt_ed_outbox
+         |    compact: true
+         |  consumer:
+         |    subscribe_feed: tgt_ed_outbox
+         |    target_table: tgt_ed_replica
+         |    key: [id]
+         |    buckets: 2
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "2"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "3"))
+    import spark.implicits._
+    def rows(p: String) = graft.sink.BucketedMergeSink.read(spark, s"$root/$p")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows("tgt_ed_replica") == rows("tgt_ed"),
+      "the compact versions' empty diffs must not derail the consumer")
+    assert(rows("tgt_ed_replica").exists(_._1 == 3L))
+  }
+
   test("outbox_keep: the producer's outbox stays bounded across runs — " +
     "older batches collapse into a marked base; the in-pipeline " +
     "consumer keeps converging") {
