@@ -549,6 +549,30 @@ object QueriesRelational {
         .orderBy("event_type")
     }),
 
+    // -- Z-ORDERED layout: q94's multi-dimensional sibling. The events
+    //    table is laid out along a Morton curve over (user_id, value) —
+    //    equi-depth quantile buckets per column, bit-interleaved, one
+    //    range exchange — so a range predicate on EITHER column (or
+    //    both, as here) skips files/row-groups via parquet min/max
+    //    stats; a lexicographic sort would serve only its leading
+    //    column. SourcesSpec pins the per-file-spread property that
+    //    makes the skipping real; the oracle pins content.
+    "q123_zorder_scan" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val fix = Tables.fixturePath("graft-zord", s"$dir/events.parquet")
+      if (!new java.io.File(s"$fix/_SUCCESS").exists())
+        graft.sources.Sources.writeZOrdered(
+          ev.select("event_id", "user_id", "event_type", "value"),
+          fix, Seq("user_id", "value"), bitsPerCol = 8)
+      s.read.parquet(fix)
+        .filter(col("user_id") <= 5 &&
+          col("value").between(50.0, 150.0)) // 2-dim range = the z-shape
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // -- pivot: long→wide with an EXPLICIT value list (letting Spark
     //    discover values adds a collect job and non-deterministic column
     //    order); decimal-exact sums cast to double like every other agg
@@ -1013,6 +1037,12 @@ object QueriesRelational {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q123_zorder_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id <= 5 AND value BETWEEN 50.0 AND 150.0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q79_pivot" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,

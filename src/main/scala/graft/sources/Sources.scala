@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
 /** One declared input of a pipeline stage (SURVEY §2 Layer B "Scans /
   * sources"; the reference's entire purpose is MySQL→Postgres movement —
@@ -176,6 +177,84 @@ object Sources {
       else df.repartitionByRange(cols: _*)
     ranged
       .sortWithinPartitions(cols: _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Z-ORDERED path write: [[writeClustered]] for MULTI-dimensional
+    * predicates. A lexicographic range-sort on (a, b) gives tight
+    * per-file min/max stats on `a` only — a filter on `b` alone still
+    * reads every file. Here each cluster column maps to an equi-depth
+    * bucket index against its own sampled quantile boundaries
+    * ([[graft.functions.QuantileBucket]], equi-depth so skewed columns
+    * still spread across the curve), the indices bit-interleave into
+    * one Morton value ([[graft.functions.InterleaveBits]]), and ONE
+    * `repartitionByRange` + in-file sort on that value lays rows out
+    * along the space-filling curve — every file covers a compact
+    * hyper-rectangle, so parquet min/max skipping works for range
+    * predicates on ANY subset of the cluster columns (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout, rebuilt on plain parquet).
+    *
+    * Cost shape at 100 TB: one `approx_percentile` aggregation for the
+    * boundaries (partial+final, a few KB to the driver), one narrow
+    * codegen'd map for the curve value, one range exchange — the same
+    * write cost as [[writeClustered]] plus the boundary pass. Columns
+    * must be numeric/date/timestamp (rank-mapping strings has no
+    * meaningful quantile arithmetic — refused loudly). Content is
+    * unchanged; only physical order moves. File boundaries come from
+    * `repartitionByRange`'s SAMPLED partitioner, so they straddle curve
+    * quadrants rather than aligning to them — per-file spreads land
+    * near ~2x the aligned ideal (SourcesSpec measures it), which still
+    * beats a lexicographic sort's trailing-column spread of ~1.0 by a
+    * wide margin and amortizes as files-per-quadrant grows at scale. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      bitsPerCol: Int = 12,
+      numFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    require(clusterCols.size >= 2,
+      "z-ordering one column is just writeClustered — use that")
+    val zCol = "__graft_z"
+    require(!df.columns.contains(zCol), s"input already has a $zCol column")
+    val asDouble: Map[String, org.apache.spark.sql.Column] =
+      clusterCols.map { c =>
+        val dt = df.schema(c).dataType
+        val v = dt match {
+          case _: NumericType => col(c).cast("double")
+          case DateType => col(c).cast("timestamp").cast("double")
+          case TimestampType | TimestampNTZType => col(c).cast("double")
+          case t => throw new IllegalArgumentException(
+            s"writeZOrdered: column '$c' is ${t.catalogString} — z-order " +
+              "needs numeric/date/timestamp cluster columns")
+        }
+        c -> v
+      }.toMap
+    // one pass for every column's equi-depth boundaries (percentile
+    // partial-aggregates; the driver receives a few KB of cut points)
+    val buckets = 1 << bitsPerCol
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = df.select(clusterCols.map(c =>
+      percentile_approx(asDouble(c), lit(probs.toArray),
+        lit(10000)).as(c)): _*).head()
+    val boundaries: Map[String, Array[Double]] = clusterCols.zipWithIndex
+      .map { case (c, i) =>
+        // distinct-ify: a low-cardinality column repeats cut values and
+        // binarySearch needs strictly sorted boundaries
+        c -> cuts.getSeq[Double](i).distinct.sorted.toArray
+      }.toMap
+    val z = graft.functions.ZOrderExprs.interleaveBits(
+      clusterCols.map(c => graft.functions.ZOrderExprs.quantileBucket(
+        asDouble(c), boundaries(c))), bitsPerCol)
+    val withZ = df.withColumn(zCol, z)
+    val ranged =
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, col(zCol))
+      else withZ.repartitionByRange(col(zCol))
+    ranged
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
       .write
       .mode(SaveMode.Overwrite)
       .parquet(path)

@@ -138,4 +138,39 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("QuantileBucket + InterleaveBits: equi-depth bucketing and the " +
+    "Morton interleave, via codegen and eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bounds = Array(10.0, 20.0, 30.0) // 4 buckets
+    val df = Seq(
+      (Some(5.0)), (Some(10.0)), (Some(15.0)), (Some(29.9)),
+      (Some(30.0)), (Some(99.0)), (None: Option[Double]),
+      (Some(Double.NaN))).toDF("v")
+    val out = df.select(graft.functions.ZOrderExprs
+      .quantileBucket(col("v"), bounds).as("b")).as[Int].collect().toSeq
+    // below-first -> 0; on-boundary -> bucket above; above-last -> 3;
+    // null and NaN -> 0 (curve origin)
+    assert(out == Seq(0, 1, 1, 2, 3, 3, 0, 0), out.toString)
+    // interleave: a=0b0011 (3), b=0b0101 (5), 4 bits each
+    //   z bit (j*2 + i): pairs (a0,b0)(a1,b1)(a2,b2)(a3,b3)
+    //   = bits 1,1 | 1,0 | 0,1 | 0,0 -> 0b00100111 = 39
+    val z = Seq((3, 5)).toDF("a", "b").select(graft.functions.ZOrderExprs
+      .interleaveBits(Seq(col("a"), col("b")), 4).as("z"))
+      .as[Long].head()
+    assert(z == 39L, s"expected 39, got $z")
+    // locality: adjacent cells differ less in z than distant ones
+    def zOf(a: Int, b: Int): Long = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.ZOrderExprs
+        .interleaveBits(Seq(col("a"), col("b")), 4).as("z")).as[Long].head()
+    assert(math.abs(zOf(4, 4) - zOf(4, 5)) < math.abs(zOf(4, 4) - zOf(4, 12)))
+    // interpreted eval matches the codegen'd path
+    val expr = graft.functions.InterleaveBits(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(3),
+      org.apache.spark.sql.catalyst.expressions.Literal(5)), 4)
+    assert(expr.eval(null) == 39L)
+    assert(graft.functions.QuantileBucket.bucketOf(10.0, bounds) == 1)
+    assert(graft.functions.QuantileBucket.bucketOf(9.999, bounds) == 0)
+  }
 }
