@@ -221,4 +221,46 @@ class MergeSinkPropertySpec extends AnyFunSuite with SparkTestBase {
       feed.unpersist()
     }
   }
+
+  test("property: a replica built by subscribeFeed from the outbox alone " +
+    "equals the target after ANY random op sequence, with mid-stream " +
+    "rebases thrown in") {
+    import java.nio.file.Files
+    import graft.sink.BucketedMergeSink
+    // op sequence: each step is an upsert batch or a delete-id list
+    val opGen: Gen[List[(Boolean, List[(Long, String)])]] =
+      Gen.listOfN(4, Gen.zip(Gen.prob(0.7), rowsGen))
+    samples(opGen, n = 4).zipWithIndex.foreach { case (ops, i) =>
+      withClue(s"ops=$ops: ") {
+        val root = Files.createTempDirectory(s"graft-subprop$i").toString
+        val path = s"$root/t"; val feed = s"$root/f"; val rep = s"$root/r"
+        var committed = 0
+        ops.foreach { case (isUpsert, rows) =>
+          val rowsDf = df(rows)
+          if (isUpsert && rows.nonEmpty) {
+            BucketedMergeSink.merge(spark, rowsDf, path, "upsert", Seq("id"),
+              numBuckets = 4, retainVersions = 8)
+            committed += 1
+          } else if (!isUpsert && rows.nonEmpty && committed > 0) {
+            BucketedMergeSink.merge(spark, rowsDf.select("id"), path,
+              "delete", identifier = "id")
+            committed += 1
+          }
+        }
+        if (committed > 0) {
+          BucketedMergeSink.publishChangeFeed(spark, path, feed)
+          // rebase mid-life at the median batch: the consumer below must
+          // bootstrap from the rebased base + remaining deltas
+          if (committed >= 3)
+            BucketedMergeSink.compactOutbox(spark, feed, (committed + 1) / 2L + 1)
+          BucketedMergeSink.subscribeFeed(spark, feed, rep, numBuckets = 4)
+          val got = BucketedMergeSink.read(spark, rep)
+            .as[(Long, String)].collect().toSet
+          val want = BucketedMergeSink.read(spark, path)
+            .as[(Long, String)].collect().toSet
+          assert(got == want, s"replica $got != target $want")
+        }
+      }
+    }
+  }
 }

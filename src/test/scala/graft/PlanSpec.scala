@@ -384,6 +384,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q123: the 2-dim range predicate reaches the z-ordered parquet " +
+    "scan — pushdown is what turns tight file stats into skipped IO") {
+    val p = plan("q123_zorder_scan")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("LessThanOrEqual(user_id") &&
+      p.contains("GreaterThanOrEqual(value"),
+      s"expected both range predicates pushed to the scan:\n$p")
+  }
+
   test("readPostings: the flat probe view of a postings index is a " +
     "narrow generate over the scan — no exchange, postings not pruned away") {
     import spark.implicits._
