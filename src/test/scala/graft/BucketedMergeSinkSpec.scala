@@ -1144,6 +1144,68 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("pruned"), e.getMessage)
   }
 
+  test("compactOutbox: a crash between the swap's delete and rename " +
+    "heals on re-run; consumers meanwhile refuse the visible gap loudly") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    BucketedMergeSink.merge(spark, seed(5), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 4) // v1
+    BucketedMergeSink.merge(spark, Seq((6L, "f", 60L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2
+    BucketedMergeSink.merge(spark, Seq((7L, "g", 70L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v3
+    BucketedMergeSink.publishChangeFeed(spark, path, feed)
+    // reconstruct the crash window: staged base complete (marker last),
+    // original partition deleted, rename never ran
+    BucketedMergeSink.compactOutbox(spark, feed, 2L)
+    val staged = new File(feed, ".rebase-part-2")
+    val part = new File(feed, "batch_id=2")
+    assert(part.renameTo(staged), "set up: move the base back to staged")
+    // a consumer now sees only the unmarked delta at batch 3 (batch 1
+    // was pruned by the rebase, batch 2 is stuck in staging) — loud
+    // baseless-prefix refusal, never a silently incomplete replica
+    val e = intercept[IllegalArgumentException](
+      BucketedMergeSink.subscribeFeed(spark, feed, tmpTarget() + "-rx",
+        numBuckets = 4))
+    assert(e.getMessage.contains("no base"), e.getMessage)
+    // re-running the rebase heals the swap and converges
+    assert(BucketedMergeSink.compactOutbox(spark, feed, 2L).isEmpty)
+    assert(part.exists() && new File(part, "_base").exists())
+    val rep = tmpTarget() + "-rh"
+    BucketedMergeSink.subscribeFeed(spark, feed, rep, numBuckets = 4): Unit
+    assert(BucketedMergeSink.read(spark, rep)
+        .as[(Long, String, Long)].collect().toSet ==
+      BucketedMergeSink.read(spark, path)
+        .as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("subscribeFeed reconstructs an SCD2 target's full history from " +
+    "its outbox — composite (key, valid_from) pairing, no deletes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    val rep = tmpTarget() + "-rep"
+    BucketedMergeSink.merge(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      path, "scd2", Seq("id"), numBuckets = 2, retainVersions = 4,
+      scd2Ts = "2024-01-01 00:00:00") // v1
+    BucketedMergeSink.merge(spark, Seq((2L, "B")).toDF("id", "v"),
+      path, "scd2", Seq("id"), scd2Ts = "2024-06-01 00:00:00") // v2
+    BucketedMergeSink.publishChangeFeed(spark, path, feed,
+      extraKey = Seq("valid_from"))
+    BucketedMergeSink.subscribeFeed(spark, feed, rep,
+      key = Seq("id", "valid_from"), numBuckets = 2): Unit
+    def hist(p: String) = BucketedMergeSink.read(spark, p)
+      .select(col("id"), col("v"),
+        org.apache.spark.sql.functions.date_format(col("valid_from"), "yyyy-MM").as("vf"),
+        col("valid_to").isNull.as("open"))
+      .as[(Long, String, String, Boolean)].collect().toSet
+    assert(hist(rep) == hist(path),
+      "replica must carry the full history: closed AND open versions")
+    assert(hist(rep).count(_._1 == 2L) == 2, "key 2 has two history rows")
+  }
+
   test("subscribeFeed: refuses a streaming-numbered feed (batch 0) and " +
     "a baseless hand-pruned prefix, loudly") {
     import spark.implicits._
