@@ -239,6 +239,12 @@ object Sources {
     val cuts = df.select(clusterCols.map(c =>
       percentile_approx(asDouble(c), lit(probs.toArray),
         lit(10000)).as(c)): _*).head()
+    if (cuts.isNullAt(0)) {
+      // empty input: no quantiles to cut — the layout of nothing is
+      // nothing, write it as-is instead of NPE-ing on the boundary row
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val boundaries: Map[String, Array[Double]] = clusterCols.zipWithIndex
       .map { case (c, i) =>
         // distinct-ify: a low-cardinality column repeats cut values and

@@ -222,6 +222,10 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](Sources.writeZOrdered(
       Seq(("x", 1.0)).toDF("s", "v"), zdir + "2", Seq("s", "v")))
     assert(e.getMessage.contains("numeric"), e.getMessage)
+    // empty input: nothing to layout, written as-is (no NPE on the
+    // boundary row)
+    Sources.writeZOrdered(df.limit(0), zdir + "3", Seq("a", "b"))
+    assert(spark.read.parquet(zdir + "3").count() == 0)
   }
 
   test("saltedJoin matches the plain join on a skewed key distribution") {
