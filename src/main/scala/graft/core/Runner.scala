@@ -341,7 +341,11 @@ final class Runner(
         stage.fieldsExcludedFromUpdate, numBuckets = stage.buckets,
         // persisted into the layout at creation; on an existing target a
         // non-zero value must match the layout's (sink contract)
-        retainVersions = stage.retainVersions, scd2Ts = stage.scd2Ts)
+        retainVersions = stage.retainVersions,
+        // scd2_ts hydrates like the extract: an incremental scd2 pipeline
+        // passes each run's batch timestamp as a placeholder — a
+        // hardcoded literal would stamp every run's versions identically
+        scd2Ts = Hydrate(stage.scd2Ts, ph))
     else
       // retention rides along: the target may already BE a bucketed
       // layout (validated above when retain_versions != 0), and
@@ -351,7 +355,7 @@ final class Runner(
       MergeSink.mergeIntoParquet(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
         stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions,
-        scd2Ts = stage.scd2Ts)
+        scd2Ts = Hydrate(stage.scd2Ts, ph))
     // `delete_where:` purges matching target rows right after the load —
     // row-level TTL / GDPR erasure as a stage property (the hydrated
     // predicate lets a retention cutoff ride placeholders). Runs BEFORE

@@ -832,6 +832,58 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$root/tgt_ok_bad").exists())
   }
 
+  test("scd2 replication chain from config: producer history flows " +
+    "through a rebased outbox into a composite-key consumer replica") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v").createOrReplaceTempView("sr_src")
+    val root = Files.createTempDirectory("graft-runner-sr").toString
+    val ry =
+      s"""pypelines:
+         |  p: [producer, consumer]
+         |pypes:
+         |  producer:
+         |    extract_query: "SELECT id, concat(v, '{tag}') AS v FROM sr_src WHERE id <= {maxid}"
+         |    target_table: tgt_sr
+         |    type: scd2
+         |    scd2_ts: "{ts}"
+         |    key: [id]
+         |    buckets: 2
+         |    retain_versions: 2
+         |    change_feed: tgt_sr_outbox
+         |    outbox_keep: 2
+         |  consumer:
+         |    subscribe_feed: tgt_sr_outbox
+         |    target_table: tgt_sr_replica
+         |    key: [id, valid_from]
+         |    buckets: 2
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      targetRoot = root)
+    runner.run("p", Map("maxid" -> "1", "tag" -> "1", "ts" -> "2024-01-01 00:00:00"))
+    runner.run("p", Map("maxid" -> "2", "tag" -> "2", "ts" -> "2024-06-01 00:00:00"))
+    // third run's publish pushes the outbox past outbox_keep=2 — the
+    // rebase folds on (id, valid_from), the line under test
+    runner.run("p", Map("maxid" -> "3", "tag" -> "3", "ts" -> "2024-12-01 00:00:00"))
+    val outbox = new java.io.File(s"$root/tgt_sr_outbox")
+    assert(outbox.listFiles().count(_.getName.startsWith("batch_id=")) == 2,
+      "outbox rebased down to the newest 2 partitions")
+    import spark.implicits._
+    def hist(p: String) = graft.sink.BucketedMergeSink.read(spark, s"$root/$p")
+      .select(col("id"), col("v"),
+        date_format(col("valid_from"), "yyyy-MM").as("vf"),
+        col("valid_to").isNull.as("open"))
+      .as[(Long, String, String, Boolean)].collect().toSet
+    assert(hist("tgt_sr_replica") == hist("tgt_sr"),
+      "replica history (closed + open versions) must equal the producer's")
+    assert(hist("tgt_sr").count(t => t._1 == 1L) == 3,
+      "key 1 re-versioned on every run (changed tag)")
+    // a FRESH consumer arriving after the rebase reconstructs from the base
+    assert(graft.sink.BucketedMergeSink.subscribeFeed(spark,
+      s"$root/tgt_sr_outbox", s"$root/tgt_sr_fresh",
+      key = Seq("id", "valid_from"), numBuckets = 2).size == 2)
+    assert(hist("tgt_sr_fresh") == hist("tgt_sr"))
+  }
+
   test("compact: true also compacts the stage's postings indexes — " +
     "sync merges fragment index buckets like loads fragment the target") {
     Seq((1L, "alpha beta gamma one"), (2L, "delta epsilon zeta two"),
