@@ -93,6 +93,15 @@ final class Runner(
       require(cross.isEmpty,
         s"parallel pipeline '$pipeline' uses the same name as a source " +
           s"view and a target table: ${cross.mkString(", ")}")
+      // a consumer catching up WHILE its producer publishes races the
+      // outbox listing (and the producer's own rebase) — the
+      // producer→consumer chain is inherently sequential
+      val feedRace = stages.map(_.subscribeFeed).filter(_.nonEmpty).toSet
+        .intersect(stages.map(_.changeFeed).filter(_.nonEmpty).toSet)
+      require(feedRace.isEmpty,
+        s"parallel pipeline '$pipeline' runs a subscribe_feed consumer " +
+          s"concurrently with the producer publishing that outbox: " +
+          s"${feedRace.mkString(", ")} — run them sequentially")
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(

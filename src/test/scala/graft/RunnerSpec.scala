@@ -730,6 +730,12 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     failing("    change_feed: somewhere", "cannot combine")
     failing("    minhash_index: somewhere", "cannot combine")
     failing("    delete_where: \"v > 0\"", "cannot combine")
+    // parallel mode must refuse a consumer racing its own producer
+    val ep = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(ry), Map("maxid" -> "4"), root)
+        .run("p", parallel = true))
+    assert(ep.getMessage.contains("concurrently with the producer"),
+      ep.getMessage)
   }
 
   test("a compact: true producer's empty-diff version flows through the " +
