@@ -93,6 +93,14 @@ final case class StageSpec(
                                 // mutually exclusive with the producer
                                 // keys (extract_query, transformers,
                                 // change_feed, indexes, delete_where...)
+    consumerName: String = "", // with subscribe_feed: REGISTER this
+                               // replica's cursor with the outbox
+                               // (<feed>.consumers/<name>), so the
+                               // producer's outbox_keep compaction
+                               // clamps its rebase point and can never
+                               // rebase past this consumer; empty =
+                               // unregistered (size outbox_keep above
+                               // this consumer's worst lag yourself)
     debug: Boolean = false)
 
 /** YAML registry: {pypelines: {name: [stage names]}, pypes: {name: {...}}}
@@ -213,6 +221,7 @@ object PipelineSpec {
       semanticIndexVec = str("semantic_index_vec", "embedding"),
       deleteWhere = str("delete_where", ""),
       subscribeFeed = str("subscribe_feed", ""),
+      consumerName = str("consumer_name", ""),
       debug = str("debug", "false").toBoolean)
   }
 }

@@ -95,9 +95,13 @@ final class Runner(
           s"view and a target table: ${cross.mkString(", ")}")
       // a consumer catching up WHILE its producer publishes races the
       // outbox listing (and the producer's own rebase) — the
-      // producer→consumer chain is inherently sequential
-      val feedRace = stages.map(_.subscribeFeed).filter(_.nonEmpty).toSet
-        .intersect(stages.map(_.changeFeed).filter(_.nonEmpty).toSet)
+      // producer→consumer chain is inherently sequential. Compare
+      // HYDRATED values: the consumer hydrates subscribe_feed at use,
+      // so a placeholder-bearing feed name must not dodge the guard
+      val feedRace = stages.map(s => Hydrate(s.subscribeFeed, ph))
+        .filter(_.nonEmpty).toSet
+        .intersect(
+          stages.map(s => Hydrate(s.changeFeed, ph)).filter(_.nonEmpty).toSet)
       require(feedRace.isEmpty,
         s"parallel pipeline '$pipeline' runs a subscribe_feed consumer " +
           s"concurrently with the producer publishing that outbox: " +
@@ -211,7 +215,9 @@ final class Runner(
     Seq("change_feed" -> stage.changeFeed,
       "minhash_index" -> stage.minhashIndex, "lsh_index" -> stage.lshIndex,
       "semantic_index" -> stage.semanticIndex,
-      "delete_where" -> stage.deleteWhere, "scd2_ts" -> stage.scd2Ts)
+      "delete_where" -> stage.deleteWhere, "scd2_ts" -> stage.scd2Ts,
+      "outbox_keep" -> (if (stage.outboxKeep != 0) stage.outboxKeep.toString
+                        else ""))
       .foreach { case (k, v) =>
         require(v.isEmpty,
           s"stage ${stage.name}: subscribe_feed cannot combine with $k — " +
@@ -224,7 +230,8 @@ final class Runner(
       spark, targetPath(Hydrate(stage.subscribeFeed, ph)), replica,
       key = stage.key,
       numBuckets = if (stage.buckets > 0) stage.buckets else 64,
-      retainVersions = stage.retainVersions): Unit
+      retainVersions = stage.retainVersions,
+      consumerName = stage.consumerName): Unit
     if (stage.compact)
       graft.sink.BucketedMergeSink.compact(spark, replica,
         maxFiles = stage.compactMaxFiles)
@@ -284,6 +291,20 @@ final class Runner(
     require(stage.outboxKeep == 0 || stage.changeFeed.nonEmpty,
       s"stage ${stage.name}: outbox_keep bounds a change_feed outbox — " +
         "set change_feed, or drop outbox_keep")
+    // the rebase fold routes delete ops by a single identifier column —
+    // an outbox_keep stage that can EMIT deletes (type: delete, or a
+    // delete_where purge) with a composite non-scd2 key would only fail
+    // inside compactOutbox, AFTER this run's load already committed;
+    // validate-before-write means refusing it here (scd2 feeds never
+    // carry deletes — their composite (key, valid_from) fold is fine)
+    require(stage.outboxKeep == 0 || stage.loadType == "scd2" ||
+        stage.key.size == 1 ||
+        (stage.loadType != "delete" && stage.deleteWhere.isEmpty),
+      s"stage ${stage.name}: outbox_keep's rebase fold routes deletes by " +
+        s"a single key column, but the key is composite " +
+        s"(${stage.key.mkString(",")}) and the stage can emit delete ops " +
+        (if (stage.loadType == "delete") "(type: delete)" else "(delete_where)") +
+        " — use a single-column key or drop outbox_keep")
     val derived = Seq(
       ("change_feed", stage.changeFeed, false),
       ("minhash_index", stage.minhashIndex, true),

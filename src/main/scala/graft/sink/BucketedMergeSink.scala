@@ -411,8 +411,15 @@ object BucketedMergeSink {
     val fs = fsOf(spark, feedPath)
     val vs = manifestVersions(spark, path)
     def partDir(v: Long) = new Path(feedPath, s"batch_id=$v")
+    // idempotence gate is COMMIT SUCCESS, not directory existence: the
+    // parquet job creates the dir first and `_SUCCESS` last, so a crash
+    // mid-write leaves a dir holding only `_temporary/` or partial part
+    // files — skipping on bare existence would mark that torn batch
+    // "already published" forever and consumers would half-apply it. A
+    // dir WITHOUT `_SUCCESS` is unpublished; the overwrite rewrite
+    // cleans its leftovers.
     def publish(v: Long)(feed: => DataFrame): Option[Long] = {
-      if (fs.exists(partDir(v))) None
+      if (isPublished(fs, partDir(v))) None
       else {
         feed.write.mode("overwrite").parquet(partDir(v).toString)
         Some(v)
@@ -430,9 +437,14 @@ object BucketedMergeSink {
         // empty feed: all-inserts base at the oldest retained version
         // (v1's base and a mid-life base are the same construction);
         // marked _base so a consumer can tell a true base from a
-        // hand-pruned prefix ([[subscribeFeed]] refuses the latter)
-        vs.headOption.flatMap(v => publish(v)(insertAll(v)).map { pv =>
-          fs.create(new Path(partDir(pv), baseMarker), true).close(); pv
+        // hand-pruned prefix ([[subscribeFeed]] refuses the latter).
+        // Published via stage-and-rename (writeFeedBase) so the marker
+        // travels WITH the data: a direct write-then-mark would leave a
+        // crash window where the partition is committed but unmarked —
+        // re-publish would skip it ("already published") and every fresh
+        // consumer would refuse the feed forever as a pruned prefix.
+        vs.headOption.flatMap(v => writeFeedBase(fs, partDir(v)) {
+          staged => insertAll(v).write.mode("overwrite").parquet(staged)
         })
       else if (!fs.exists(partDir(vs.head)))
         throw new IllegalStateException(
@@ -735,7 +747,25 @@ object BucketedMergeSink {
     * pruned the outbox) refuses loudly: the missing deltas are
     * unreconstructable, rebuild the replica. SCD2 outboxes pair rows on
     * (key, valid_from) — pass that composite `key`; composite keys are
-    * fine for the upsert leg, and scd2 feeds never carry deletes. */
+    * fine for the upsert leg, and scd2 feeds never carry deletes.
+    *
+    * A partition WITHOUT `_SUCCESS` is a publish still in flight (or a
+    * producer crash's torn leftover): the catch-up STOPS there without
+    * marking — applying whatever part files happen to be visible would
+    * commit a half-batch and advance the cursor past it, permanent
+    * silent divergence. The next call picks up where the producer's
+    * rewrite left a committed partition; this is what makes the
+    * [[graft.streaming.Streams.subscribeFeedStream]] daemon safe to run
+    * concurrently with its producer.
+    *
+    * `consumerName`, when non-empty, REGISTERS this replica with the
+    * outbox: its cursor is mirrored to `<feedPath>.consumers/<name>`
+    * (after the replica's own marker, so the mirror can only lag —
+    * conservative), and [[compactOutboxKeep]] clamps its rebase point to
+    * the laggiest registered cursor + 1, so a registered consumer can
+    * never be rebased past and forced into a rebuild. Unregistered
+    * consumers keep the unclamped contract: size `outbox_keep` above
+    * their worst lag yourself. */
   def subscribeFeed(
       spark: SparkSession,
       feedPath: String,
@@ -743,7 +773,8 @@ object BucketedMergeSink {
       key: Seq[String] = Seq("id"),
       numBuckets: Int = 64,
       retainVersions: Int = 0,
-      upTo: Long = Long.MaxValue): Seq[Long] = {
+      upTo: Long = Long.MaxValue,
+      consumerName: String = ""): Seq[Long] = {
     val feedFs = fsOf(spark, feedPath)
     require(feedFs.exists(new Path(feedPath)),
       s"no outbox at $feedPath — publish a change feed there first")
@@ -753,9 +784,11 @@ object BucketedMergeSink {
     require(batches.nonEmpty, s"outbox at $feedPath has no batch partitions")
     require(batches.head >= 1,
       s"outbox at $feedPath starts at batch_id=${batches.head} — " +
-        "subscribeFeed consumes publishChangeFeed outboxes (batch ids = " +
-        "manifest versions, >= 1); a streaming feed numbering from 0 " +
-        "(streamingMergeWithFeed) is a different layout")
+        "subscribeFeed consumes the shared outbox layout (batch ids " +
+        ">= 1: publishChangeFeed's manifest versions, or " +
+        "streamingMergeWithFeed's base-at-1 + epoch+2 deltas); a " +
+        "0-based feed is a pre-unification streaming layout — restart " +
+        "it into a fresh feed dir")
     require(batches == (batches.head to batches.last),
       s"outbox at $feedPath has gaps in its batch ids " +
         s"(${batches.mkString(",")}) — a pruned outbox cannot be replayed")
@@ -822,9 +855,17 @@ object BucketedMergeSink {
           identifier = key.head, numBuckets = numBuckets,
           retainVersions = retainVersions)
     }
-    for (b <- batches if b > last && b <= upTo) {
+    // stop (don't skip) at the first unpublished partition: batches are
+    // ordered deltas, so applying past a torn one would replay history
+    // out of order even after the producer repairs it
+    val pending = batches.filter(b => b > last && b <= upTo)
+      .takeWhile(b => isPublished(feedFs, new Path(feedPath, s"batch_id=$b")))
+    for (b <- pending) {
       applyBatch(b)
       markApplied(fs, appliedDir, b)
+      if (consumerName.nonEmpty)
+        markApplied(feedFs,
+          new Path(consumersDir(feedPath), consumerName), b)
       done += b
     }
     done.toSeq
@@ -834,6 +875,49 @@ object BucketedMergeSink {
     * all-inserts SNAPSHOT ([[compactOutbox]]), not a delta. Underscore
     * prefix keeps parquet readers from treating it as data. */
   private val baseMarker = "_base"
+
+  /** A feed partition counts as PUBLISHED only once the parquet job's
+    * `_SUCCESS` commit marker exists — the dir itself appears first and
+    * the marker last, so bare existence spans the whole crash window. An
+    * empty delta (a compact's no-op diff) is published too: it has
+    * `_SUCCESS` and zero part files. */
+  private def isPublished(fs: FileSystem, partDir: Path): Boolean =
+    fs.exists(new Path(partDir, "_SUCCESS"))
+
+  /** Sibling dir holding one cursor-marker dir per REGISTERED consumer
+    * of the outbox at `feedPath` ([[subscribeFeed]]'s `consumerName`) —
+    * a sibling, not a subdir, so plain partitioned-parquet readers of
+    * the outbox never see it. */
+  private def consumersDir(feedPath: String): Path =
+    new Path(feedPath.stripSuffix("/") + ".consumers")
+
+  /** Publish an all-inserts BASE partition atomically: write into a
+    * staged sibling dir (`writeStaged` receives its path), stamp the
+    * [[baseMarker]] there, then rename over `partDir` — partition
+    * existence thus implies a complete, marked base; there is no
+    * committed-but-unmarked crash window. A staged dir whose marker
+    * exists is a finished stage from a crashed run (marker is written
+    * last): the swap is completed without rewriting. Returns the batch
+    * id published, or None when the partition is already a marked,
+    * committed base (idempotent catch-up). Shared by
+    * [[publishChangeFeed]]'s bootstrap and the streaming producer's
+    * ([[graft.streaming.Streams.streamingMergeWithFeed]]). */
+  private[graft] def writeFeedBase(fs: FileSystem, partDir: Path)(
+      writeStaged: String => Unit): Option[Long] = {
+    if (isPublished(fs, partDir) && fs.exists(new Path(partDir, baseMarker)))
+      None
+    else {
+      val staged = new Path(partDir.getParent, "." + partDir.getName + ".base-stage")
+      if (!fs.exists(new Path(staged, baseMarker))) {
+        writeStaged(staged.toString) // mode("overwrite") cleans torn stages
+        fs.create(new Path(staged, baseMarker), true).close()
+      }
+      fs.delete(partDir, true) // a torn direct write's leftovers, if any
+      require(fs.rename(staged, partDir),
+        s"base publish failed: could not rename $staged over $partDir")
+      Some(partDir.getName.stripPrefix("batch_id=").toLong)
+    }
+  }
 
   /** Log-compaction for the CDC outbox ([[publishChangeFeed]]'s layout):
     * REBASE the outbox at batch `upTo` — replace that partition with an
@@ -886,7 +970,13 @@ object BucketedMergeSink {
     val tmp = feedPath.stripSuffix("/") + ".rebase-tmp"
     fs.delete(new Path(tmp), true)
     fs.delete(new Path(tmp + ".applied"), true)
-    subscribeFeed(spark, feedPath, tmp, key, numBuckets, upTo = upTo): Unit
+    val folded = subscribeFeed(spark, feedPath, tmp, key, numBuckets, upTo = upTo)
+    // the fold STOPS at an unpublished (torn) partition; rebasing there
+    // would stamp a partial state as a full base — refuse instead
+    require(folded.lastOption.contains(upTo),
+      s"outbox at $feedPath has an unpublished partition at or below " +
+        s"batch $upTo (a producer publish crashed or is in flight) — " +
+        "run the producer's catch-up to repair it before compacting")
     val state = read(spark, tmp)
     val base = state.select(
       (lit("insert").as("_op") +: state.columns.toSeq.map(col)): _*)
@@ -908,8 +998,15 @@ object BucketedMergeSink {
   /** [[compactOutbox]] by RETENTION COUNT: keep only the newest `keep`
     * batch partitions, rebasing at the oldest survivor. No-op while the
     * outbox holds `keep` or fewer. The policy knob behind the
-    * `outbox_keep:` stage key — size `keep` above your laggiest
-    * consumer's worst lag (a consumer more than `keep - 1` batches
+    * `outbox_keep:` stage key.
+    *
+    * REGISTERED consumers ([[subscribeFeed]]'s `consumerName`) hold the
+    * rebase back: the rebase point is clamped to the laggiest registered
+    * cursor + 1, so a registered replica that fell behind keeps its
+    * continuity (the outbox temporarily holds more than `keep`
+    * partitions instead — compaction catches up once the consumer
+    * does). UNREGISTERED consumers keep the unclamped contract: size
+    * `keep` above their worst lag (one more than `keep - 1` batches
     * behind the head refuses loudly on its next catch-up). */
   def compactOutboxKeep(
       spark: SparkSession,
@@ -923,9 +1020,20 @@ object BucketedMergeSink {
     val batches = fs.listStatus(new Path(feedPath)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("batch_id="))
       .map(_.stripPrefix("batch_id=").toLong).sorted
-    if (batches.size <= keep) Nil
-    else compactOutbox(spark, feedPath, batches(batches.size - keep), key,
-      numBuckets)
+    if (batches.size <= keep) return Nil
+    val requested = batches(batches.size - keep)
+    // clamp to the laggiest REGISTERED consumer's cursor + 1 (a consumer
+    // at cursor c can still apply the rebased base at c + 1); a cursor
+    // already rebased past (registered late) clamps to the current head
+    val cDir = consumersDir(feedPath)
+    val laggiest: Option[Long] =
+      if (!fs.exists(cDir)) None
+      else fs.listStatus(cDir).toSeq.filter(_.isDirectory)
+        .map(s => lastApplied(fs, s.getPath)).minOption
+    val rebaseAt = laggiest.fold(requested)(c =>
+      math.max(batches.head, math.min(requested, c + 1)))
+    if (rebaseAt <= batches.head) Nil // nothing older to prune
+    else compactOutbox(spark, feedPath, rebaseAt, key, numBuckets)
   }
 
   /** Test seam for the concurrent-writer spec: invoked between a

@@ -231,12 +231,28 @@ object Streams {
     * Exactly-once feed under at-least-once foreachBatch, with no
     * transaction layer: the feed for a batch id is computed against the
     * PRE-merge target and written BEFORE the merge, and a batch id
-    * whose feed dir already exists skips the write. Crash between feed
-    * write and merge → replay skips the (already correct) feed and
-    * re-merges; crash after merge → replay sees the feed present and
-    * the merge idempotent. The per-dir overwrite cleans partial crash
-    * leftovers. Consumers read `feedPath` as ordinary partitioned
-    * parquet (`batch_id` is the partition column).
+    * whose feed partition is already COMMITTED (has `_SUCCESS` — bare
+    * dir existence spans the parquet job's whole crash window) skips
+    * the write. Crash between feed write and merge → replay skips the
+    * (already correct) feed and re-merges; crash mid-feed-write →
+    * replay finds no `_SUCCESS` and rewrites (the target is still
+    * pre-merge, so the recomputed feed is identical); crash after merge
+    * → replay sees the feed present and the merge idempotent. Consumers
+    * read `feedPath` as ordinary partitioned parquet (`batch_id` is the
+    * partition column).
+    *
+    * The outbox SHARES [[graft.sink.BucketedMergeSink.publishChangeFeed]]'s
+    * layout, so the table-level consumer machinery —
+    * [[graft.sink.BucketedMergeSink.subscribeFeed]], the
+    * [[subscribeFeedStream]] daemon, `subscribe_feed:` stages,
+    * [[graft.sink.BucketedMergeSink.compactOutbox]] — consumes a
+    * streaming outbox unchanged: the FIRST micro-batch stages a marked
+    * all-inserts base of the pre-attach target at `batch_id=1` (a
+    * zero-row base when the stream creates the target — `_SUCCESS` +
+    * `_base`, applied as a no-op), and epoch N's delta lands at
+    * `batch_id=N+2`. Without the base, a stream attached to an EXISTING
+    * target would emit a delta-from-nonempty first partition that a
+    * fresh replica could silently mistake for history-from-empty.
     *
     * Scale: against a bucketed target the pre-merge read is
     * [[graft.sink.BucketedMergeSink.readForKeys]] — only the buckets
@@ -261,32 +277,61 @@ object Streams {
       "delete streams key on exactly ONE identifier column")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val dir = new org.apache.hadoop.fs.Path(feedPath, s"batch_id=$batchId")
+      val sink = graft.sink.BucketedMergeSink
+      // epoch N's delta is batch_id=N+2; batch_id=1 is the bootstrap base
+      val dir = new org.apache.hadoop.fs.Path(feedPath, s"batch_id=${batchId + 2}")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(dir)) {
-        val sink = graft.sink.BucketedMergeSink
-        val target: Option[DataFrame] =
-          if (sink.isBucketed(spark, path)) {
-            val meta = sink.readMeta(spark, path)
-            if (meta.key.forall(batch.columns.contains))
-              Some(sink.readForKeys(spark, path, batch))
-            else Some(sink.read(spark, path))
-          } else if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-            Some(spark.read.parquet(path))
-          else None
-        val feed: Option[DataFrame] = (target, loadType) match {
+      def readTarget: Option[DataFrame] =
+        if (sink.isBucketed(spark, path)) {
+          val meta = sink.readMeta(spark, path)
+          if (meta.key.forall(batch.columns.contains))
+            Some(sink.readForKeys(spark, path, batch))
+          else Some(sink.read(spark, path))
+        } else if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+          Some(spark.read.parquet(path))
+        else None
+      // bootstrap: the first micro-batch into an EMPTY outbox bases the
+      // feed at batch_id=1 — a marked all-inserts snapshot of the
+      // pre-attach target (zero rows when the stream creates it), the
+      // same contract publishChangeFeed's bootstrap gives a mid-life
+      // feed. Gated on "no batch partitions at all", so a later
+      // compactOutbox pruning batch 1 never re-triggers it; atomic via
+      // the shared stage-and-rename.
+      val feedStarted = fs.exists(new org.apache.hadoop.fs.Path(feedPath)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(feedPath))
+          .exists(_.getPath.getName.startsWith("batch_id="))
+      if (!feedStarted) {
+        // base needs the WHOLE pre-attach target, not the keyed slice
+        val pre =
+          if (sink.isBucketed(spark, path)) sink.read(spark, path)
+          else if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            spark.read.parquet(path)
+          else batch.limit(0)
+        sink.writeFeedBase(fs,
+          new org.apache.hadoop.fs.Path(feedPath, "batch_id=1")) { staged =>
+          pre.select((lit("insert").as("_op") +: pre.columns.toSeq.map(col)): _*)
+            .write.mode("overwrite").parquet(staged)
+        }: Unit
+      }
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+        val feed: DataFrame = (readTarget, loadType) match {
           case (None, "upsert") => // bootstrap: the whole batch inserts
-            Some(graft.sink.MergeSink.dedupeBatch(batch, key)
-              .select((lit("insert").as("_op") +: batch.columns.toSeq.map(col)): _*))
-          case (None, _) => None // update/delete against nothing affect nothing
+            graft.sink.MergeSink.dedupeBatch(batch, key)
+              .select((lit("insert").as("_op") +: batch.columns.toSeq.map(col)): _*)
+          case (None, _) =>
+            // update/delete against nothing affect nothing — but the
+            // partition must still exist (empty), or the outbox's batch
+            // ids would gap and subscribeFeed would refuse the feed
+            batch.limit(0)
+              .select((lit("insert").as("_op") +: batch.columns.toSeq.map(col)): _*)
           case (Some(t), "delete") =>
-            Some(graft.sink.MergeSink.deleteFeed(t, batch, key.head))
+            graft.sink.MergeSink.deleteFeed(t, batch, key.head)
           case (Some(t), lt) =>
             val f = graft.sink.MergeSink.changeFeed(t, batch, key, excluded)
             // update-only never inserts unmatched batch rows
-            Some(if (lt == "update") f.filter(col("_op") =!= "insert") else f)
+            if (lt == "update") f.filter(col("_op") =!= "insert") else f
         }
-        feed.foreach(_.write.mode("overwrite").parquet(dir.toString))
+        feed.write.mode("overwrite").parquet(dir.toString)
       }
       if (numBuckets > 0)
         graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
@@ -313,11 +358,13 @@ object Streams {
       replicaPath: String,
       key: Seq[String] = Seq("id"),
       numBuckets: Int = 64,
-      retainVersions: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      retainVersions: Int = 0,
+      consumerName: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream.foreachBatch { (_: DataFrame, _: Long) =>
         graft.sink.BucketedMergeSink.subscribeFeed(
-          spark, feedPath, replicaPath, key, numBuckets, retainVersions): Unit
+          spark, feedPath, replicaPath, key, numBuckets, retainVersions,
+          consumerName = consumerName): Unit
       }
 
   /** [[streamingMerge]] against a BUCKETED target that also keeps a

@@ -1206,17 +1206,168 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(hist(rep).count(_._1 == 2L) == 2, "key 2 has two history rows")
   }
 
-  test("subscribeFeed: refuses a streaming-numbered feed (batch 0) and " +
-    "a baseless hand-pruned prefix, loudly") {
+  test("publishChangeFeed: a torn publish (no _SUCCESS) is rewritten by " +
+    "the next catch-up; the consumer stops at it WITHOUT advancing") {
     import spark.implicits._
-    // batch ids numbered from 0 = streamingMergeWithFeed's layout, not a
-    // publishChangeFeed outbox — a fresh consumer's cursor of 0 would
-    // silently skip batch 0
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    val replica = tmpTarget() + "-rep"
+    BucketedMergeSink.merge(spark, seed(6), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 6) // v1
+    BucketedMergeSink.merge(spark, Seq((7L, "g", 70L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2
+    BucketedMergeSink.merge(spark, Seq(3L).toDF("id"), path,
+      "delete", identifier = "id") // v3: the delete a half-applied feed loses
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) ==
+      Seq(1L, 2L, 3L))
+    // crash-inject batch 2 two ways across the test: first PARTIAL part
+    // files (_SUCCESS removed, data left), the worst case — the old
+    // dir-exists skip would apply these rows and mark past them
+    assert(new File(new File(feed, "batch_id=2"), "_SUCCESS").delete())
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4) == Seq(1L),
+      "the catch-up must STOP at the torn partition, applying only batch 1")
+    // re-run: still parked at the frontier — the cursor did NOT advance
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4).isEmpty)
+    // the producer's next catch-up repairs EXACTLY the torn batch
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) == Seq(2L))
+    assert(new File(new File(feed, "batch_id=2"), "_SUCCESS").exists())
+    // and the consumer now converges, delete included
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4) == Seq(2L, 3L))
+    assert(BucketedMergeSink.read(spark, replica)
+        .as[(Long, String, Long)].collect().toSet ==
+      BucketedMergeSink.read(spark, path)
+        .as[(Long, String, Long)].collect().toSet)
+    // second shape: a dir holding only _temporary/ (crash before any
+    // task committed). Inject on a NEW version's partition.
+    BucketedMergeSink.merge(spark, Seq((8L, "h", 80L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v4
+    assert(new File(new File(feed, "batch_id=4"), "_temporary").mkdirs())
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4).isEmpty, "an empty torn dir must not apply as a no-op")
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) == Seq(4L))
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, replica,
+      numBuckets = 4) == Seq(4L))
+    assert(BucketedMergeSink.read(spark, replica)
+      .as[(Long, String, Long)].collect().toSet.exists(_._1 == 8L))
+  }
+
+  test("publishChangeFeed bootstrap is stage-and-rename atomic: a crash " +
+    "before the swap re-publishes; a finished stage completes the swap") {
+    import spark.implicits._
+    // torn stage (no marker yet): junk in the staged dir is overwritten
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    BucketedMergeSink.merge(spark, seed(5), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 2) // v1
+    BucketedMergeSink.merge(spark, Seq((6L, "f", 60L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v2
+    BucketedMergeSink.merge(spark, Seq((7L, "g", 70L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v3: retains {v2,v3} — mid-life base at 2
+    val staged = new File(feed, ".batch_id=2.base-stage")
+    staged.mkdirs()
+    new File(staged, "junk.bin").createNewFile()
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) ==
+      Seq(2L, 3L))
+    assert(!staged.exists(), "the stage dir was swapped into place")
+    val part = new File(feed, "batch_id=2")
+    assert(new File(part, "_base").exists() &&
+      new File(part, "_SUCCESS").exists() && !new File(part, "junk.bin").exists())
+    // finished stage, crash before rename: marker present in the staged
+    // dir, partition absent, NO deltas yet (bootstrap runs before the
+    // delta loop, so a crash inside it leaves the feed empty) → the next
+    // publish completes the swap WITHOUT rewriting (file identity
+    // preserved) and then publishes the deltas
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new File(feed, "batch_id=3")): Unit
+    assert(part.renameTo(staged), "set up: un-swap the base")
+    val stagedFiles = staged.listFiles().map(_.getName).toSet
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) ==
+      Seq(2L, 3L))
+    assert(part.exists() && !staged.exists())
+    assert(part.listFiles().map(_.getName).toSet == stagedFiles,
+      "the finished stage must be renamed, not rewritten")
+    // converged end state: a fresh consumer reconstructs the target
+    val rep = tmpTarget() + "-rep"
+    BucketedMergeSink.subscribeFeed(spark, feed, rep, numBuckets = 4): Unit
+    assert(BucketedMergeSink.read(spark, rep)
+        .as[(Long, String, Long)].collect().toSet ==
+      BucketedMergeSink.read(spark, path)
+        .as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("compactOutbox refuses to rebase across a torn partition; " +
+    "compactOutboxKeep clamps to a lagging REGISTERED consumer's cursor") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    BucketedMergeSink.merge(spark, seed(6), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 8) // v1
+    for (i <- 7 to 10) // v2..v5
+      BucketedMergeSink.merge(spark,
+        Seq((i.toLong, s"n$i", i * 10L)).toDF("id", "name", "v"),
+        path, "upsert", Seq("id"))
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) ==
+      (1L to 5L))
+    // torn partition below the rebase point → loud refusal, no prune
+    assert(new File(new File(feed, "batch_id=2"), "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](
+      BucketedMergeSink.compactOutbox(spark, feed, 4L))
+    assert(e.getMessage.contains("unpublished"), e.getMessage)
+    assert(new File(feed, "batch_id=1").exists(), "nothing was pruned")
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) == Seq(2L))
+    // a REGISTERED consumer parked at batch 2 clamps keep=2's rebase
+    // (requested at 4) down to batch 3 — its continuity survives
+    val lag = tmpTarget() + "-lag"
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, lag, numBuckets = 4,
+      upTo = 2L, consumerName = "lagger") == Seq(1L, 2L))
+    assert(BucketedMergeSink.compactOutboxKeep(spark, feed, keep = 2) ==
+      Seq(1L, 2L))
+    assert(new File(new File(feed, "batch_id=3"), "_base").exists(),
+      "rebase clamped to lagger's cursor + 1, not the requested batch 4")
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, lag, numBuckets = 4,
+      consumerName = "lagger") == Seq(3L, 4L, 5L))
+    assert(BucketedMergeSink.read(spark, lag)
+        .as[(Long, String, Long)].collect().toSet ==
+      BucketedMergeSink.read(spark, path)
+        .as[(Long, String, Long)].collect().toSet,
+      "the held-back replica converges without a rebuild")
+    // now fully caught up: the clamp releases and keep=2 takes effect
+    assert(BucketedMergeSink.compactOutboxKeep(spark, feed, keep = 2) ==
+      Seq(3L))
+    assert(new File(new File(feed, "batch_id=4"), "_base").exists())
+    // an UNREGISTERED consumer keeps today's semantics: a fresh outbox
+    // rebases past its unrecorded cursor and it refuses loudly
+    val path2 = tmpTarget()
+    val feed2 = tmpTarget() + "-feed"
+    BucketedMergeSink.merge(spark, seed(4), path2, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 8) // v1
+    for (i <- 5 to 7) // v2..v4
+      BucketedMergeSink.merge(spark,
+        Seq((i.toLong, s"n$i", i * 10L)).toDF("id", "name", "v"),
+        path2, "upsert", Seq("id"))
+    BucketedMergeSink.publishChangeFeed(spark, path2, feed2): Unit
+    val anon = tmpTarget() + "-anon"
+    assert(BucketedMergeSink.subscribeFeed(spark, feed2, anon,
+      numBuckets = 4, upTo = 1L) == Seq(1L))
+    assert(BucketedMergeSink.compactOutboxKeep(spark, feed2, keep = 2) ==
+      Seq(1L, 2L), "no registration, no clamp")
+    val e2 = intercept[IllegalArgumentException](
+      BucketedMergeSink.subscribeFeed(spark, feed2, anon, numBuckets = 4))
+    assert(e2.getMessage.contains("pruned"), e2.getMessage)
+  }
+
+  test("subscribeFeed: refuses a pre-unification streaming feed (batch 0) " +
+    "and a baseless hand-pruned prefix, loudly") {
+    import spark.implicits._
+    // batch ids numbered from 0 = the pre-unification streaming layout —
+    // a fresh consumer's cursor of 0 would silently skip batch 0
     val streamy = tmpTarget() + "-sfeed"
     new File(streamy, "batch_id=0").mkdirs()
     val e0 = intercept[IllegalArgumentException](
       BucketedMergeSink.subscribeFeed(spark, streamy, tmpTarget() + "-r0"))
-    assert(e0.getMessage.contains("different layout"), e0.getMessage)
+    assert(e0.getMessage.contains("pre-unification"), e0.getMessage)
     // a mid-life outbox whose base partition lost its marker (prefix
     // pruned by hand, not via compactOutbox) must refuse fresh consumers
     val path = tmpTarget()

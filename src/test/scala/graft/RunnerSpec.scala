@@ -838,6 +838,103 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$root/tgt_ok_bad").exists())
   }
 
+  test("consumer_name: a registered config consumer's cursor holds the " +
+    "producer's outbox_keep rebase back until it catches up") {
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "name", "v").createOrReplaceTempView("cn_src")
+    val root = Files.createTempDirectory("graft-runner-cn").toString
+    def yaml(pipes: String) =
+      s"""pypelines:
+         |  prod: [producer]
+         |  both: [producer, consumer]
+         |pypes:
+         |  producer:
+         |    extract_query: "SELECT id, name, v FROM cn_src WHERE id <= {maxid}"
+         |    target_table: tgt_cn
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    retain_versions: 2
+         |    change_feed: tgt_cn_outbox
+         |    outbox_keep: 2
+         |  consumer:
+         |    subscribe_feed: tgt_cn_outbox
+         |    target_table: tgt_cn_replica
+         |    key: [id]
+         |    buckets: 4
+         |    consumer_name: replica_main
+         |$pipes""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(yaml("")),
+      targetRoot = root)
+    // run 1 registers the consumer at cursor 1; runs 2-4 are
+    // producer-only, so the registered cursor lags further each run —
+    // outbox_keep=2 would rebase past it, the registration must clamp
+    runner.run("both", Map("maxid" -> "1"))
+    runner.run("prod", Map("maxid" -> "2"))
+    runner.run("prod", Map("maxid" -> "3"))
+    runner.run("prod", Map("maxid" -> "4"))
+    val outbox = new java.io.File(s"$root/tgt_cn_outbox")
+    def parts() = outbox.listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    // cursor 1 admits a rebase AT 2 (the consumer can apply a base at
+    // cursor+1) but no further: keep=2 alone would have left {3,4}
+    assert(parts() == Seq("batch_id=2", "batch_id=3", "batch_id=4"),
+      s"the registered cursor at 1 must clamp the rebase to batch 2, got ${parts()}")
+    assert(new java.io.File(new java.io.File(outbox, "batch_id=2"), "_base").exists())
+    // the consumer catches up; the next producer run's compaction is free
+    // to rebase to keep=2
+    runner.run("both", Map("maxid" -> "4"))
+    import spark.implicits._
+    def rows(p: String) = graft.sink.BucketedMergeSink.read(spark, s"$root/$p")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows("tgt_cn_replica") == rows("tgt_cn"),
+      "the held-back replica converges without a rebuild")
+    // the catch-up run itself published batch 5 (cursor now 5); the next
+    // producer run publishes 6 and is free to rebase down to keep=2
+    runner.run("prod", Map("maxid" -> "4"))
+    assert(parts() == Seq("batch_id=5", "batch_id=6"),
+      s"caught-up cursor releases the clamp, got ${parts()}")
+  }
+
+  test("subscribe_feed refuses outbox_keep (a producer key); outbox_keep " +
+    "with a composite key refuses delete-capable stages BEFORE the load") {
+    Seq((1L, 1L, "a")).toDF("k1", "k2", "name")
+      .createOrReplaceTempView("rf_src")
+    val root = Files.createTempDirectory("graft-runner-rf").toString
+    val e1 = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(
+        s"""pypelines:
+           |  p: [c]
+           |pypes:
+           |  c:
+           |    subscribe_feed: some_outbox
+           |    target_table: rf_replica
+           |    outbox_keep: 2
+           |""".stripMargin), Map.empty, root).run("p"))
+    assert(e1.getMessage.contains("outbox_keep"), e1.getMessage)
+    // composite key + delete_where + outbox_keep: the rebase fold would
+    // only fail inside compactOutbox AFTER the load committed — the
+    // stage must refuse up front instead, before writing anything
+    val e2 = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(
+        s"""pypelines:
+           |  p: [d]
+           |pypes:
+           |  d:
+           |    extract_query: "SELECT k1, k2, name FROM rf_src"
+           |    target_table: rf_tgt
+           |    key: [k1, k2]
+           |    buckets: 2
+           |    retain_versions: 4
+           |    change_feed: rf_outbox
+           |    outbox_keep: 3
+           |    delete_where: "name = 'zzz'"
+           |""".stripMargin), Map.empty, root).run("p"))
+    assert(e2.getMessage.contains("composite"), e2.getMessage)
+    assert(!new java.io.File(s"$root/rf_tgt").exists(),
+      "the refusal must land before the stage's write")
+  }
+
   test("scd2 replication chain from config: producer history flows " +
     "through a rebased outbox into a composite-key consumer replica") {
     Seq((1L, "a"), (2L, "b"), (3L, "c"))

@@ -476,7 +476,8 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("streamingMergeWithFeed: each micro-batch materializes its CDC " +
-    "delta under batch_id=<n>, and the target matches the plain merge") {
+    "delta under batch_id=<epoch+2> behind a marked base at batch_id=1, " +
+    "and the target matches the plain merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft-smf-src").toString
     val target = java.nio.file.Files.createTempDirectory("graft-smf-tgt").toString + "/t"
     val feed = java.nio.file.Files.createTempDirectory("graft-smf-feed").toString + "/f"
@@ -504,25 +505,31 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     val got = f.select("batch_id", "_op", "id", "name", "v")
       .as[(Int, String, Long, String, Long)].collect().sortBy(r => (r._1, r._3, r._2))
     assert(got.toSeq == Seq(
-      (0, "insert", 1L, "a", 10L),
-      (0, "insert", 2L, "b", 20L),
-      (1, "update_pre", 2L, "b", 20L),
-      (1, "update_post", 2L, "B", 25L),
-      (1, "insert", 3L, "c", 30L)).sortBy(r => (r._1, r._3, r._2)),
+      (2, "insert", 1L, "a", 10L),
+      (2, "insert", 2L, "b", 20L),
+      (3, "update_pre", 2L, "b", 20L),
+      (3, "update_post", 2L, "B", 25L),
+      (3, "insert", 3L, "c", 30L)).sortBy(r => (r._1, r._3, r._2)),
       s"unexpected feed: ${got.toSeq}")
-    // batch 2 was a pure no-op: its feed partition exists but is empty
-    assert(f.filter($"batch_id" === 2).isEmpty)
+    // the stream created the target, so the bootstrap base at batch_id=1
+    // is an EMPTY marked partition (publishChangeFeed-layout contract)
+    assert(f.filter($"batch_id" === 1).isEmpty)
+    assert(new java.io.File(new java.io.File(feed, "batch_id=1"), "_base").exists(),
+      "the bootstrap partition carries the base marker")
+    // epoch 2 was a pure no-op: its feed partition exists but is empty
+    assert(f.filter($"batch_id" === 4).isEmpty)
   }
 
-  test("streamingMergeWithFeed: a batch id whose feed dir already exists " +
-    "skips the feed write (exactly-once under replay)") {
+  test("streamingMergeWithFeed: a COMMITTED feed partition (has _SUCCESS) " +
+    "is skipped under replay; a torn one (no _SUCCESS) is rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-smf2-src").toString
     val target = java.nio.file.Files.createTempDirectory("graft-smf2-tgt").toString + "/t"
     val feed = java.nio.file.Files.createTempDirectory("graft-smf2-feed").toString + "/f"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-smf2-ck").toString
-    // plant a marker feed for batch 0 — the operator must leave it alone
+    // plant a committed marker feed for epoch 0 (dir batch_id=2) — the
+    // operator must leave it alone (exactly-once replay contract)
     Seq(("marker", 0L, "x", 0L)).toDF("_op", "id", "name", "v")
-      .write.parquet(s"$feed/batch_id=0")
+      .write.parquet(s"$feed/batch_id=2")
     writeSourceBatch(dir, Seq((1L, "a", 10L)).toDF("id", "name", "v"), 0)
     val stream = spark.readStream
       .schema("id LONG, name STRING, v LONG")
@@ -536,6 +543,23 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(target).count() == 1)
     assert(spark.read.parquet(feed).select("_op")
       .as[String].collect().toSeq == Seq("marker"))
+
+    // torn variant: same plant but with _SUCCESS removed — a crash
+    // mid-feed-write left a half partition; the replayed batch must
+    // REWRITE it (the old dir-exists skip marked it published forever)
+    val target2 = java.nio.file.Files.createTempDirectory("graft-smf3-tgt").toString + "/t"
+    val feed2 = java.nio.file.Files.createTempDirectory("graft-smf3-feed").toString + "/f"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-smf3-ck").toString
+    Seq(("marker", 0L, "x", 0L)).toDF("_op", "id", "name", "v")
+      .write.parquet(s"$feed2/batch_id=2")
+    assert(new java.io.File(s"$feed2/batch_id=2/_SUCCESS").delete())
+    val q2 = Streams.streamingMergeWithFeed(stream, target2, feed2, Seq("id"))
+      .option("checkpointLocation", ckpt2)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$feed2/batch_id=2").select("_op", "id")
+      .as[(String, Long)].collect().toSeq == Seq(("insert", 1L)),
+      "the torn partition must be replaced by the real epoch-0 delta")
   }
 
   test("streamingMerge scd2: micro-batches version the target; the batch-id " +
@@ -692,6 +716,95 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Streams.streamingMerge(s, "/tmp/never", Seq("a", "b"), "delete")
     }
+  }
+
+  test("CDC chain e2e: streamingMergeWithFeed producer → subscribeFeedStream " +
+    "consumer; a replayed micro-batch changes nothing on either side") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-chain-tgt").toString + "/t"
+    val feed = java.nio.file.Files.createTempDirectory("graft-chain-feed").toString + "/f"
+    val replica = java.nio.file.Files.createTempDirectory("graft-chain-rep").toString + "/r"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chain-ck").toString
+    val batches = Seq(
+      Seq((1L, "a", 10L), (2L, "b", 20L)),  // epoch 0: inserts
+      Seq((2L, "B", 25L), (3L, "c", 30L)))  // epoch 1: update 2, insert 3
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("id", "name", "v"), i)
+    }
+    def produce(): Unit = {
+      val stream = spark.readStream
+        .schema("id LONG, name STRING, v LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = Streams.streamingMergeWithFeed(
+        stream, target, feed, Seq("id"), numBuckets = 4)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def consume(): Unit = {
+      val q = Streams.subscribeFeedStream(spark, feed, replica, numBuckets = 4)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-chain-cck").toString)
+        .start()
+      q.awaitTermination()
+    }
+    def rows(p: String) = graft.sink.BucketedMergeSink.read(spark, p)
+      .as[(Long, String, Long)].collect().toSet
+    produce()
+    consume()
+    assert(rows(replica) == rows(target) && rows(replica).size == 3,
+      "the table-level daemon consumes the streaming outbox directly")
+    // REPLAY epoch 1: drop its commit from the producer's checkpoint —
+    // on restart, foreachBatch re-runs batch 1 (at-least-once). The
+    // committed feed partition is skipped, the merge re-applies
+    // idempotently, and the consumer finds nothing new.
+    val feedFiles = new java.io.File(feed, "batch_id=3")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(new java.io.File(s"$ckpt/commits/1").delete(),
+      "set up: the replay needs commit 1 gone")
+    new java.io.File(s"$ckpt/commits/.1.crc").delete(): Unit // local-fs checksum twin
+    produce()
+    assert(new java.io.File(feed, "batch_id=3")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap == feedFiles,
+      "the replayed epoch must not rewrite its committed feed partition")
+    consume()
+    assert(rows(replica) == rows(target) && rows(replica).size == 3)
+  }
+
+  test("CDC chain e2e: a delete stream attached to an EXISTING target " +
+    "bases the feed on the pre-attach state, so a fresh replica converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaind-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-chaind-tgt").toString + "/t"
+    val feed = java.nio.file.Files.createTempDirectory("graft-chaind-feed").toString + "/f"
+    val replica = java.nio.file.Files.createTempDirectory("graft-chaind-rep").toString + "/r"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chaind-ck").toString
+    // the target pre-exists the stream: 4 rows from a batch load
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "name"),
+      target, "upsert", Seq("id"), numBuckets = 4)
+    writeSourceBatch(dir, Seq(2L, 4L).toDF("id"), 0)
+    val stream = spark.readStream.schema("id LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.streamingMergeWithFeed(
+      stream, target, feed, Seq("id"), loadType = "delete", numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // base at 1 = the 4 pre-attach rows, marked; epoch-0 delta at 2
+    assert(new java.io.File(new java.io.File(feed, "batch_id=1"), "_base").exists())
+    assert(spark.read.parquet(feed).filter($"batch_id" === 1).count() == 4)
+    assert(spark.read.parquet(feed).filter($"batch_id" === 2 && $"_op" === "delete")
+      .count() == 2)
+    graft.sink.BucketedMergeSink.subscribeFeed(
+      spark, feed, replica, numBuckets = 4): Unit
+    def rows(p: String) = graft.sink.BucketedMergeSink.read(spark, p)
+      .as[(Long, String)].collect().toSet
+    assert(rows(replica) == rows(target) && rows(replica) ==
+      Set((1L, "a"), (3L, "c")),
+      "without the base, a fresh replica would silently miss rows 1 and 3")
   }
 
   test("end-to-end streaming run: file source → windowed agg → memory sink " +
