@@ -214,6 +214,42 @@ object QueriesEngine {
       s.read.parquet(s"$tmp/q33_revenue").orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // -- A12's opt-in concurrency under the driver's eye: TWO independent
+    //    pypes (disjoint sources, disjoint targets) run as parallel Spark
+    //    jobs in one `run(parallel = true)` call — the race guards
+    //    (distinct views/targets, no source/target crossing, hydrated
+    //    producer/consumer outbox check) admit the plan and the results
+    //    must equal the sequential semantics, which is exactly what the
+    //    DuckDB oracle re-derives. Long-only aggregates keep the hash
+    //    comparison exact.
+    "q124_pipeline_parallel" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  par: [flag_counts, status_counts]
+          |pypes:
+          |  flag_counts:
+          |    extract_query: "SELECT l_returnflag AS k, count(*) AS cnt, count(DISTINCT l_orderkey) AS dk FROM lineitem GROUP BY l_returnflag"
+          |    target_table: q124_flags
+          |    type: upsert
+          |    key: [k]
+          |  status_counts:
+          |    extract_query: "SELECT o_orderstatus AS k, count(*) AS cnt, count(DISTINCT o_custkey) AS dk FROM orders GROUP BY o_orderstatus"
+          |    target_table: q124_status
+          |    type: upsert
+          |    key: [k]
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runpar", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml), Map.empty, tmp)
+      runner.run("par", parallel = true)
+      s.read.parquet(s"$tmp/q124_flags").withColumn("src", lit("lineitem"))
+        .unionByName(
+          s.read.parquet(s"$tmp/q124_status").withColumn("src", lit("orders")))
+        .select("src", "k", "cnt", "dk")
+        .orderBy("src", "k")
+    }),
+
     // -- q33's pipeline lifecycle with `buckets: 16` in the stage YAML:
     //    the SAME extract→transform→upsert run, but the target lives
     //    hash-bucketed (BucketedMergeSink via Runner) — identical
@@ -813,6 +849,15 @@ object QueriesEngine {
         |FROM orders
         |WHERE o_orderkey % 20 < 2 AND NOT (o_totalprice > 200000)
         |ORDER BY o_orderkey""".stripMargin,
+    "q124_pipeline_parallel" ->
+      """SELECT 'lineitem' AS src, l_returnflag AS k, count(*) AS cnt,
+        |  count(DISTINCT l_orderkey) AS dk
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'orders' AS src, o_orderstatus AS k, count(*) AS cnt,
+        |  count(DISTINCT o_custkey) AS dk
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY src, k""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

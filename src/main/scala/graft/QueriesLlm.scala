@@ -473,7 +473,11 @@ object QueriesLlm {
       val cents = cachedGroundTruth(s,
         s"cents-nl0-it3-tpc256-${tableFp(dir, "embeddings")}")(
         Similarity.trainedCentroids(e))
-      Similarity.semanticDedupWith(e, cents, threshold = 0.4, probeCells = 4)
+      // probeCells rides the AUTO default (resolveProbes: max(4,
+      // ceil(log2(nlist)/2)) — resolves to 4 at every current SF, so
+      // the cross-round hashes are unchanged; at larger corpora the
+      // width grows with the cell count instead of decaying in recall
+      Similarity.semanticDedupWith(e, cents, threshold = 0.4)
         .orderBy("vec_id")
     }),
 
@@ -482,22 +486,22 @@ object QueriesLlm {
     //    (precision 1.0 by construction — a false positive or score
     //    drift means the probe replication attached a wrong vector);
     //    (b) the measured pair recall vs the brute-force ground truth
-    //    must clear 0.70 (observed at probeCells=4: 0.94 sf0.001 /
-    //    0.93 sf0.01 / 0.81 sf0.1).
-    //    TREND & TUNING POLICY (r12): the recall curve falls with
+    //    must clear 0.70 (observed: 0.94 sf0.001 / 0.93 sf0.01 /
+    //    0.81 sf0.1 — all at an effective probe width of 4).
+    //    TUNING POLICY, IMPLEMENTED (r13): the recall curve falls with
     //    corpus growth for a structural reason — nlist grows as
-    //    ~sqrt(corpus) while the probe count stays fixed, so each
-    //    vector covers a SHRINKING fraction of cells (4/nlist) and
-    //    cell-boundary pair losses accumulate. The observed curve
-    //    (0.94 -> 0.93 -> 0.81 across 10x corpus steps) projects
-    //    ~0.65-0.70 at the NEXT 10x, i.e. at the floor. If a corpus
-    //    regeneration or growth puts this under 0.70, that is TUNING,
-    //    not a bug: scale probeCells with the cell count —
-    //    probeCells ~ ceil(log2(nlist)/2) keeps the probed fraction
-    //    roughly stable (cost is linear replication of the id-only
-    //    probe exchange, the vectors never ride it) — and restate the
-    //    floor. Kept fixed at 4 here so the measured number stays
-    //    comparable across rounds while the margin holds.
+    //    ~sqrt(corpus) while a fixed probe count covers a SHRINKING
+    //    fraction of cells, so cell-boundary pair losses accumulate
+    //    (the r12 curve projected ~0.65-0.70 at the next 10x, i.e. at
+    //    the floor). probeCells now defaults to AUTO
+    //    (Similarity.resolveProbes: max(4, ceil(log2(nlist)/2)), cost
+    //    linear replication of the id-only probe exchange — vectors
+    //    never ride it), which this entry rides: at every current SF
+    //    AUTO resolves to 4, so the measured number stays directly
+    //    comparable with r11/r12; past nlist=256 the width starts
+    //    growing instead of the recall decaying. Floor stays 0.70. If
+    //    a future corpus still trips it, widen the AUTO formula —
+    //    OpsSpec pins the resolver so the change is one visible line.
     "q111_semdedup_audit" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       // same fingerprint-keyed model cache as q110 (the two entries
@@ -506,7 +510,7 @@ object QueriesLlm {
         s"cents-nl0-it3-tpc256-${tableFp(dir, "embeddings")}")(
         Similarity.trainedCentroids(e))
       val sem = Similarity.semanticDupPairsWith(
-        e, cents, threshold = 0.4, probeCells = 4)
+        e, cents, threshold = 0.4)
       val exact = Similarity.cosineDupPairs(e, threshold = 0.4)
         .withColumnRenamed("cos", "c_exact")
       val fp = sem.join(exact, Seq("id_a", "id_b"), "left")
@@ -1007,16 +1011,19 @@ object QueriesLlm {
       val cents = cachedGroundTruth(s,
         s"cents-c95-nl0-it3-tpc256-${tableFp(dir, "embeddings")}")(
         Similarity.trainedCentroids(corpus))
-      val postings = Similarity.assignBatchCells(corpus, cents, probeCells = 4)
+      // probeCells = 0 (AUTO) on BOTH the index postings and the pair
+      // calls below: the width must match across the index join, and
+      // under AUTO the three sites co-vary with the cell count
+      val postings = Similarity.assignBatchCells(corpus, cents, probeCells = 0)
       // persisted-index shape: postings materialized once, so the
       // candidate subtree's plan duplication re-reads them instead of
       // re-running assignment (same rationale as q114's index)
       val idx = postings.localCheckpoint()
       val inc = Similarity.incrementalSemanticDupPairs(
-        batch, corpus, idx, cents, threshold = 0.4, probeCells = 4)
+        batch, corpus, idx, cents, threshold = 0.4)
       val full = Similarity.incrementalSemanticDupPairs(
         e, e.filter(lit(false)), idx.filter(lit(false)), cents,
-        threshold = 0.4, probeCells = 4)
+        threshold = 0.4)
         .filter(graft.ops.TrainingPrep.idHash(col("id_a")) % 20 === 0 ||
           graft.ops.TrainingPrep.idHash(col("id_b")) % 20 === 0)
       val i = inc.select(col("id_a"), col("id_b"),

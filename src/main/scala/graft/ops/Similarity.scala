@@ -722,7 +722,7 @@ object Similarity {
       df: DataFrame,
       centroids: DataFrame,
       threshold: Double,
-      probeCells: Int = 1,
+      probeCells: Int = 0, // 0 = AUTO (resolveProbes)
       maxCell: Int = 100000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
@@ -736,7 +736,7 @@ object Similarity {
       df: DataFrame,
       centroids: DataFrame,
       threshold: Double,
-      probeCells: Int = 1,
+      probeCells: Int = 0, // 0 = AUTO (resolveProbes)
       maxCell: Int = 100000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
@@ -744,22 +744,43 @@ object Similarity {
       assignCells(df, collectCentroids(centroids), probeCells, idCol, vecCol),
       threshold, maxCell, idCol)
 
+  /** Resolve the multi-probe width. `probeCells = 0` is AUTO: scale
+    * with the cell count as `max(4, ceil(log2(nlist) / 2))` — the q111
+    * tuning policy made default. Rationale: `nlist` grows ~sqrt(corpus)
+    * while a FIXED probe count covers a shrinking 4/nlist fraction of
+    * cells, so measured same-cell pair recall decays with corpus growth
+    * (0.94 → 0.93 → 0.81 across the sf0.001/0.01/0.1 10× steps at
+    * fixed 4); log-scaling the probes counteracts the decay at a cost
+    * that stays LINEAR replication of the id-only probe exchange — the
+    * vectors never ride it. An explicit positive value is honored
+    * unchanged (the fixed-width variant the cross-round measurements
+    * use). At the current test scales AUTO resolves to 4, so the
+    * measured q111 recall stays directly comparable. */
+  private[graft] def resolveProbes(probeCells: Int, nlist: Int): Int =
+    if (probeCells > 0) probeCells
+    else math.max(4,
+      math.ceil(math.log(math.max(1, nlist).toDouble) / math.log(2.0) / 2.0).toInt)
+
   /** Cell assignment under GIVEN centroids — the back half of
     * [[cellAssigned]], shared with the incremental path (which assigns
     * only the batch under the index's frozen centroids). One narrow
-    * pass; centroids ride one broadcast. */
+    * pass; centroids ride one broadcast. The single point where
+    * `probeCells` is resolved ([[resolveProbes]]) — every semantic
+    * entry path assigns through here, so AUTO means the same width on
+    * both sides of an index join. */
   private def assignCells(
       df: DataFrame, cents: Array[Array[Double]], probeCells: Int,
       idCol: String, vecCol: String): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(cents)
+    val probes = resolveProbes(probeCells, cents.length)
     import spark.implicits._
     val centsDf = broadcast(
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("cell", "centv"))
     Dedup.widen(df)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-      .withColumn("cells", cellsTop(col("cv"), bc, probeCells))
+      .withColumn("cells", cellsTop(col("cv"), bc, probes))
       .withColumn("cell", element_at(col("cells"), 1))
       .join(centsDf, "cell")
       // centroids are unit-norm, so this is dot(v, cent)/|v|; rounded to
@@ -876,7 +897,7 @@ object Similarity {
       index: DataFrame,
       centroids: DataFrame,
       threshold: Double,
-      probeCells: Int = 1,
+      probeCells: Int = 0, // 0 = AUTO (resolveProbes)
       maxCell: Int = 100000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
@@ -918,7 +939,7 @@ object Similarity {
       nlist: Int = 0,
       iters: Int = 3,
       trainPerCell: Int = 256,
-      probeCells: Int = 1,
+      probeCells: Int = 0, // 0 = AUTO (resolveProbes)
       maxCell: Int = 100000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
@@ -955,7 +976,7 @@ object Similarity {
       nlist: Int = 0,
       iters: Int = 3,
       trainPerCell: Int = 256,
-      probeCells: Int = 1,
+      probeCells: Int = 0, // 0 = AUTO (resolveProbes)
       maxCell: Int = 100000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

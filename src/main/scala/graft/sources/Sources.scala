@@ -202,12 +202,20 @@ object Sources {
     * write cost as [[writeClustered]] plus the boundary pass. Columns
     * must be numeric/date/timestamp (rank-mapping strings has no
     * meaningful quantile arithmetic — refused loudly). Content is
-    * unchanged; only physical order moves. File boundaries come from
-    * `repartitionByRange`'s SAMPLED partitioner, so they straddle curve
-    * quadrants rather than aligning to them — per-file spreads land
-    * near ~2x the aligned ideal (SourcesSpec measures it), which still
-    * beats a lexicographic sort's trailing-column spread of ~1.0 by a
-    * wide margin and amortizes as files-per-quadrant grows at scale. */
+    * unchanged; only physical order moves.
+    *
+    * File cuts fall ON curve-quadrant boundaries: the range exchange
+    * partitions on the QUADRANT id (the curve value's top
+    * ceil(log2(numFiles)) interleaved bits — the high bits of a Morton
+    * value ARE the spatial quadrant), not on the raw curve value, and a
+    * range partitioner never splits equal keys — so every file covers
+    * whole hyper-rectangles instead of a sampled cut straddling two.
+    * Per-file spread lands at the aligned ideal (SourcesSpec measures
+    * ~0.24 on a uniform grid vs ~0.45 for sampled-boundary cuts). The
+    * equi-depth per-column buckets keep marginal skew from imbalancing
+    * quadrants; jointly-skewed data can still weight one quadrant — at
+    * scale raise `numFiles` (finer quadrants) rather than reverting to
+    * value-sampled cuts that trade alignment back away. */
   def writeZOrdered(
       df: DataFrame,
       path: String,
@@ -218,7 +226,9 @@ object Sources {
     require(clusterCols.size >= 2,
       "z-ordering one column is just writeClustered — use that")
     val zCol = "__graft_z"
-    require(!df.columns.contains(zCol), s"input already has a $zCol column")
+    val qCol = "__graft_zq"
+    require(!df.columns.contains(zCol) && !df.columns.contains(qCol),
+      s"input already has a $zCol/$qCol column")
     val asDouble: Map[String, org.apache.spark.sql.Column] =
       clusterCols.map { c =>
         val dt = df.schema(c).dataType
@@ -239,12 +249,26 @@ object Sources {
     val cuts = df.select(clusterCols.map(c =>
       percentile_approx(asDouble(c), lit(probs.toArray),
         lit(10000)).as(c)): _*).head()
-    if (cuts.isNullAt(0)) {
+    // a null percentile row means NO non-null values in that column —
+    // check every column, not just the first: an all-null later column
+    // would NPE below, and an all-null FIRST column with populated
+    // others must not be misread as "empty input"
+    val nullCols = clusterCols.indices.filter(cuts.isNullAt).map(clusterCols)
+    if (nullCols.size == clusterCols.size) {
+      require(df.isEmpty,
+        s"writeZOrdered: every cluster column (${clusterCols.mkString(", ")}) " +
+          "is entirely NULL — there is no value space to lay out; drop the " +
+          "null columns or use a plain write")
       // empty input: no quantiles to cut — the layout of nothing is
       // nothing, write it as-is instead of NPE-ing on the boundary row
       df.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
+    require(nullCols.isEmpty,
+      s"writeZOrdered: cluster column(s) ${nullCols.mkString(", ")} are " +
+        "entirely NULL — an all-null dimension carries no layout " +
+        "information; drop it from clusterCols (rows with SOME nulls are " +
+        "fine — they sort to the curve's null region)")
     val boundaries: Map[String, Array[Double]] = clusterCols.zipWithIndex
       .map { case (c, i) =>
         // distinct-ify: a low-cardinality column repeats cut values and
@@ -254,13 +278,24 @@ object Sources {
     val z = graft.functions.ZOrderExprs.interleaveBits(
       clusterCols.map(c => graft.functions.ZOrderExprs.quantileBucket(
         asDouble(c), boundaries(c))), bitsPerCol)
+    // quadrant id = the curve value's top bits. ceil(log2(numFiles))
+    // bits give 2^q >= numFiles quadrants, so each range partition
+    // holds one or two ADJACENT whole quadrants; with no file-count
+    // hint, 2^10 fine quadrants let the partitioner derive its own
+    // count while cuts still fall on (fine) quadrant boundaries.
+    val totalBits = clusterCols.size * bitsPerCol
+    val qBits = math.min(totalBits,
+      if (numFiles > 0) 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1, numFiles - 1).toLong).toInt
+      else 10)
     val withZ = df.withColumn(zCol, z)
+      .withColumn(qCol, shiftright(col(zCol), totalBits - qBits))
     val ranged =
-      if (numFiles > 0) withZ.repartitionByRange(numFiles, col(zCol))
-      else withZ.repartitionByRange(col(zCol))
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, col(qCol))
+      else withZ.repartitionByRange(col(qCol))
     ranged
       .sortWithinPartitions(zCol)
-      .drop(zCol)
+      .drop(zCol, qCol)
       .write
       .mode(SaveMode.Overwrite)
       .parquet(path)

@@ -902,4 +902,45 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       Similarity.semanticDupPairs(df, threshold = 0.5, nlist = 2, probeCells = 2)
         .orderBy("id_a", "id_b"))
   }
+
+  test("resolveProbes: AUTO (0) scales the probe width with log2(nlist) " +
+    "so the probed-cell coverage no longer decays linearly with corpus " +
+    "growth; explicit widths pass through untouched") {
+    import Similarity.resolveProbes
+    // explicit values are honored verbatim — the fixed-width variant the
+    // cross-round recall measurements rely on
+    assert(resolveProbes(4, 100000) == 4 && resolveProbes(1, 3) == 1)
+    // AUTO floor: every current test corpus (nlist 16..256) resolves to
+    // 4 — the r11/r12 measured recalls stay directly comparable
+    assert(Seq(16, 23, 71, 224, 256).map(resolveProbes(0, _)).forall(_ == 4))
+    // AUTO growth: past nlist=256 the width tracks ceil(log2(nlist)/2).
+    // Coverage check at two 16x nlist scales (≈ two 256x corpus steps):
+    // a FIXED width of 4 would cover 16x fewer cells at the larger
+    // scale; AUTO holds the ratio to ~16x/1.5 ≈ 10.7x — the log-growth
+    // tradeoff the q111 policy chose over linear (exact-cost) scaling
+    assert(resolveProbes(0, 512) == 5)
+    assert(resolveProbes(0, 4096) == 6)
+    assert(resolveProbes(0, 8192) == 7)
+    val cov512 = 5.0 / 512; val cov8192 = 7.0 / 8192
+    assert(cov512 / cov8192 < 16.0 * 0.75,
+      "AUTO must shrink the coverage decay vs a fixed width (16x per 16x nlist)")
+    // resolution happens at the single assignCells choke point: a
+    // default-argument call attaches exactly resolveProbes(0, nlist)
+    // probe cells per vector
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0.95f, 0.05f, 0f, 0f)),
+      (4L, Array(0f, 0.05f, 0.95f, 0f)),
+      (5L, Array(0.6f, 0.8f, 0f, 0f)),
+      (6L, Array(0.72f, 0f, 0.69f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainedCentroids(df, nlist = 2)
+    assertSameRows(
+      Similarity.semanticDupPairsWith(df, cents, threshold = 0.5) // AUTO
+        .orderBy("id_a", "id_b"),
+      Similarity.semanticDupPairsWith(df, cents, threshold = 0.5,
+        probeCells = Similarity.resolveProbes(0, 2)) // = explicit resolved
+        .orderBy("id_a", "id_b"))
+  }
 }
