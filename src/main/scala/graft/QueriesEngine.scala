@@ -482,6 +482,108 @@ object QueriesEngine {
         .orderBy("o_orderkey")
     }),
 
+    // -- the engine's two CDC layouts CHAINED, with real micro-batches:
+    //    a STREAMING producer (streamingMergeWithFeed — bases the feed
+    //    on the pre-attach target at batch_id=1, epoch deltas at
+    //    batch_id=epoch+2) feeds the TABLE-level replication daemon
+    //    (subscribeFeedStream). Two source files under
+    //    maxFilesPerTrigger=1 make two genuine micro-batches; every key
+    //    appears exactly once so the final state is independent of the
+    //    batch split and the DuckDB oracle re-derives it from the source
+    //    relation alone. The pre-attach rows reach the replica ONLY via
+    //    the marked base partition — losing it drops a third of the
+    //    rows and the hash goes red.
+    "q125_stream_cdc_chain" -> ((s, dir) => {
+      val tmp = Tables.scratchPath("graft-streamcdc", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // pre-attach target: the %20==2 slice from a BATCH load — the
+      // stream's first act must snapshot this as the feed's base
+      graft.sink.BucketedMergeSink.merge(s,
+        orders.filter(col("o_orderkey") % 20 === 2),
+        s"$tmp/target", "upsert", Seq("o_orderkey"),
+        identifier = "o_orderkey", numBuckets = 8)
+      // two single-file "arrivals" → two micro-batches
+      def arrive(slice: Int, i: Int): Unit = {
+        val stage = s"$tmp/stage$i"
+        orders.filter(col("o_orderkey") % 20 === slice)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dstDir = new java.io.File(s"$tmp/src"); dstDir.mkdirs()
+        val dst = new java.io.File(dstDir, f"b$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L): Unit
+      }
+      arrive(0, 0); arrive(1, 1)
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$tmp/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/src")
+      val prod = graft.streaming.Streams.streamingMergeWithFeed(
+        stream, s"$tmp/target", s"$tmp/feed", Seq("o_orderkey"),
+        numBuckets = 8)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try prod.processAllAvailable() finally prod.stop()
+      val cons = graft.streaming.Streams.subscribeFeedStream(
+        s, s"$tmp/feed", s"$tmp/replica", Seq("o_orderkey"), numBuckets = 8)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/cck")
+        .start()
+      cons.awaitTermination()
+      graft.sink.BucketedMergeSink.read(s, s"$tmp/replica")
+        .orderBy("o_orderkey")
+    }),
+
+    // -- outbox log-compaction vs a LAGGING registered consumer: the
+    //    producer runs four loads while the registered replica stops
+    //    after the first, so `outbox_keep: 2` WANTS to rebase past the
+    //    replica's cursor — the registration clamp must hold the rebase
+    //    at cursor+1 (the outbox temporarily holds more than `keep`)
+    //    for the final catch-up to succeed. A regressed clamp rebases
+    //    past the cursor and the catch-up REFUSES loudly (battery goes
+    //    red on the thrown run, not on a silent wrong hash); the hash
+    //    itself pins that the held-back base + deltas replay to exactly
+    //    the producer's final state.
+    "q126_outbox_consumer_clamp" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  boot: [producer, consumer]
+          |  grow: [producer]
+          |  sync: [consumer]
+          |pypes:
+          |  producer:
+          |    extract_query: "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 20 < {slice}"
+          |    target_table: q126_orders
+          |    type: upsert
+          |    key: [o_orderkey]
+          |    buckets: 8
+          |    retain_versions: 2
+          |    change_feed: q126_outbox
+          |    outbox_keep: 2
+          |  consumer:
+          |    subscribe_feed: q126_outbox
+          |    consumer_name: replica1
+          |    target_table: q126_replica
+          |    key: [o_orderkey]
+          |    buckets: 8
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runclamp", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("slice" -> "1"), tmp)
+      runner.run("boot") // replica1 registers at cursor=1
+      runner.run("grow", Map("slice" -> "2"))
+      runner.run("grow", Map("slice" -> "3")) // keep=2 wants rebase@2 = cursor+1: allowed
+      runner.run("grow", Map("slice" -> "4")) // wants rebase@3 > cursor+1: HELD
+      runner.run("sync", Map("slice" -> "4")) // catch-up: base@2 + deltas 3,4
+      graft.sink.BucketedMergeSink.read(s, s"$tmp/q126_replica")
+        .orderBy("o_orderkey")
+    }),
+
     // -- LIVE jdbc round-trip (A2 + Layer B jdbc scan/sink): parquet →
     //    Derby (embedded, in-process — the only live DB this container
     //    has; same Spark jdbc codepath as MySQL/Postgres) via writeJdbc,
@@ -858,6 +960,14 @@ object QueriesEngine {
         |  count(DISTINCT o_custkey) AS dk
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY src, k""".stripMargin,
+    "q125_stream_cdc_chain" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q126_outbox_consumer_clamp" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 20 < 4
+        |ORDER BY o_orderkey""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

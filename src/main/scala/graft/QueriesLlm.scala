@@ -345,6 +345,52 @@ object QueriesLlm {
         .orderBy("asset_id")
     }),
 
+    // -- RAW-FILE multimodal ingest: the `binary` source (Spark's
+    //    binaryFile — one row per asset file, bytes in `content`) feeding
+    //    the same real-codec featurize as q47. Setup writes one REAL
+    //    .png file per sampled doc (executor-side foreachPartition, no
+    //    driver loop) plus a decoy .txt that `pathGlobFilter` must skip
+    //    server-side; asset ids travel in the FILENAME, recovered
+    //    relationally with regexp_extract — the production shape for an
+    //    object-store image corpus, where there is no id column until
+    //    you derive one. Oracle = q47's closed-form pixel statistics
+    //    over the sampled ids.
+    "q127_binary_source" -> ((s, dir) => {
+      val tmp = Tables.scratchPath("graft-binsrc", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val assetDir = new java.io.File(tmp, "assets")
+      assetDir.mkdirs()
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .filter(col("id") % 37 === 0)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              new java.io.File(assetDir, f"img_$id%08d.png").toPath,
+              Multimodal.syntheticPng(id)): Unit
+          }
+        }
+      java.nio.file.Files.write(
+        new java.io.File(assetDir, "README.txt").toPath,
+        "not an image".getBytes("UTF-8")): Unit
+      val bin = graft.sources.Sources.read(s, graft.sources.SourceSpec(
+        "binary", assetDir.toString,
+        options = Map("pathGlobFilter" -> "*.png")))
+      val assets = bin.select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("asset_id"),
+        lit("image").as("modality"),
+        col("content").as("bytes"),
+        struct(col("length").as("n_bytes"), lit("png").as("tag")).as("meta"))
+      Multimodal.featurize(assets)
+        .select(col("asset_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("asset_id")
+    }),
+
     // -- multimodal audio: REAL RIFF/WAVE bytes end to end — one
     //    synthetic 16-bit PCM clip per document (AudioSystem encode on
     //    executors), decoded back with javax.sound.sampled and reduced
@@ -1706,6 +1752,18 @@ object QueriesLlm {
         |  round((doc_id * 7) % 199 + (1 + doc_id % 5) / 2.0, 4) AS mean_g,
         |  round(CAST((doc_id * 13) % 199 AS DOUBLE), 4) AS mean_b
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // q47's closed forms restricted to the binary-source sample; the
+    // decoy README.txt must never surface (pathGlobFilter) and every
+    // sampled id must (a missing file or a mis-parsed filename id both
+    // break the hash)
+    "q127_binary_source" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(2 + doc_id % 7 AS INT) AS width,
+        |  CAST(2 + doc_id % 5 AS INT) AS height,
+        |  round(doc_id % 199 + (1 + doc_id % 7) / 2.0, 4) AS mean_r,
+        |  round((doc_id * 7) % 199 + (1 + doc_id % 5) / 2.0, 4) AS mean_g,
+        |  round(CAST((doc_id * 13) % 199 AS DOUBLE), 4) AS mean_b
+        |FROM documents WHERE doc_id % 37 = 0 ORDER BY asset_id""".stripMargin,
     // analytic ground truth for the REAL javax.sound decode: the WAV's
     // PCM ramp is closed-form in (doc_id, i) — Multimodal.syntheticWav
     "q100_audio_features" ->

@@ -8,9 +8,11 @@ import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, Time
   * `Pype.py:1-2`, source connection used at `Pype.py:33-36` — so a real
   * replacement must read more than parquet).
   *
-  * `format`: parquet | orc | csv | json | jdbc | bucketed (a
-  *   BucketedMergeSink layout; `options: {version: N}` pins a retained
-  *   snapshot — the time-travel read hook).
+  * `format`: parquet | orc | csv | json | text | binary (Spark's
+  *   `binaryFile` — one row per raw asset file, the multimodal ingest
+  *   path) | jdbc | bucketed (a BucketedMergeSink layout;
+  *   `options: {version: N}` pins a retained snapshot — the time-travel
+  *   read hook).
   * `path`: file-format location (dir or file); unused for jdbc.
   * `schema`: optional DDL string ("id LONG, name STRING"). For csv/json
   *   this should ALWAYS be set in production: schema inference reads the
@@ -64,7 +66,19 @@ object Sources {
     }
   }
 
-  val fileFormats = Set("parquet", "orc", "csv", "json")
+  val fileFormats = Set("parquet", "orc", "csv", "json", "text")
+
+  /** `binaryFile`'s fixed schema: (path, modificationTime, length,
+    * content). The raw-asset ingest path for multimodal pipelines — each
+    * file (image/audio/video/blob) becomes one row with its bytes in
+    * `content`, feeding [[graft.ops.Multimodal]] without any per-file
+    * driver code. At 100 TB the relevant options ride through `options`
+    * untouched: `pathGlobFilter` (server-side name filter — skip
+    * non-asset files before any read), `recursiveFileLookup`, and
+    * Spark's own `spark.sql.files.maxPartitionBytes` governs how many
+    * small assets pack into one task. Large single files: a binaryFile
+    * row must FIT in memory (the format never splits a file); shard
+    * multi-GB containers upstream. */
 
   /** Build the DataFrame for a declared source. Validation is eager:
     * unknown formats and missing jdbc/file requirements fail at config
@@ -75,7 +89,19 @@ object Sources {
     spec.format match {
       case f if fileFormats(f) =>
         require(spec.path.nonEmpty, s"source format '$f' requires a path")
+        // `text` has ONE possible data column (value STRING; wholetext
+        // collapses a file to one row) — a declared schema would have to
+        // restate it, and a mismatch fails inside the scan; refuse early
+        require(f != "text" || spec.schema.isEmpty,
+          "text sources always read as a single `value STRING` column — " +
+            "remove the 'schema' field (rename/split downstream)")
         reader.format(f).load(spec.path)
+      case "binary" | "binaryFile" =>
+        require(spec.path.nonEmpty, "source format 'binary' requires a path")
+        require(spec.schema.isEmpty,
+          "binary sources have the fixed schema (path, modificationTime, " +
+            "length, content) — remove the 'schema' field")
+        reader.format("binaryFile").load(spec.path)
       case "bucketed" =>
         // a BucketedMergeSink layout as a declared input — the read-side
         // hook for snapshot retention: `options: {version: N}` pins a
@@ -102,7 +128,7 @@ object Sources {
       case other =>
         throw new IllegalArgumentException(
           s"unknown source format: '$other' " +
-            s"(expected ${fileFormats.mkString("/")}/jdbc/bucketed)")
+            s"(expected ${fileFormats.mkString("/")}/binary/jdbc/bucketed)")
     }
   }
 

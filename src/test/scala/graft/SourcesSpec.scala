@@ -48,6 +48,46 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(canon(out) == canon(rows.toDF("id", "name")))
   }
 
+  test("text source reads one value row per line; wholetext collapses a " +
+    "file to one row; a declared schema is refused (the schema is fixed)") {
+    val dir = Files.createTempDirectory("graft-src-text").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.log"), "x\ny\nz".getBytes("UTF-8"))
+    val lines = Sources.read(spark, SourceSpec("text", dir))
+    assert(lines.schema.simpleString == "struct<value:string>")
+    assert(lines.as[String].collect().sorted.toSeq == Seq("x", "y", "z"))
+    val whole = Sources.read(spark, SourceSpec("text", dir,
+      options = Map("wholetext" -> "true")))
+    assert(whole.as[String].collect().toSeq == Seq("x\ny\nz"))
+    val e = intercept[IllegalArgumentException] {
+      Sources.read(spark, SourceSpec("text", dir, schema = "value STRING"))
+    }
+    assert(e.getMessage.contains("value STRING"))
+  }
+
+  test("binary source: one row per raw asset file with its bytes; " +
+    "pathGlobFilter prunes non-assets; fixed schema refuses a declared one") {
+    val dir = Files.createTempDirectory("graft-src-bin").toString
+    val png = graft.ops.Multimodal.syntheticPng(5L)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a_5.png"), png)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "junk.txt"), "no".getBytes("UTF-8"))
+    val out = Sources.read(spark, SourceSpec("binary", dir,
+      options = Map("pathGlobFilter" -> "*.png")))
+    val row = out.select("path", "length", "content").collect()
+    assert(row.length == 1, "the .txt decoy must be glob-pruned")
+    assert(row(0).getString(0).endsWith("a_5.png"))
+    assert(row(0).getLong(1) == png.length &&
+      row(0).getAs[Array[Byte]](2).toSeq == png.toSeq,
+      "content carries the exact file bytes")
+    // alias and fixed-schema refusal
+    assert(Sources.read(spark, SourceSpec("binaryFile", dir)).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      Sources.read(spark, SourceSpec("binary", dir, schema = "content BINARY"))
+    }
+    assert(e.getMessage.contains("fixed schema"))
+  }
+
   test("unknown format and missing path fail eagerly with clear messages") {
     val e1 = intercept[IllegalArgumentException] {
       Sources.read(spark, SourceSpec("avroish", "/tmp/x"))
