@@ -501,13 +501,13 @@ object QueriesEngine {
       // pre-attach target: the %20==2 slice from a BATCH load — the
       // stream's first act must snapshot this as the feed's base
       graft.sink.BucketedMergeSink.merge(s,
-        orders.filter(col("o_orderkey") % 20 === 2),
+        orders.filter(col("o_orderkey") % 100 === 2),
         s"$tmp/target", "upsert", Seq("o_orderkey"),
         identifier = "o_orderkey", numBuckets = 8)
       // two single-file "arrivals" → two micro-batches
       def arrive(slice: Int, i: Int): Unit = {
         val stage = s"$tmp/stage$i"
-        orders.filter(col("o_orderkey") % 20 === slice)
+        orders.filter(col("o_orderkey") % 100 === slice)
           .coalesce(1).write.parquet(stage)
         val part = new java.io.File(stage).listFiles()
           .find(_.getName.endsWith(".parquet")).get
@@ -538,15 +538,17 @@ object QueriesEngine {
     }),
 
     // -- outbox log-compaction vs a LAGGING registered consumer: the
-    //    producer runs four loads while the registered replica stops
-    //    after the first, so `outbox_keep: 2` WANTS to rebase past the
-    //    replica's cursor — the registration clamp must hold the rebase
-    //    at cursor+1 (the outbox temporarily holds more than `keep`)
-    //    for the final catch-up to succeed. A regressed clamp rebases
-    //    past the cursor and the catch-up REFUSES loudly (battery goes
-    //    red on the thrown run, not on a silent wrong hash); the hash
-    //    itself pins that the held-back base + deltas replay to exactly
-    //    the producer's final state.
+    //    producer keeps loading while the registered replica stops after
+    //    the first run, so `outbox_keep: 1` drives BOTH clamp regimes —
+    //    run 2's rebase lands exactly AT cursor+1 (allowed: the lagging
+    //    consumer can still apply the rebased base), run 3's WANTS to go
+    //    past it and must be HELD (the outbox temporarily holds more
+    //    than `keep`). A regressed clamp rebases past the cursor and the
+    //    final catch-up REFUSES loudly (battery goes red on the thrown
+    //    run, not a silent wrong hash); the hash itself pins that the
+    //    held-back base + delta — including the base applied as a FULL
+    //    REPLACEMENT over the stale replica — replay to exactly the
+    //    producer's final state.
     "q126_outbox_consumer_clamp" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       val yaml =
@@ -556,14 +558,14 @@ object QueriesEngine {
           |  sync: [consumer]
           |pypes:
           |  producer:
-          |    extract_query: "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 20 < {slice}"
+          |    extract_query: "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 < {slice}"
           |    target_table: q126_orders
           |    type: upsert
           |    key: [o_orderkey]
           |    buckets: 8
           |    retain_versions: 2
           |    change_feed: q126_outbox
-          |    outbox_keep: 2
+          |    outbox_keep: 1
           |  consumer:
           |    subscribe_feed: q126_outbox
           |    consumer_name: replica1
@@ -576,10 +578,9 @@ object QueriesEngine {
       val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
         Map("slice" -> "1"), tmp)
       runner.run("boot") // replica1 registers at cursor=1
-      runner.run("grow", Map("slice" -> "2"))
-      runner.run("grow", Map("slice" -> "3")) // keep=2 wants rebase@2 = cursor+1: allowed
-      runner.run("grow", Map("slice" -> "4")) // wants rebase@3 > cursor+1: HELD
-      runner.run("sync", Map("slice" -> "4")) // catch-up: base@2 + deltas 3,4
+      runner.run("grow", Map("slice" -> "2")) // rebase@2 = cursor+1: allowed
+      runner.run("grow", Map("slice" -> "3")) // wants rebase@3 > cursor+1: HELD
+      runner.run("sync", Map("slice" -> "3")) // catch-up: base@2 + delta 3
       graft.sink.BucketedMergeSink.read(s, s"$tmp/q126_replica")
         .orderBy("o_orderkey")
     }),
@@ -962,11 +963,11 @@ object QueriesEngine {
         |ORDER BY src, k""".stripMargin,
     "q125_stream_cdc_chain" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
-        |FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)
+        |FROM orders WHERE o_orderkey % 100 IN (0, 1, 2)
         |ORDER BY o_orderkey""".stripMargin,
     "q126_outbox_consumer_clamp" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
-        |FROM orders WHERE o_orderkey % 20 < 4
+        |FROM orders WHERE o_orderkey % 100 < 3
         |ORDER BY o_orderkey""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (

@@ -429,11 +429,27 @@ object BucketedMergeSink {
       val t = readVersion(spark, path, v)
       t.select((lit("insert").as("_op") +: t.columns.toSeq.map(col)): _*)
     }
-    val feedStarted = fs.exists(new Path(feedPath)) &&
-      fs.listStatus(new Path(feedPath))
-        .exists(_.getPath.getName.startsWith("batch_id="))
+    val existing: Seq[Long] =
+      if (!fs.exists(new Path(feedPath))) Nil
+      else fs.listStatus(new Path(feedPath)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted
+    val feedStarted = existing.nonEmpty
+    // a marked-base OLDEST partition is a [[compactOutbox]] rebase
+    // point: every partition at or below it was DELIBERATELY pruned.
+    // Publish must respect that floor — the retention window can be
+    // deeper than `outbox_keep`, so retained versions below the rebase
+    // are normal, not a gap. Resurrecting them (the pre-r13 behavior:
+    // the bootstrap re-created a pruned batch 1, the delta loop
+    // re-published pruned deltas) re-grew the compacted outbox every
+    // run, and once the oldest retained version's own partition was
+    // pruned the producer hard-failed with the misleading gap error —
+    // reachable from a Runner-valid retention-4/keep-1 config on its
+    // sixth run (spec-pinned).
+    val rebasedAt: Option[Long] = existing.headOption.filter(b =>
+      fs.exists(new Path(partDir(b), baseMarker)))
     val bootstrap =
-      if (!feedStarted || vs.head == 1L)
+      if (!feedStarted)
         // empty feed: all-inserts base at the oldest retained version
         // (v1's base and a mid-life base are the same construction);
         // marked _base so a consumer can tell a true base from a
@@ -446,7 +462,15 @@ object BucketedMergeSink {
         vs.headOption.flatMap(v => writeFeedBase(fs, partDir(v)) {
           staged => insertAll(v).write.mode("overwrite").parquet(staged)
         })
-      else if (!fs.exists(partDir(vs.head)))
+      else if (rebasedAt.isEmpty && vs.head == 1L)
+        // started, never rebased, v1 retained: batch 1 should exist as
+        // the marked base — writeFeedBase is a no-op when it does and
+        // heals a hand-pruned or legacy-unmarked one while v1 can still
+        // be reconstructed
+        writeFeedBase(fs, partDir(1L)) { staged =>
+          insertAll(1L).write.mode("overwrite").parquet(staged)
+        }
+      else if (vs.head > rebasedAt.getOrElse(0L) && !fs.exists(partDir(vs.head)))
         throw new IllegalStateException(
           s"change feed at $feedPath has no partition for v${vs.head}, the " +
             s"oldest retained version of $path, and v${vs.head - 1} is " +
@@ -456,8 +480,11 @@ object BucketedMergeSink {
             "the retention window, or start a fresh feed dir (its base " +
             "will be the then-current snapshot).")
       else None
+    // deltas at or below the rebase floor were compacted away — never
+    // re-publish them (a compacted outbox must not re-grow)
+    val floor = rebasedAt.getOrElse(0L)
     val deltas = vs.sliding(2).flatMap {
-      case Seq(a, b) =>
+      case Seq(a, b) if b > floor =>
         publish(b)(changesBetween(spark, path, a, b, extraKey))
       case _ => None
     }

@@ -1144,6 +1144,70 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("pruned"), e.getMessage)
   }
 
+  test("publishChangeFeed respects a compacted outbox: retention deeper " +
+    "than outbox_keep never resurrects pruned partitions, and the " +
+    "producer keeps publishing after the oldest retained version's own " +
+    "partition was deliberately rebased away (the retention-4/keep-1 " +
+    "sixth-run shape that used to throw the gap error)") {
+    import spark.implicits._
+    val path = tmpTarget()
+    val feed = tmpTarget() + "-feed"
+    def batchIds(): Seq[Long] = Option(new File(feed).listFiles())
+      .getOrElse(Array.empty).toSeq.map(_.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    BucketedMergeSink.merge(spark, seed(3), path, "upsert", Seq("id"),
+      numBuckets = 4, retainVersions = 4) // v1
+    BucketedMergeSink.publishChangeFeed(spark, path, feed): Unit // base @1
+    BucketedMergeSink.compactOutboxKeep(spark, feed, 1, numBuckets = 4): Unit
+    assert(batchIds() == Seq(1L))
+    // six Runner-shaped cycles: catch-up BEFORE load, load, catch-up
+    // AFTER, outbox_keep 1 compaction. Retention (4) stays deeper than
+    // keep (1) the whole time, so versions BELOW the rebase point are
+    // always retained — publish must treat the marked base as the
+    // floor, not as a hole to refill or a gap to die on.
+    (2L to 6L).foreach { i =>
+      val pre = BucketedMergeSink.publishChangeFeed(spark, path, feed)
+      assert(pre.isEmpty,
+        s"run $i: the before-load catch-up resurrected $pre — a " +
+          "compacted outbox must not re-grow")
+      assert(batchIds() == Seq(i - 1),
+        s"run $i: outbox re-grew to ${batchIds()}")
+      BucketedMergeSink.merge(spark,
+        Seq((100L + i, s"n$i", i * 10)).toDF("id", "name", "v"),
+        path, "upsert", Seq("id")) // v_i
+      assert(BucketedMergeSink.publishChangeFeed(spark, path, feed)
+        == Seq(i), s"run $i publishes exactly its own delta")
+      BucketedMergeSink.compactOutboxKeep(spark, feed, 1, numBuckets = 4): Unit
+      assert(batchIds() == Seq(i) &&
+        new File(new File(feed, s"batch_id=$i"), "_base").exists(),
+        s"run $i: keep=1 leaves exactly the rebased head")
+    }
+    // the compacted outbox still serves a fresh consumer
+    val rep = tmpTarget() + "-rep"
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, rep, numBuckets = 4)
+      == Seq(6L))
+    assert(BucketedMergeSink.read(spark, rep)
+        .as[(Long, String, Long)].collect().toSet ==
+      BucketedMergeSink.read(spark, path)
+        .as[(Long, String, Long)].collect().toSet)
+    // a TRUE gap still refuses loudly — the floor logic must not have
+    // widened the silent path. Hand-prune OUTSIDE compactOutbox: one
+    // more load + publish gives {6(base), 7}; stripping 6 (and 7's lack
+    // of a base marker) leaves the oldest existing partition an
+    // unmarked delta while the oldest retained version's partition is
+    // missing and its predecessor GC'd — unreconstructable.
+    BucketedMergeSink.merge(spark,
+      Seq((200L, "x", 1L)).toDF("id", "name", "v"),
+      path, "upsert", Seq("id")) // v7; retention 4 keeps {4,5,6,7}
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) == Seq(7L))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new File(feed, "batch_id=6"))
+    val e = intercept[IllegalStateException](
+      BucketedMergeSink.publishChangeFeed(spark, path, feed))
+    assert(e.getMessage.contains("can never produce"), e.getMessage)
+  }
+
   test("compactOutbox: a crash between the swap's delete and rename " +
     "heals on re-run; consumers meanwhile refuse the visible gap loudly") {
     import spark.implicits._
