@@ -918,6 +918,26 @@ object BucketedMergeSink {
   private def consumersDir(feedPath: String): Path =
     new Path(feedPath.stripSuffix("/") + ".consumers")
 
+  /** Deregister a consumer from the outbox at `feedPath`: drop its
+    * cursor marker so [[compactOutboxKeep]] stops clamping the rebase to
+    * it. The operational release valve for the registration contract — a
+    * replica that is decommissioned (or dead and not coming back) would
+    * otherwise hold log-compaction back FOREVER and the outbox would
+    * grow one partition per version, unbounded. Deliberately explicit
+    * rather than a staleness timeout: only an operator knows whether a
+    * silent consumer is gone or just slow, and guessing wrong rebases a
+    * live replica into a forced rebuild. Idempotent; returns whether a
+    * registration existed. The replica's own `.applied` cursor is
+    * untouched — re-registering later (its next `subscribeFeed` with the
+    * same `consumerName`) resumes from wherever it actually is, subject
+    * to the normal pruned-outbox refusal. */
+  def unregisterConsumer(
+      spark: SparkSession, feedPath: String, name: String): Boolean = {
+    require(name.nonEmpty, "unregisterConsumer needs a consumer name")
+    val fs = fsOf(spark, feedPath)
+    fs.delete(new Path(consumersDir(feedPath), name), true)
+  }
+
   /** Publish an all-inserts BASE partition atomically: write into a
     * staged sibling dir (`writeStaged` receives its path), stamp the
     * [[baseMarker]] there, then rename over `partDir` — partition

@@ -1401,6 +1401,39 @@ class BucketedMergeSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(BucketedMergeSink.compactOutboxKeep(spark, feed, keep = 2) ==
       Seq(3L))
     assert(new File(new File(feed, "batch_id=4"), "_base").exists())
+    // a DEAD registered consumer would hold compaction back FOREVER
+    // (the outbox grows one partition per version, unbounded) —
+    // unregisterConsumer is the explicit operational release valve
+    val ghost = tmpTarget() + "-ghost"
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, ghost, numBuckets = 4,
+      upTo = 4L, consumerName = "ghost") == Seq(4L)) // parks at 4, dies
+    for (i <- 11 to 12) // v6, v7
+      BucketedMergeSink.merge(spark,
+        Seq((i.toLong, s"n$i", i * 10L)).toDF("id", "name", "v"),
+        path, "upsert", Seq("id"))
+    assert(BucketedMergeSink.publishChangeFeed(spark, path, feed) ==
+      Seq(6L, 7L))
+    // batches {4(base),5,6,7}: keep=2 wants 6, ghost clamps to 5
+    assert(BucketedMergeSink.compactOutboxKeep(spark, feed, keep = 2) ==
+      Seq(4L))
+    assert(new File(new File(feed, "batch_id=5"), "_base").exists())
+    // and holds there as long as ghost stays registered
+    assert(BucketedMergeSink.compactOutboxKeep(spark, feed, keep = 2).isEmpty)
+    assert(BucketedMergeSink.unregisterConsumer(spark, feed, "ghost"))
+    assert(!BucketedMergeSink.unregisterConsumer(spark, feed, "ghost"),
+      "idempotent: second deregistration reports nothing existed")
+    // released: the laggiest REGISTERED cursor is now lagger at 5
+    assert(BucketedMergeSink.compactOutboxKeep(spark, feed, keep = 2) ==
+      Seq(5L))
+    assert(new File(new File(feed, "batch_id=6"), "_base").exists())
+    // lagger (cursor 5) applies the rebased base as a full replacement
+    // and converges — deregistering ghost stranded only ghost
+    assert(BucketedMergeSink.subscribeFeed(spark, feed, lag, numBuckets = 4,
+      consumerName = "lagger") == Seq(6L, 7L))
+    assert(BucketedMergeSink.read(spark, lag)
+        .as[(Long, String, Long)].collect().toSet ==
+      BucketedMergeSink.read(spark, path)
+        .as[(Long, String, Long)].collect().toSet)
     // an UNREGISTERED consumer keeps today's semantics: a fresh outbox
     // rebases past its unrecorded cursor and it refuses loudly
     val path2 = tmpTarget()
