@@ -870,6 +870,35 @@ object QueriesLlm {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- heavy hitters (mergeable Misra-Gries, Agarwal et al. 2012)
+    //    audited against exact token counts: (a) every item the sketch
+    //    carries must estimate inside the MG band [true - n/(cap+1),
+    //    true]; (b) every token with true count > n/(cap+1) must be
+    //    PRESENT. Both invariants hold under ANY merge order — the raw
+    //    map does not, which is exactly why the battery pins the
+    //    invariants, never the tail. Violations = empty relation.
+    "q128_heavy_hitters_audit" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(
+        explode(split(Dedup.normalize(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val cap = 64
+      val sk = TextAnalysis.heavyHitters(toks, col("tok"), cap)
+        .withColumnRenamed("item", "tok")
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = broadcast(toks.agg(count(lit(1)).as("n")))
+      exact.join(sk, Seq("tok"), "full").crossJoin(tot)
+        .filter(
+          (col("est").isNotNull && (col("cnt").isNull ||
+            col("est") > col("cnt") ||
+            (col("cnt") - col("est")).cast("double") >
+              col("n") / lit(cap + 1.0))) ||
+          (col("est").isNull &&
+            col("cnt").cast("double") > col("n") / lit(cap + 1.0)))
+        .select(col("tok"), lit("hh_violation").as("violation"))
+        .orderBy("tok")
+    }),
+
     // q42/q52/q49/q53 recall vs their exact siblings: the audits above
     // pin precision; this one pins RECALL floors (violation rows only,
     // empty oracle — a band/bit/probe mis-tune that silently loses
@@ -1379,6 +1408,10 @@ object QueriesLlm {
     "q111_semdedup_audit" -> noViolations("id_a", "id_b"),
     "q114_incremental_minhash" -> noViolations("id_a", "id_b"),
     "q115_incremental_embed" -> noViolations("id_a", "id_b"),
+    "q128_heavy_hitters_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS tok,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
     "q118_incremental_semantic" -> noViolations("id_a", "id_b"),
     "q117_quantile_gate" ->
       """WITH c AS (

@@ -23,6 +23,28 @@ object TextAnalysis {
   val bpeishPattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeishCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
 
+  /** Corpus-wide heavy hitters over the normalized token stream — "the
+    * most frequent tokens across 100 TB" as ONE bounded-memory sketch
+    * aggregate ([[graft.functions.FrequentItemsAggregator]], mergeable
+    * Misra–Gries): each executor partial holds at most ~2×capacity
+    * counters, the exchange carries one ≤capacity-entry map per
+    * partition, so the cost is a narrow scan + a constant-size shuffle
+    * where an exact groupBy would shuffle every distinct token. Returns
+    * `(item, est)` rows — at most `capacity` of them. The contract is
+    * the audited MG guarantee (q128): every token with true count
+    * > n/(capacity+1) is present, and `true - n/(capacity+1) <= est <=
+    * true`; which SUB-threshold tokens survive depends on merge order,
+    * so never consume the raw tail. Swap `itemExpr` to profile domains,
+    * URLs, languages — anything string-valued. */
+  def heavyHitters(
+      df: DataFrame,
+      itemExpr: Column,
+      capacity: Int): DataFrame =
+    df.select(itemExpr.cast("string").as("item"))
+      .agg(graft.functions.FrequentItems
+        .freqItems(col("item"), capacity).as("sk"))
+      .select(explode(col("sk")).as(Seq("item", "est")))
+
   /** Language marker lists (tiny stopword sets). Deterministic heuristic:
     * score = number of token occurrences in each language's marker list;
     * prediction = argmax with fixed tie order en > es > de > fr, 'und' when

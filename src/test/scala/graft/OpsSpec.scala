@@ -903,6 +903,36 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
         .orderBy("id_a", "id_b"))
   }
 
+  test("heavyHitters (mergeable Misra-Gries): exact when capacity covers " +
+    "the distinct items; the presence + two-sided-band invariants hold " +
+    "under different partitionings when it must forget") {
+    val rows = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++
+      Seq.fill(3)("c") ++ Seq.fill(2)("d") ++ Seq[String](null))
+    def hh(cap: Int, parts: Int): Map[String, Long] =
+      TextAnalysis.heavyHitters(
+        rows.toDF("item").repartition(parts), col("item"), cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity >= distinct: every count exact, nulls ignored, any split
+    for (parts <- Seq(1, 7))
+      assert(hh(16, parts) ==
+        Map("a" -> 30L, "b" -> 20L, "c" -> 3L, "d" -> 2L))
+    // capacity 2 over the same 55 non-null items: threshold n/(cap+1) =
+    // 55/3 ≈ 18.3 — 'a' (30) and 'b' (20) are GUARANTEED present with
+    // estimates inside [true - 18.3, true]; which of c/d survive (if
+    // any) is merge-order-dependent and deliberately unasserted
+    val exact = Map("a" -> 30L, "b" -> 20L, "c" -> 3L, "d" -> 2L)
+    for (parts <- Seq(1, 5, 11)) {
+      val m = hh(2, parts)
+      assert(m.size <= 2)
+      assert(m.contains("a") && m.contains("b"),
+        s"guaranteed-heavy items missing at parts=$parts: $m")
+      m.foreach { case (k, est) =>
+        assert(est <= exact(k) && exact(k) - est <= 55.0 / 3,
+          s"$k estimated $est outside the MG band (true ${exact(k)})")
+      }
+    }
+  }
+
   test("resolveProbes: AUTO (0) scales the probe width with log2(nlist) " +
     "so the probed-cell coverage no longer decays linearly with corpus " +
     "growth; explicit widths pass through untouched") {
