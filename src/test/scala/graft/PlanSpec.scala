@@ -384,6 +384,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q128: the heavy-hitters sketch partial-aggregates below the " +
+    "exchange — the shuffle carries capacity-bounded map buffers, " +
+    "never the token stream") {
+    val p = plan("q128_heavy_hitters_audit")
+    // the typed aggregator plans as ObjectHashAggregate with a partial
+    // stage per partition; a SortAggregate (no map-side combine for the
+    // object buffer) or a missing partial stage would ship every token
+    // row through the exchange and the 100 TB claim dies
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate for the typed MG buffer:\n$p")
+    assert(p.contains("partial_frequentitemsaggregator") ||
+      p.contains("partial_FrequentItemsAggregator"),
+      s"expected a PARTIAL sketch stage below the exchange:\n$p")
+  }
+
   test("q123: the 2-dim range predicate reaches the z-ordered parquet " +
     "scan — pushdown is what turns tight file stats into skipped IO") {
     val p = plan("q123_zorder_scan")
