@@ -737,6 +737,64 @@ object QueriesRelational {
         .filter(abs(col("approx_orders") - col("exact_orders")) >
           col("exact_orders") * lit(0.15))
         .orderBy("l_returnflag")
+    }),
+
+    // -- PERSISTED-SKETCH ROLLUP (the 100 TB pre-aggregation pattern):
+    //    per-(flag, ship-day) HLL sketches are materialized once — the
+    //    stored binary datasketches column a warehouse keeps per
+    //    partition — and any distinct-count query over a flag UNIONS the
+    //    stored sketches (hll_union_agg) instead of rescanning raw rows.
+    //    Audit: the rolled-up estimate must equal the direct one-pass
+    //    sketch of the same rows (HLL registers are max-merged, so the
+    //    union of day-slices IS the sketch of the union — Spark 4's
+    //    datasketches HLL is deterministic) and both must sit within 5%
+    //    of the exact distinct count. Violations empty; localCheckpoint
+    //    stands in for the parquet round-trip of the sketch column.
+    "q129_hll_rollup" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val daily = li.groupBy(col("l_returnflag"), col("l_shipdate"))
+        .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+        .localCheckpoint(true) // materialized: the stored sketch table
+      val rolled = daily.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_rollup"))
+      val direct = li.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))")
+          .as("est_direct"),
+          countDistinct(col("l_orderkey")).as("exact"))
+      rolled.join(direct, "l_returnflag")
+        // rollup-vs-direct pinned to 0.1% (register-level the union is
+        // exact; the hair of slack covers the union gadget's HLL_8
+        // internal target re-estimating an HLL_4 input), accuracy to 5%
+        .filter(
+          abs(col("est_rollup") - col("est_direct")) >
+            col("est_direct") * lit(0.001) ||
+          abs(col("est_direct") - col("exact")) > col("exact") * lit(0.05))
+        .select(col("l_returnflag"), lit("hll_rollup_violation").as("violation"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- VARIANT semi-structured access (Spark 4): a nested JSON doc is
+    //    parsed ONCE into the binary VARIANT encoding and fields come out
+    //    via typed variant_get paths — the lakehouse replacement for
+    //    per-field get_json_object re-parsing. Pins the parse → typed
+    //    extraction round-trip (bigint/string/int/double), a NESTED
+    //    path, and missing-path null semantics against an oracle that
+    //    reads the same values straight from the source columns.
+    "q130_variant_events" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val doc = to_json(struct(
+        struct(col("user_id").as("id"), col("event_type").as("kind"))
+          .as("user"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value").as("v")))
+      ev.select(col("event_id"), parse_json(doc).as("var"))
+        .select(col("event_id"),
+          expr("variant_get(var, '$.user.id', 'bigint')").as("uid"),
+          expr("variant_get(var, '$.user.kind', 'string')").as("kind"),
+          expr("variant_get(var, '$.k', 'int')").as("k"),
+          round(expr("variant_get(var, '$.v', 'double')"), 4).as("v"),
+          expr("variant_get(var, '$.missing', 'string')").as("absent"))
+        .orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -758,6 +816,15 @@ object QueriesRelational {
         |  CAST(NULL AS BIGINT) AS approx_orders,
         |  CAST(NULL AS BIGINT) AS exact_orders
         |WHERE false""".stripMargin,
+    "q129_hll_rollup" ->
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q130_variant_events" ->
+      """SELECT event_id, user_id AS uid, event_type AS kind,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  round(value, 4) AS v, CAST(NULL AS VARCHAR) AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
     "q65_approx_pct_audit" ->
       """SELECT CAST(NULL AS VARCHAR) AS o_orderstatus,
         |  CAST(NULL AS VARCHAR) AS violation
