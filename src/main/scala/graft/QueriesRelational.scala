@@ -744,17 +744,22 @@ object QueriesRelational {
     //    stored binary datasketches column a warehouse keeps per
     //    partition — and any distinct-count query over a flag UNIONS the
     //    stored sketches (hll_union_agg) instead of rescanning raw rows.
-    //    Audit: the rolled-up estimate must equal the direct one-pass
-    //    sketch of the same rows (HLL registers are max-merged, so the
-    //    union of day-slices IS the sketch of the union — Spark 4's
-    //    datasketches HLL is deterministic) and both must sit within 5%
-    //    of the exact distinct count. Violations empty; localCheckpoint
-    //    stands in for the parquet round-trip of the sketch column.
+    //    Audit: the rolled-up estimate must meet the SAME accuracy bar
+    //    as the direct one-pass sketch — within 5% of the exact distinct
+    //    count — plus a 3% drift band between rollup and direct. The
+    //    union is NOT register-exact: tiny per-day sketches stay in
+    //    sparse/coupon mode and the union gadget promotes them through
+    //    an HLL_8 internal target before re-estimating, so rollup and
+    //    direct genuinely diverge ~1% (measured 0.96–1.08% at sf0.01).
+    //    The daily sketch table goes through a REAL parquet write/read
+    //    (BinaryType sketch column), pinning the warehouse round-trip.
     "q129_hll_rollup" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
-      val daily = li.groupBy(col("l_returnflag"), col("l_shipdate"))
+      val skPath = Tables.scratchPath("graft-hllsk", dir)
+      li.groupBy(col("l_returnflag"), col("l_shipdate"))
         .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
-        .localCheckpoint(true) // materialized: the stored sketch table
+        .write.mode("overwrite").parquet(skPath) // the stored sketch table
+      val daily = s.read.parquet(skPath)
       val rolled = daily.groupBy("l_returnflag")
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_rollup"))
       val direct = li.groupBy("l_returnflag")
@@ -762,12 +767,13 @@ object QueriesRelational {
           .as("est_direct"),
           countDistinct(col("l_orderkey")).as("exact"))
       rolled.join(direct, "l_returnflag")
-        // rollup-vs-direct pinned to 0.1% (register-level the union is
-        // exact; the hair of slack covers the union gadget's HLL_8
-        // internal target re-estimating an HLL_4 input), accuracy to 5%
+        // rollup accuracy pinned to the 5%-of-exact bar the direct
+        // sketch already meets; 3% rollup-vs-direct band detects union
+        // drift regressions without asserting register-exactness
         .filter(
+          abs(col("est_rollup") - col("exact")) > col("exact") * lit(0.05) ||
           abs(col("est_rollup") - col("est_direct")) >
-            col("est_direct") * lit(0.001) ||
+            col("est_direct") * lit(0.03) ||
           abs(col("est_direct") - col("exact")) > col("exact") * lit(0.05))
         .select(col("l_returnflag"), lit("hll_rollup_violation").as("violation"))
         .orderBy("l_returnflag")
