@@ -845,7 +845,7 @@ object Similarity {
       nlist: Int = 0,
       iters: Int = 3,
       trainPerCell: Int = 256,
-      probeCells: Int = 1,
+      probeCells: Int = 0, // 0 = AUTO (resolveProbes) — must match query side
       idCol: String = "vec_id",
       vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val cents = trainCentroids(df, nlist, iters, trainPerCell, idCol, vecCol)
@@ -864,7 +864,7 @@ object Similarity {
   def assignBatchCells(
       batch: DataFrame,
       centroids: DataFrame,
-      probeCells: Int = 1,
+      probeCells: Int = 0, // 0 = AUTO (resolveProbes) — must match query side
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     assignCells(batch, collectCentroids(centroids), probeCells, idCol, vecCol)

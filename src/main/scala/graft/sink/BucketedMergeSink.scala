@@ -594,7 +594,10 @@ object BucketedMergeSink {
       nlist: Int = 0,
       iters: Int = 3,
       trainPerCell: Int = 256,
-      probeCells: Int = 1): Seq[Long] = {
+      // 0 = AUTO (Similarity.resolveProbes): the SAME default the
+      // query-side entry points resolve, so an index built and queried
+      // on defaults has one probe width on both sides of the index join
+      probeCells: Int = 0): Seq[Long] = {
     val centsPath = indexPath.stripSuffix("/") + ".centroids"
     syncIndexCore(spark, path, indexPath, "semantic index", vecCol,
       bootstrap = (df, id) => {

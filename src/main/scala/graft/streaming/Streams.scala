@@ -459,7 +459,9 @@ object Streams {
       nlist: Int = 0,
       iters: Int = 3,
       trainPerCell: Int = 256,
-      probeCells: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      // 0 = AUTO — the query-side default, so streaming-built indexes
+      // resolve the same probe width their readers do
+      probeCells: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     indexedMergeStream(stream, path, key, loadType, excluded, numBuckets,
       retainVersions, family = "semantic", (spark: SparkSession) =>
         graft.sink.BucketedMergeSink.syncSemanticIndex(
