@@ -62,6 +62,19 @@ object GraftFunctions {
       WordGramMinHash(args(0),
         litInt("word_gram_minhash", "k", args(1)),
         litInt("word_gram_minhash", "numHashes", args(2)))
+    },
+    // aggregate, not scalar: the builder hands back the Aggregator's
+    // AggregateExpression (Complete mode pre-planning — the planner
+    // still splits partial/final, PlanSpec pins the partial below the
+    // exchange), so `SELECT freq_items(tok, 256) ... GROUP BY` works
+    // like any built-in agg. capacity parameterizes the sketch bound
+    // itself, hence the literal contract.
+    "freq_items" -> { args =>
+      arity("freq_items", 2, args)
+      val cap = litInt("freq_items", "capacity", args(1))
+      GraftSqlBridge.udafExpression(
+        new FrequentItemsAggregator(cap),
+        org.apache.spark.sql.Encoders.STRING, Seq(args(0)))
     })
 
   /** Register every kernel on a live session (temp functions, session

@@ -34,6 +34,30 @@ object GraftSqlBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** A typed `Aggregator` as a Catalyst aggregate expression — what a
+    * FunctionRegistry builder must return for a SQL-callable UDAF. The
+    * public `functions.udaf(...).apply(col)` wraps the call in a lazy
+    * ColumnNode that only the Column → plan converter unrolls; inside a
+    * registry builder that wrapper survives analysis unconverted and
+    * the deserializer check fails, so the `ScalaAggregator` (sql-
+    * private) is built directly here. Encoders resolve later via
+    * Spark's own `ResolveEncodersInScalaAgg` analyzer rule. */
+  def udafExpression[IN, BUF, OUT](
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT],
+      inputEncoder: Encoder[IN],
+      children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
+    def toExpr[T](e: Encoder[T]): ExpressionEncoder[T] = e match {
+      case ee: ExpressionEncoder[T @unchecked] => ee
+      case ae: AgnosticEncoder[T @unchecked] => ExpressionEncoder(ae)
+      case other => throw new IllegalArgumentException(
+        s"unsupported encoder ${other.getClass.getName}")
+    }
+    new execution.aggregate.ScalaAggregator(
+      children, agg, toExpr(inputEncoder), toExpr(agg.bufferEncoder))
+      .toAggregateExpression()
+  }
+
   /** Block until the listener bus has delivered all queued events.
     * Task-metric gauges read by listeners (Runner's memory gauge) are
     * delivered asynchronously; without a drain a metrics read races the

@@ -71,6 +71,36 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("INTEGER literal"))
   }
 
+  test("freq_items through spark.sql matches the Column-API twin and " +
+    "keeps the MG bounds") {
+    GraftFunctions.register(spark)
+    val toks = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(9)("c") ++
+      (1 to 26).map(i => s"t$i")
+    // one partition → one deterministic reduce chain, so SQL and Column
+    // twins must be map-identical (multi-partition runs only promise
+    // the audited invariants — see FrequentItemsAggregator scaladoc)
+    toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok").repartition(1).createOrReplaceTempView("gf_toks")
+    val viaSql = spark.sql(
+      "SELECT freq_items(tok, 4) AS sketch FROM gf_toks")
+      .as[Map[String, Long]].head()
+    val viaCol = spark.table("gf_toks")
+      .agg(graft.functions.FrequentItems.freqItems(col("tok"), 4).as("sketch"))
+      .as[Map[String, Long]].head()
+    assert(viaSql == viaCol, "SQL surface must be the same aggregator")
+    // invariants regardless of partitioning: n/(cap+1) = 100/5 = 20, so
+    // a (40) and b (25) are guaranteed present with e in [t - 20, t]
+    assert(viaSql.contains("a") && viaSql.contains("b"))
+    assert(viaSql("a") <= 40 && viaSql("a") >= 20)
+    assert(viaSql("b") <= 25 && viaSql("b") >= 5)
+    assert(viaSql.size <= 4, "summary never exceeds capacity")
+    val e = intercept[Exception] {
+      spark.sql("SELECT freq_items(tok, CAST(rand() * 8 AS INT)) FROM gf_toks")
+        .collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+  }
+
   test("GraftSession.builder: configured session has kernels and the scale knobs") {
     val shared = spark
     SparkSession.clearActiveSession()
