@@ -492,7 +492,11 @@ object QueriesEngine {
     //    batch split and the DuckDB oracle re-derives it from the source
     //    relation alone. The pre-attach rows reach the replica ONLY via
     //    the marked base partition — losing it drops a third of the
-    //    rows and the hash goes red.
+    //    rows and the hash goes red. 4 buckets (not the battery's usual
+    //    8): the chain replays ~3% slices whose cost is pure task
+    //    overhead × bucket count — the clamp/replay semantics are
+    //    bucket-count-independent, so the harness runs at the smaller
+    //    width (same for q126).
     "q125_stream_cdc_chain" -> ((s, dir) => {
       val tmp = Tables.scratchPath("graft-streamcdc", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
@@ -503,7 +507,7 @@ object QueriesEngine {
       graft.sink.BucketedMergeSink.merge(s,
         orders.filter(col("o_orderkey") % 100 === 2),
         s"$tmp/target", "upsert", Seq("o_orderkey"),
-        identifier = "o_orderkey", numBuckets = 8)
+        identifier = "o_orderkey", numBuckets = 4)
       // two single-file "arrivals" → two micro-batches
       def arrive(slice: Int, i: Int): Unit = {
         val stage = s"$tmp/stage$i"
@@ -523,12 +527,12 @@ object QueriesEngine {
         .parquet(s"$tmp/src")
       val prod = graft.streaming.Streams.streamingMergeWithFeed(
         stream, s"$tmp/target", s"$tmp/feed", Seq("o_orderkey"),
-        numBuckets = 8)
+        numBuckets = 4)
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       try prod.processAllAvailable() finally prod.stop()
       val cons = graft.streaming.Streams.subscribeFeedStream(
-        s, s"$tmp/feed", s"$tmp/replica", Seq("o_orderkey"), numBuckets = 8)
+        s, s"$tmp/feed", s"$tmp/replica", Seq("o_orderkey"), numBuckets = 4)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/cck")
         .start()
@@ -562,7 +566,7 @@ object QueriesEngine {
           |    target_table: q126_orders
           |    type: upsert
           |    key: [o_orderkey]
-          |    buckets: 8
+          |    buckets: 4
           |    retain_versions: 2
           |    change_feed: q126_outbox
           |    outbox_keep: 1
@@ -571,7 +575,7 @@ object QueriesEngine {
           |    consumer_name: replica1
           |    target_table: q126_replica
           |    key: [o_orderkey]
-          |    buckets: 8
+          |    buckets: 4
           |""".stripMargin
       val tmp = Tables.scratchPath("graft-runclamp", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
