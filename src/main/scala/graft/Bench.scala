@@ -538,7 +538,11 @@ object Bench {
       "(contiguous split re-deals per added entry); cross-round operator " +
       "cost lives in work_isolated cpu_s — r11->r12 q85/q115 in-battery " +
       "growth had identical work shapes and flat isolated cpu (29.1->29.1, " +
-      "83.7->87.8): co-tenancy+era, not plan\""
+      "83.7->87.8): co-tenancy+era, not plan. " +
+      "BENCH_2026-08-15_r14_run1.json is the designated CALM-ERA ANCHOR " +
+      "for r13->r14 deltas (r13's driver capture ran ~3-5x task-CPU " +
+      "inflated at load1 15.6 with byte-identical work shapes; compare " +
+      "against the anchor, not that capture)\""
     val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
       s""""passes":$passes,"isolated":$iso,"work":${workJson(workByName)},""" +
       s""""work_isolated":${workJson(isolatedWork)},"host":$hostJson,""" +
