@@ -90,6 +90,34 @@ object QueriesLlm {
     }
   }
 
+  /** The normalized token stream the heavy-hitter audits profile. */
+  private def normalizedTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(Dedup.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** The two Misra–Gries invariants as a violations relation (empty =
+    * green), shared by q128 (Column API) and q131 (SQL surface). `sk`
+    * carries (tok, est); for every token with true count `t` over `n`
+    * inputs: carried estimates sit in [t - n/(cap+1), t], and every
+    * token with t > n/(cap+1) must be present. Holds under ANY merge
+    * order — the raw map does not, which is exactly why the battery
+    * pins the invariants, never the tail. */
+  private def mgAudit(toks: DataFrame, sk: DataFrame, cap: Int): DataFrame = {
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(toks.agg(count(lit(1)).as("n")))
+    exact.join(sk, Seq("tok"), "full").crossJoin(tot)
+      .filter(
+        (col("est").isNotNull && (col("cnt").isNull ||
+          col("est") > col("cnt") ||
+          (col("cnt") - col("est")).cast("double") >
+            col("n") / lit(cap + 1.0))) ||
+        (col("est").isNull &&
+          col("cnt").cast("double") > col("n") / lit(cap + 1.0)))
+      .select(col("tok"), lit("hh_violation").as("violation"))
+      .orderBy("tok")
+  }
+
   /** Shared ANN-vs-exact audit (q60/q61): emits rank-dominance and
     * score-recomputation violations — both empty for a correct index. */
   private def annAudit(
@@ -878,25 +906,30 @@ object QueriesLlm {
     //    map does not, which is exactly why the battery pins the
     //    invariants, never the tail. Violations = empty relation.
     "q128_heavy_hitters_audit" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val toks = docs.select(
-        explode(split(Dedup.normalize(col("text")), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
+      val toks = normalizedTokens(s, dir)
       val cap = 64
-      val sk = TextAnalysis.heavyHitters(toks, col("tok"), cap)
-        .withColumnRenamed("item", "tok")
-      val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val tot = broadcast(toks.agg(count(lit(1)).as("n")))
-      exact.join(sk, Seq("tok"), "full").crossJoin(tot)
-        .filter(
-          (col("est").isNotNull && (col("cnt").isNull ||
-            col("est") > col("cnt") ||
-            (col("cnt") - col("est")).cast("double") >
-              col("n") / lit(cap + 1.0))) ||
-          (col("est").isNull &&
-            col("cnt").cast("double") > col("n") / lit(cap + 1.0)))
-        .select(col("tok"), lit("hh_violation").as("violation"))
-        .orderBy("tok")
+      mgAudit(toks,
+        TextAnalysis.heavyHitters(toks, col("tok"), cap)
+          .withColumnRenamed("item", "tok"), cap)
+    }),
+
+    // -- q128's MG invariants driven through the SQL SURFACE instead of
+    //    the Column API (GraftFunctions "freq_items" — the registry
+    //    bridge that plans a typed Aggregator as a SQL-callable
+    //    aggregate), at a tighter capacity (32) so the batched trim
+    //    fires harder on the same corpus. Pins end-to-end that a
+    //    pipeline author can put `freq_items(tok, 32)` in an
+    //    extract_query and get the audited sketch — not only a Scala
+    //    caller. Same audited band; violations = empty relation.
+    "q131_freq_items_sql" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = normalizedTokens(s, dir)
+      toks.createOrReplaceTempView("q131_toks")
+      val cap = 32
+      val sk = s.sql(
+        s"""SELECT explode(sk) AS (tok, est)
+           |FROM (SELECT freq_items(tok, $cap) AS sk FROM q131_toks)""".stripMargin)
+      mgAudit(toks, sk, cap)
     }),
 
     // q42/q52/q49/q53 recall vs their exact siblings: the audits above
@@ -1409,6 +1442,10 @@ object QueriesLlm {
     "q114_incremental_minhash" -> noViolations("id_a", "id_b"),
     "q115_incremental_embed" -> noViolations("id_a", "id_b"),
     "q128_heavy_hitters_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS tok,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q131_freq_items_sql" ->
       """SELECT CAST(NULL AS VARCHAR) AS tok,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,

@@ -72,6 +72,20 @@ class TablesSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(raw, norm)
   }
 
+  test("load caches the analyzed plan per (session, dir, table); a " +
+    "different session gets its own entry with identical rows") {
+    assume(haveTestdata, s"driver testdata absent at $sfDir — regenerated per round")
+    val a = Tables.load(spark, sfDir, "region")
+    val b = Tables.load(spark, sfDir, "region")
+    // reference equality IS the contract: the second load pays zero
+    // driver-side file-listing/schema-inference work
+    assert(a eq b, "repeat load in one session must return the cached plan")
+    val s2 = spark.newSession()
+    val c = Tables.load(s2, sfDir, "region")
+    assert(c ne a, "a distinct session must re-infer (fresh conf, fresh catalog)")
+    assertSameRows(a.orderBy("r_regionkey"), c.orderBy("r_regionkey"))
+  }
+
   test("as-of time-bucketing accepts TimestampNTZType and matches the unbucketed result") {
     import spark.implicits._
     val left = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"),
