@@ -297,7 +297,7 @@ object QueriesEngine {
           |    target_table: q116_docs
           |    type: upsert
           |    key: [doc_id]
-          |    buckets: 8
+          |    buckets: 4
           |    retain_versions: 2
           |    minhash_index: q116_minhash
           |""".stripMargin
@@ -369,7 +369,7 @@ object QueriesEngine {
           |    target_table: q120_vecs
           |    type: upsert
           |    key: [vec_id]
-          |    buckets: 8
+          |    buckets: 4
           |    retain_versions: 2
           |    lsh_index: q120_lsh
           |""".stripMargin
@@ -412,7 +412,7 @@ object QueriesEngine {
           |    target_table: q121_vecs
           |    type: upsert
           |    key: [vec_id]
-          |    buckets: 8
+          |    buckets: 4
           |    retain_versions: 2
           |    semantic_index: q121_cells
           |""".stripMargin
@@ -461,7 +461,7 @@ object QueriesEngine {
           |    target_table: q122_orders
           |    type: upsert
           |    key: [o_orderkey]
-          |    buckets: 8
+          |    buckets: 4
           |    retain_versions: 3
           |    change_feed: q122_outbox
           |    outbox_keep: 3
@@ -470,7 +470,7 @@ object QueriesEngine {
           |    subscribe_feed: q122_outbox
           |    target_table: q122_replica
           |    key: [o_orderkey]
-          |    buckets: 8
+          |    buckets: 4
           |""".stripMargin
       val tmp = Tables.scratchPath("graft-runsf", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
@@ -496,7 +496,9 @@ object QueriesEngine {
     //    8): the chain replays ~3% slices whose cost is pure task
     //    overhead × bucket count — the clamp/replay semantics are
     //    bucket-count-independent, so the harness runs at the smaller
-    //    width (same for q126).
+    //    width (same for the other tiny-slice Runner chains: q116,
+    //    q120, q121, q122, q126; realistic widths stay pinned by q33
+    //    at 16, q83/q86/q89/q112/q119 at 8, q99 at 16).
     "q125_stream_cdc_chain" -> ((s, dir) => {
       val tmp = Tables.scratchPath("graft-streamcdc", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
