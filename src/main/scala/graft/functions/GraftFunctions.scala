@@ -72,9 +72,14 @@ object GraftFunctions {
     "freq_items" -> { args =>
       arity("freq_items", 2, args)
       val cap = litInt("freq_items", "capacity", args(1))
+      // any item type profiles as its string form (domains, keys,
+      // status codes...) — same contract as TextAnalysis.heavyHitters'
+      // cast("string"), so `freq_items(o_custkey, 64)` just works
+      val item = org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.StringType)
       GraftSqlBridge.udafExpression(
         new FrequentItemsAggregator(cap),
-        org.apache.spark.sql.Encoders.STRING, Seq(args(0)))
+        org.apache.spark.sql.Encoders.STRING, Seq(item))
     })
 
   /** Register every kernel on a live session (temp functions, session

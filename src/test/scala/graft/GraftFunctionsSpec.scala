@@ -94,6 +94,10 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql("a") <= 40 && viaSql("a") >= 20)
     assert(viaSql("b") <= 25 && viaSql("b") >= 5)
     assert(viaSql.size <= 4, "summary never exceeds capacity")
+    // non-string items cast through — profile a numeric column directly
+    val num = spark.sql("SELECT freq_items(id % 3, 4) AS sk FROM gf_toks")
+      .as[Map[String, Long]].head()
+    assert(num.keySet.subsetOf(Set("0", "1", "2")) && num.values.sum <= 100)
     val e = intercept[Exception] {
       spark.sql("SELECT freq_items(tok, CAST(rand() * 8 AS INT)) FROM gf_toks")
         .collect()
