@@ -932,6 +932,33 @@ object QueriesLlm {
       mgAudit(toks, sk, cap)
     }),
 
+    // -- persisted-sketch ROLLUP for heavy hitters (q129's warehouse
+    //    shape with OUR mergeable sketch): per-shard MG summaries are
+    //    stored through a REAL parquet round-trip (map<string,bigint>
+    //    column), then corpus-level heavy hitters come from
+    //    freq_items_merge over the stored maps — no raw re-scan. The
+    //    mergeable-summaries theorem says the rollup carries the SAME
+    //    [t - n/(cap+1), t] band over the whole corpus as a direct
+    //    one-pass sketch (unlike HLL's ~1% union re-estimation drift),
+    //    so the audit replays mgAudit unchanged against exact corpus
+    //    counts. Violations = empty relation.
+    "q132_mg_rollup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(pmod(col("doc_id"), lit(8)).as("shard"),
+        explode(split(Dedup.normalize(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val cap = 32
+      val skPath = Tables.scratchPath("graft-mgsk", dir)
+      toks.groupBy("shard")
+        .agg(graft.functions.FrequentItems.freqItems(col("tok"), cap).as("sk"))
+        .write.mode("overwrite").parquet(skPath) // the stored sketch table
+      val rolled = s.read.parquet(skPath)
+        .agg(graft.functions.FrequentItems
+          .freqItemsMerge(col("sk"), cap).as("sk"))
+        .select(explode(col("sk")).as(Seq("tok", "est")))
+      mgAudit(toks.select("tok"), rolled, cap)
+    }),
+
     // q42/q52/q49/q53 recall vs their exact siblings: the audits above
     // pin precision; this one pins RECALL floors (violation rows only,
     // empty oracle — a band/bit/probe mis-tune that silently loses
@@ -1446,6 +1473,10 @@ object QueriesLlm {
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q131_freq_items_sql" ->
+      """SELECT CAST(NULL AS VARCHAR) AS tok,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q132_mg_rollup" ->
       """SELECT CAST(NULL AS VARCHAR) AS tok,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,

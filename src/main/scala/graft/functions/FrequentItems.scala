@@ -37,18 +37,7 @@ import org.apache.spark.sql.expressions.Aggregator
 class FrequentItemsAggregator(capacity: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {
   require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-
-  /** Subtract the (capacity+1)-th largest count from everything and drop
-    * the non-positives — the mergeable-summaries trim. No-op while the
-    * map fits. */
-  private def trim(m: Map[String, Long]): Map[String, Long] =
-    if (m.size <= capacity) m
-    else {
-      val counts = m.values.toArray
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - capacity - 1) // (capacity+1)-th largest
-      m.collect { case (k, c) if c > sub => k -> (c - sub) }
-    }
+  import FrequentItems.{mgMerge, mgTrim}
 
   override def zero: Map[String, Long] = Map.empty
 
@@ -58,18 +47,47 @@ class FrequentItemsAggregator(capacity: Int)
     if (x == null) b
     else {
       val grown = b.updated(x, b.getOrElse(x, 0L) + 1L)
-      if (grown.size > 2 * capacity) trim(grown) else grown
+      if (grown.size > 2 * capacity) mgTrim(grown, capacity) else grown
     }
 
   override def merge(
-      a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val (small, big) = if (a.size < b.size) (a, b) else (b, a)
-    trim(small.foldLeft(big) { case (m, (k, c)) =>
-      m.updated(k, m.getOrElse(k, 0L) + c)
-    })
-  }
+      a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    mgMerge(a, b, capacity)
 
-  override def finish(r: Map[String, Long]): Map[String, Long] = trim(r)
+  override def finish(r: Map[String, Long]): Map[String, Long] =
+    mgTrim(r, capacity)
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
+}
+
+/** Roll up STORED Misra–Gries summaries (the `map<string,bigint>`
+  * column [[FrequentItemsAggregator]] emits) without rescanning raw
+  * rows — the persisted-sketch warehouse pattern (q129's HLL shape,
+  * for heavy hitters): keep one summary per partition/day/shard, and
+  * answer corpus-level "most frequent" queries by merging the stored
+  * maps. The mergeable-summaries theorem (Agarwal 2012 §3) is exactly
+  * that this loses nothing: a merge of per-substream summaries carries
+  * the SAME `t - n/(cap+1) <= e <= t` band over the concatenated
+  * stream as a direct one-pass summary — unlike q129's HLL union,
+  * which pays a ~1% re-estimation drift. Null inputs (empty groups)
+  * are identity. */
+class FrequentItemsMergeAggregator(capacity: Int)
+    extends Aggregator[
+      Map[String, Long], Map[String, Long], Map[String, Long]] {
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+  import FrequentItems.{mgMerge, mgTrim}
+
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(
+      b: Map[String, Long], x: Map[String, Long]): Map[String, Long] =
+    if (x == null) b else mgMerge(b, x, capacity)
+  override def merge(
+      a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    mgMerge(a, b, capacity)
+  override def finish(r: Map[String, Long]): Map[String, Long] =
+    mgTrim(r, capacity)
 
   override def bufferEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
@@ -77,11 +95,43 @@ class FrequentItemsAggregator(capacity: Int)
 }
 
 object FrequentItems {
+
+  /** Subtract the (capacity+1)-th largest count from everything and drop
+    * the non-positives — the mergeable-summaries trim. No-op while the
+    * map fits. */
+  private[functions] def mgTrim(
+      m: Map[String, Long], capacity: Int): Map[String, Long] =
+    if (m.size <= capacity) m
+    else {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - capacity - 1) // (capacity+1)-th largest
+      m.collect { case (k, c) if c > sub => k -> (c - sub) }
+    }
+
+  private[functions] def mgMerge(
+      a: Map[String, Long], b: Map[String, Long],
+      capacity: Int): Map[String, Long] = {
+    val (small, big) = if (a.size < b.size) (a, b) else (b, a)
+    mgTrim(small.foldLeft(big) { case (m, (k, c)) =>
+      m.updated(k, m.getOrElse(k, 0L) + c)
+    }, capacity)
+  }
+
   /** Untyped column form over a string column:
     * `df.agg(FrequentItems.freqItems(col("token"), 256).as("sketch"))`
     * yields one `map<string,bigint>` of at most `capacity` entries. */
   def freqItems(column: Column, capacity: Int): Column =
     org.apache.spark.sql.functions
       .udaf(new FrequentItemsAggregator(capacity), Encoders.STRING)
+      .apply(column)
+
+  /** Untyped column form of the summary rollup: aggregates a stored
+    * `map<string,bigint>` sketch column into one merged summary. */
+  def freqItemsMerge(column: Column, capacity: Int): Column =
+    org.apache.spark.sql.functions
+      .udaf(new FrequentItemsMergeAggregator(capacity),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Map[String, Long]]())
       .apply(column)
 }

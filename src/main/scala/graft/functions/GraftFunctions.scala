@@ -80,6 +80,17 @@ object GraftFunctions {
       GraftSqlBridge.udafExpression(
         new FrequentItemsAggregator(cap),
         org.apache.spark.sql.Encoders.STRING, Seq(item))
+    },
+    // rollup of STORED freq_items summaries (map<string,bigint>) — the
+    // persisted-sketch pattern's read side, lossless per the
+    // mergeable-summaries theorem (see FrequentItemsMergeAggregator)
+    "freq_items_merge" -> { args =>
+      arity("freq_items_merge", 2, args)
+      val cap = litInt("freq_items_merge", "capacity", args(1))
+      GraftSqlBridge.udafExpression(
+        new FrequentItemsMergeAggregator(cap),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Map[String, Long]](), Seq(args(0)))
     })
 
   /** Register every kernel on a live session (temp functions, session

@@ -105,6 +105,36 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("INTEGER literal"))
   }
 
+  test("freq_items_merge rolls up stored summaries with the MG bounds intact") {
+    GraftFunctions.register(spark)
+    val toks = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(9)("c") ++
+      (1 to 26).map(i => s"t$i")
+    toks.zipWithIndex.map { case (t, i) => (i % 8, t) }
+      .toDF("shard", "tok").createOrReplaceTempView("gfm_toks")
+    // warehouse shape: per-shard stored summaries, corpus answer from
+    // the rollup only — no raw re-scan in the outer query
+    val merged = spark.sql(
+      """SELECT freq_items_merge(sk, 4) AS sk FROM (
+        |  SELECT freq_items(tok, 4) AS sk FROM gfm_toks GROUP BY shard)""".stripMargin)
+      .as[Map[String, Long]].head()
+    // n/(cap+1) = 100/5 = 20: a (40) and b (25) survive ANY merge order
+    assert(merged.contains("a") && merged.contains("b"))
+    assert(merged("a") <= 40 && merged("a") >= 20)
+    assert(merged("b") <= 25 && merged("b") >= 5)
+    assert(merged.size <= 4)
+    // Column twin drives the same aggregator
+    val viaCol = spark.table("gfm_toks").groupBy("shard")
+      .agg(graft.functions.FrequentItems.freqItems(col("tok"), 4).as("sk"))
+      .agg(graft.functions.FrequentItems.freqItemsMerge(col("sk"), 4).as("sk"))
+      .as[Map[String, Long]].head()
+    assert(viaCol.contains("a") && viaCol.contains("b") && viaCol.size <= 4)
+    val e = intercept[Exception] {
+      spark.sql("SELECT freq_items_merge(map('x', id), CAST(id AS INT)) FROM range(3)")
+        .collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+  }
+
   test("GraftSession.builder: configured session has kernels and the scale knobs") {
     val shared = spark
     SparkSession.clearActiveSession()
