@@ -37,6 +37,11 @@ import org.apache.spark.sql.expressions.Aggregator
 class FrequentItemsAggregator(capacity: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {
   require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+  require(capacity <= FrequentItems.MaxCapacity,
+    s"capacity $capacity exceeds ${FrequentItems.MaxCapacity}: the summary " +
+      "lives in executor memory per group per partition (~2x capacity " +
+      "entries) - a heavy-hitters profile past 1M counters wants the exact " +
+      "groupBy, not a sketch")
   import FrequentItems.{mgMerge, mgTrim}
 
   override def zero: Map[String, Long] = Map.empty
@@ -77,6 +82,9 @@ class FrequentItemsMergeAggregator(capacity: Int)
     extends Aggregator[
       Map[String, Long], Map[String, Long], Map[String, Long]] {
   require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+  require(capacity <= FrequentItems.MaxCapacity,
+    s"capacity $capacity exceeds ${FrequentItems.MaxCapacity} (see " +
+      "FrequentItemsAggregator)")
   import FrequentItems.{mgMerge, mgTrim}
 
   override def zero: Map[String, Long] = Map.empty
@@ -95,6 +103,11 @@ class FrequentItemsMergeAggregator(capacity: Int)
 }
 
 object FrequentItems {
+
+  /** Largest sensible summary: past this the sketch's memory footprint
+    * (~2x capacity counters per group per executor partition) stops
+    * being the cheap side of the trade and an exact groupBy wins. */
+  val MaxCapacity: Int = 1 << 20
 
   /** Subtract the (capacity+1)-th largest count from everything and drop
     * the non-positives — the mergeable-summaries trim. No-op while the

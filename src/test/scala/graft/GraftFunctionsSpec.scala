@@ -103,6 +103,11 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
         .collect()
     }
     assert(e.getMessage.contains("INTEGER literal"))
+    // absurd capacities refuse loudly instead of OOMing an executor
+    val big = intercept[Exception] {
+      spark.sql("SELECT freq_items(tok, 2000000) FROM gf_toks").collect()
+    }
+    assert(big.getMessage.contains("exceeds"))
   }
 
   test("freq_items_merge rolls up stored summaries with the MG bounds intact") {
