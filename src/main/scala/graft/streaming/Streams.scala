@@ -30,6 +30,33 @@ object Streams {
         col("window.start").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Tumbling-window heavy hitters over any string-able column — the
+    * streaming twin of [[graft.ops.TextAnalysis.heavyHitters]]: one
+    * bounded Misra–Gries summary (`map<string,bigint>`,
+    * [[graft.functions.FrequentItemsAggregator]]) per window, so the
+    * aggregation STATE is capacity-bounded per window regardless of
+    * stream rate — profiling "most frequent tokens/domains this hour"
+    * over an unbounded stream with constant memory, where an exact
+    * per-item count would grow state with distinct items. The same
+    * expression runs on a batch frame (window() is an ordinary
+    * expression; the watermark is a no-op); on a stream the watermark
+    * closes windows. Downstream consumes the audited MG contract only
+    * (presence of guaranteed-heavy items + the two-sided band — see the
+    * aggregator scaladoc; q128/q131/q132 replay it in the battery). */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      itemCol: String,
+      capacity: Int,
+      windowLen: String = "1 hour",
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen))
+      .agg(graft.functions.FrequentItems
+        .freqItems(col(itemCol).cast("string"), capacity).as("sk"))
+      .select(col("window.start").as("window_start"), col("sk"))
+
   /** File-stream reader over a directory of event parquet (schema fixed
     * up front — streaming sources can't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

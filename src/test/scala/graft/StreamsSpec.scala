@@ -71,6 +71,40 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       (tsAt(11, 0), "click", 1L, 4.0)))
   }
 
+  test("windowedHeavyHitters: capacity-bounded MG summary per window, " +
+    "batch and streaming twins agree where the sketch is exact") {
+    // window 10:00 holds 6 tokens over 3 distinct; capacity 8 >= distinct
+    // means NO trim ever fires, so the summary is the exact count map
+    // under ANY merge order — a deterministic assertion, not a band
+    val rows = Seq(
+      (tsAt(10, 1), "a"), (tsAt(10, 2), "a"), (tsAt(10, 3), "a"),
+      (tsAt(10, 10), "b"), (tsAt(10, 11), "b"), (tsAt(10, 12), "c"),
+      (tsAt(14, 0), "z")) // late-window event: closes 10:00 on the stream
+    val expected10 = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    // batch twin: watermark is a no-op, both windows emit
+    val batch = Streams.windowedHeavyHitters(
+      rows.toDF("ts", "tok"), "tok", capacity = 8)
+    val bOut = batch.as[(java.sql.Timestamp, Map[String, Long])]
+      .collect().sortBy(_._1.getTime)
+    assert(bOut.toSeq == Seq(tsAt(10, 0) -> expected10, tsAt(14, 0) -> Map("z" -> 1L)))
+    // streaming: two micro-batches; the 14:00 arrival pushes the
+    // watermark to 12:00 > 11:00, so ONLY the closed 10:00 window emits
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-stream").toString
+    writeSourceBatch(dir, rows.take(6).toDF("ts", "tok"), 0)
+    writeSourceBatch(dir, rows.drop(6).toDF("ts", "tok"), 1)
+    val stream = spark.readStream.schema("ts TIMESTAMP, tok STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.windowedHeavyHitters(stream, "tok", capacity = 8)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("hh_stream")
+        .as[(java.sql.Timestamp, Map[String, Long])].collect().toSeq
+      assert(out == Seq(tsAt(10, 0) -> expected10))
+    } finally q.stop()
+  }
+
   test("readEventStream produces a streaming frame with the fixed schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val sdf = Streams.readEventStream(spark, dir)
