@@ -399,6 +399,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected a PARTIAL sketch stage below the exchange:\n$p")
   }
 
+  test("freq_items via the SQL registry plans the same partial-below-" +
+    "exchange shape as the Column API") {
+    // the registry bridge hands the planner a Complete-mode
+    // AggregateExpression (GraftSqlBridge.udafExpression); AggUtils must
+    // still split it into partial/final — if a bridge regression ever
+    // planned it single-stage, every SQL caller would ship raw rows
+    // through the exchange
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    (1 to 100).map(i => (i % 7, s"t${i % 13}")).toDF("g", "tok")
+      .createOrReplaceTempView("ps_hh_toks")
+    val df = spark.sql(
+      "SELECT g, freq_items(tok, 8) AS sk FROM ps_hh_toks GROUP BY g")
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("objecthashaggregate"),
+      s"expected ObjectHashAggregate for the SQL-registered MG buffer:\n$p")
+    assert(p.contains("partial_frequentitemsaggregator"),
+      s"expected a PARTIAL sketch stage below the exchange:\n$p")
+  }
+
   test("q123: the 2-dim range predicate reaches the z-ordered parquet " +
     "scan — pushdown is what turns tight file stats into skipped IO") {
     val p = plan("q123_zorder_scan")
