@@ -932,6 +932,53 @@ object QueriesLlm {
       mgAudit(toks, sk, cap)
     }),
 
+    // -- persisted-profile ROLLUP for DISTRIBUTIONS (the numeric
+    //    sibling of q129/q132): per-(lang, shard) fixed-bin histograms
+    //    of n_chars are stored through a real parquet round-trip
+    //    (map<int,bigint> column), then per-lang distribution answers
+    //    come from histMerge over the stored maps. Fixed bins make the
+    //    rollup EXACT — map-for-map equal to the direct one-pass
+    //    histogram (violation A; zero drift, unlike the HLL union) —
+    //    and any quantile read off the rollup lands within one bin
+    //    width of the true rank element (violation B, checked against
+    //    the exact median via row_number). Violations = empty relation.
+    "q133_hist_rollup" -> ((s, dir) => {
+      import graft.ops.Profiling
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      val (lo, hi, nbins) = (0.0, 20000.0, 256)
+      val binw = (hi - lo) / nbins
+      val skPath = Tables.scratchPath("graft-histsk", dir)
+      Profiling.histSketch(docs, "n_chars", lo, hi, nbins,
+        Seq("lang", "shard"))
+        .write.mode("overwrite").parquet(skPath) // the stored profile table
+      val rolled = Profiling.histMerge(
+        s.read.parquet(skPath), "hist", Seq("lang"))
+      val direct = Profiling.histSketch(docs, "n_chars", lo, hi, nbins,
+        Seq("lang"))
+      val histsDiffer = rolled.join(direct.withColumnRenamed("hist", "hist_d"), "lang")
+        .filter(sort_array(map_entries(col("hist"))) =!=
+          sort_array(map_entries(col("hist_d"))))
+        .select(col("lang"), lit("rollup_hist_mismatch").as("violation"))
+      // exact median element per lang (rank ceil(n/2) by n_chars)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("n_chars", "doc_id")
+      val exact = docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .filter(col("rn") === ceil(col("n") / 2.0).cast("int"))
+        .select(col("lang"), col("n_chars").as("v"))
+      val quantOff = rolled
+        .select(col("lang"),
+          Profiling.histQuantile(col("hist"), lo, hi, nbins, 0.5).as("est"))
+        .join(exact, "lang")
+        .filter(!(col("v") >= col("est") && col("v") <= col("est") + lit(binw)) &&
+          !(col("est") === lit(hi) && col("v") >= lit(hi)))
+        .select(col("lang"), lit("quantile_off_band").as("violation"))
+      histsDiffer.union(quantOff).orderBy("lang", "violation")
+    }),
+
     // -- persisted-sketch ROLLUP for heavy hitters (q129's warehouse
     //    shape with OUR mergeable sketch): per-shard MG summaries are
     //    stored through a REAL parquet round-trip (map<string,bigint>
@@ -1478,6 +1525,10 @@ object QueriesLlm {
         |WHERE false""".stripMargin,
     "q132_mg_rollup" ->
       """SELECT CAST(NULL AS VARCHAR) AS tok,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q133_hist_rollup" ->
+      """SELECT CAST(NULL AS VARCHAR) AS lang,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q118_incremental_semantic" -> noViolations("id_a", "id_b"),

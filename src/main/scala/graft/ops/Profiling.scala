@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable fixed-bin histogram sketches — the persisted-profile
+  * warehouse pattern for DISTRIBUTIONS (the numeric sibling of the
+  * q129 HLL and q132 Misra–Gries rollups): keep one `map<int,bigint>`
+  * histogram per partition/day/shard, and answer corpus-level
+  * distribution questions (quantiles, fractions below a threshold,
+  * drift vs a reference window) by SUMMING the stored maps — no raw
+  * re-scan.
+  *
+  * Why fixed bins and not a compactor sketch (KLL/t-digest): with the
+  * bin edges fixed up front, the histogram is EXACTLY mergeable —
+  * rollup-of-shards equals the direct one-pass histogram map-for-map,
+  * with zero re-estimation drift (q129's HLL union pays ~1%; a
+  * compactor's merge is lossy by design). The price is a value-domain
+  * error bound instead of a rank bound: any quantile read from the
+  * sketch is exact up to one bin width. For profiling pipelines whose
+  * metrics live on known scales (chars/doc, tokens/doc, price ranges,
+  * quality scores in [0,1]) that is the better trade, and the
+  * composition is pure `functions._` — codegen'd, no UDAF state.
+  *
+  * Binning contract: `nbins` equal-width bins over [lo, hi); values
+  * below `lo` land in bin -1, values at/above `hi` in bin `nbins`
+  * (both carried, so the sketch loses nothing and a mis-sized range is
+  * VISIBLE in the data rather than silently clamped). NULL values are
+  * not counted.
+  *
+  * Scale design: one narrow scan + one hash-agg shuffle keyed on
+  * (group, bin) — at most `groups × (nbins+2)` rows through the
+  * exchange regardless of input size — then a capacity-bounded
+  * map_from_entries per group. The rollup reads only the sketch table:
+  * `groups × shards × (nbins+2)` tiny rows.
+  */
+object Profiling {
+
+  /** Bin index of `v` under the fixed-edge contract above. */
+  def binOf(v: Column, lo: Double, hi: Double, nbins: Int): Column = {
+    require(nbins >= 1 && hi > lo, s"need nbins >= 1 and hi > lo")
+    when(v < lit(lo), lit(-1))
+      .when(v >= lit(hi), lit(nbins))
+      .otherwise(floor((v - lit(lo)) / lit((hi - lo) / nbins)).cast("int"))
+  }
+
+  /** One histogram sketch per `groupCols` group: `map<int,bigint>` of
+    * bin → count over `valueCol`. Store this per shard/day; roll up
+    * with [[histMerge]]. */
+  def histSketch(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nbins: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val binned = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+
+        binOf(col(valueCol), lo, hi, nbins).as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    binned
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("bin"), col("cnt"))))).as("hist"))
+  }
+
+  /** Roll stored sketches up by summing counts bin-for-bin — EXACT:
+    * the result equals the direct one-pass histogram of the
+    * concatenated rows. `sketchCol` is the map column [[histSketch]]
+    * emits; grouping by fewer columns than the sketch was built with
+    * (e.g. drop the day) is the rollup. */
+  def histMerge(
+      df: DataFrame,
+      sketchCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df
+      .select((groupCols.map(col) :+
+        explode(col(sketchCol)).as(Seq("bin", "cnt"))): _*)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("bin"), col("cnt"))))).as("hist"))
+
+  /** Quantile read from a sketch map: the LEFT EDGE of the bin holding
+    * rank `ceil(q·n)` (edge error ≤ one bin width by construction;
+    * overflow bins report the range bound). Pure map manipulation —
+    * usable on the rollup output without touching raw rows. */
+  def histQuantile(
+      sketch: Column, lo: Double, hi: Double, nbins: Int,
+      q: Double): Column = {
+    require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
+    val w = (hi - lo) / nbins
+    // entries sorted by bin; running cumulative vs target rank
+    val entries = sort_array(map_entries(sketch))
+    val n = aggregate(entries, lit(0L), (acc, e) => acc + e.getField("value"))
+    val target = ceil(n.cast("double") * lit(q)).cast("long")
+    // fold: carry (cum, answerBin); first bin whose cum >= target wins
+    val folded = aggregate(
+      entries,
+      struct(lit(0L).as("cum"), lit(null).cast("int").as("bin")),
+      (acc, e) => {
+        val cum = acc.getField("cum") + e.getField("value")
+        struct(cum.as("cum"),
+          when(acc.getField("bin").isNotNull, acc.getField("bin"))
+            .when(cum >= target, e.getField("key"))
+            .as("bin"))
+      })
+    val b = folded.getField("bin")
+    when(b.isNull, lit(null).cast("double"))
+      .when(b < lit(0), lit(lo))
+      .when(b >= lit(nbins), lit(hi))
+      .otherwise(lit(lo) + b.cast("double") * lit(w))
+  }
+}
