@@ -83,6 +83,27 @@ object Profiling {
       .agg(map_from_entries(sort_array(
         collect_list(struct(col("bin"), col("cnt"))))).as("hist"))
 
+  /** Population-stability index between two sketch maps (the standard
+    * distribution-drift score: `Σ (p_a − p_b)·ln(p_a/p_b)` over bins,
+    * with the usual ε-floor so empty bins contribute finitely;
+    * PSI < 0.1 ≈ stable, > 0.25 ≈ shifted). This is WHY profiles are
+    * persisted: drift between today's corpus and a reference window is
+    * two stored maps — no raw re-scan of either side. Pure map
+    * manipulation, usable on [[histMerge]] output. */
+  def histPsi(a: Column, b: Column, eps: Double = 1e-6): Column = {
+    def total(m: Column): Column =
+      aggregate(map_values(m), lit(0L), (acc, v) => acc + v).cast("double")
+    def p(m: Column, tot: Column, bin: Column): Column =
+      greatest(coalesce(element_at(m, bin), lit(0L)).cast("double") / tot,
+        lit(eps))
+    val bins = array_distinct(concat(map_keys(a), map_keys(b)))
+    val (ta, tb) = (total(a), total(b))
+    aggregate(bins, lit(0.0d), (acc, bin) => {
+      val (pa, pb) = (p(a, ta, bin), p(b, tb, bin))
+      acc + (pa - pb) * log(pa / pb)
+    })
+  }
+
   /** Quantile read from a sketch map: the LEFT EDGE of the bin holding
     * rank `ceil(q·n)` (edge error ≤ one bin width by construction;
     * overflow bins report the range bound). Pure map manipulation —

@@ -63,4 +63,23 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     // ceil(10*.9)=9 -> bin 7; rank 10 -> overflow bin -> hi
     assert(got == ((0.0, 30.0, 70.0, 100.0)))
   }
+
+  test("histPsi: zero for identical shapes, analytic value for a known " +
+    "shift, symmetric-ish large for disjoint supports") {
+    val a = typedLit(Map(0 -> 50L, 1 -> 50L))
+    val a2 = typedLit(Map(0 -> 5L, 1 -> 5L)) // same SHAPE, different n
+    val b = typedLit(Map(0 -> 25L, 1 -> 75L))
+    val c = typedLit(Map(2 -> 10L, 3 -> 10L))
+    val (same, shifted, disjoint) = spark.range(1)
+      .select(Profiling.histPsi(a, a2).as("s"),
+        Profiling.histPsi(a, b).as("m"),
+        Profiling.histPsi(a, c).as("d"))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(same) < 1e-12, s"identical shapes must score 0, got $same")
+    // analytic: (0.5-0.25)ln(2) + (0.5-0.75)ln(2/3) = 0.25ln2 + 0.25ln(3/2)
+    val expected = 0.25 * math.log(2.0) + 0.25 * math.log(1.5)
+    assert(math.abs(shifted - expected) < 1e-9, s"got $shifted want $expected")
+    assert(disjoint > 10.0, s"disjoint supports must blow past any " +
+      s"stability threshold, got $disjoint")
+  }
 }
