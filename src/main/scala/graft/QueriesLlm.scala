@@ -964,6 +964,7 @@ object QueriesLlm {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy("n_chars", "doc_id")
       val exact = docs
+        .filter(col("n_chars").isNotNull) // sketch counts non-null only
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("lang")))

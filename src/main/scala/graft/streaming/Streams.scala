@@ -57,6 +57,32 @@ object Streams {
         .freqItems(col(itemCol).cast("string"), capacity).as("sk"))
       .select(col("window.start").as("window_start"), col("sk"))
 
+  /** Tumbling-window distribution profile — the streaming twin of
+    * [[graft.ops.Profiling.histSketch]], emitting (window_start, bin,
+    * cnt) ROWS rather than an assembled map: streaming allows ONE
+    * aggregation per query, so the map_from_entries second stage is
+    * left to the (batch) consumer — `Profiling.histMerge` accepts the
+    * re-assembled rows, and per-window state is ≤ nbins+2 counters
+    * either way. Same fixed-edge bin contract as Profiling.binOf
+    * (underflow -1, overflow nbins, NULLs uncounted), so stored stream
+    * profiles roll up exactly against batch-built ones. */
+  def windowedHistogram(
+      events: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nbins: Int,
+      windowLen: String = "1 hour",
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen),
+        graft.ops.Profiling.binOf(col(valueCol), lo, hi, nbins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("bin"), col("cnt"))
+
   /** File-stream reader over a directory of event parquet (schema fixed
     * up front — streaming sources can't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

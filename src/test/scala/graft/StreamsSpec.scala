@@ -105,6 +105,37 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedHistogram: per-window bin rows match the batch sketch " +
+    "bin-for-bin; only closed windows emit on the stream") {
+    val rows = Seq(
+      (tsAt(10, 1), 5.0), (tsAt(10, 2), 15.0), (tsAt(10, 3), 15.0),
+      (tsAt(10, 10), 95.0), (tsAt(10, 11), 150.0), // overflow bin 10
+      (tsAt(14, 0), 42.0)) // closes 10:00 on the stream
+    val expected10 = Seq((0, 1L), (1, 2L), (9, 1L), (10, 1L))
+    val batch = Streams.windowedHistogram(
+      rows.toDF("ts", "v"), "v", lo = 0.0, hi = 100.0, nbins = 10)
+    val bOut = batch.as[(java.sql.Timestamp, Int, Long)].collect()
+      .filter(_._1 == tsAt(10, 0)).map(r => (r._2, r._3)).sortBy(_._1)
+    assert(bOut.toSeq == expected10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-stream").toString
+    writeSourceBatch(dir, rows.take(5).toDF("ts", "v"), 0)
+    writeSourceBatch(dir, rows.drop(5).toDF("ts", "v"), 1)
+    val stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.windowedHistogram(stream, "v", 0.0, 100.0, 10)
+      .writeStream.format("memory").queryName("wh_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("wh_stream")
+        .as[(java.sql.Timestamp, Int, Long)].collect().toSeq
+      assert(out.map(_._1).distinct == Seq(tsAt(10, 0)),
+        "only the watermark-closed window may emit")
+      assert(out.map(r => (r._2, r._3)).sortBy(_._1) == expected10,
+        "stream profile must equal the batch sketch bin-for-bin")
+    } finally q.stop()
+  }
+
   test("readEventStream produces a streaming frame with the fixed schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val sdf = Streams.readEventStream(spark, dir)
