@@ -32,10 +32,14 @@ object Tables {
     * fresh session (new JVM, new bench family) re-infers. Testdata is
     * read-only by contract, so staleness cannot arise. */
   private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loadCache.computeIfAbsent((System.identityHashCode(spark), dir, name),
+    // sessionUuid, not identityHashCode: identity hashes can collide
+    // across sessions after GC churn, and a collision would hand one
+    // session a DataFrame bound to another's state
+    loadCache.computeIfAbsent(
+      (org.apache.spark.sql.GraftSqlBridge.sessionUuid(spark), dir, name),
       _ => loadUncached(spark, dir, name))
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {

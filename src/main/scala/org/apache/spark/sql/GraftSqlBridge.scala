@@ -34,6 +34,17 @@ object GraftSqlBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Collision-free per-session identity (the sql-private sessionUUID
+    * on Spark 4's classic concrete class) for session-keyed caches —
+    * identity hashes can collide across sessions after GC churn. The
+    * identity fallback only applies to a non-classic implementation,
+    * which cannot be live in the same JVM as a classic session of the
+    * same hash. */
+  def sessionUuid(spark: SparkSession): String = spark match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => s"id-${System.identityHashCode(other)}"
+  }
+
   /** A typed `Aggregator` as a Catalyst aggregate expression — what a
     * FunctionRegistry builder must return for a SQL-callable UDAF. The
     * public `functions.udaf(...).apply(col)` wraps the call in a lazy
