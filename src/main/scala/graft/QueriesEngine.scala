@@ -322,6 +322,73 @@ object QueriesEngine {
         .orderBy("id", "band")
     }),
 
+    // -- the `profile:` stage key end-to-end: two pipeline runs load
+    //    growing document slices while config keeps a per-version
+    //    corpus-profile table (n, fixed-bin n_chars histogram,
+    //    psi_prev drift) in lockstep (Profiling.syncProfile:
+    //    version-marker catch-up, like the index keys). Emitted rows
+    //    are VIOLATIONS — a stored version whose histogram or n
+    //    differs from a fresh histSketch of that retained snapshot, a
+    //    version missing from either side, or a psi_prev that
+    //    disagrees with histPsi recomputed from the STORED rows — so
+    //    the oracle is the empty relation.
+    "q134_pipeline_profile" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [docs_profiled]
+          |pypes:
+          |  docs_profiled:
+          |    extract_query: "SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 20 < {slice}"
+          |    target_table: q134_docs
+          |    type: upsert
+          |    key: [doc_id]
+          |    buckets: 4
+          |    retain_versions: 2
+          |    profile: q134_profile
+          |    profile_column: n_chars
+          |    profile_lo: 0
+          |    profile_hi: 20000
+          |    profile_bins: 64
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runprof", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("slice" -> "1"), tmp)
+      runner.run("demo")
+      runner.run("demo", Map("slice" -> "2")) // second load grows the slice
+      val tgt = s"$tmp/q134_docs"
+      val fresh = graft.sink.BucketedMergeSink.manifestVersions(s, tgt).sorted
+        .map { v =>
+          graft.ops.Profiling.histSketch(
+            graft.sink.BucketedMergeSink.readVersion(s, tgt, v),
+            "n_chars", 0.0, 20000.0, 64, Seq.empty)
+            .select(lit(v).as("version"), col("hist").as("hist_f"))
+        }.reduce(_ unionByName _)
+      val stored = s.read.parquet(s"$tmp/q134_profile")
+        .select(col("version").cast("long").as("version"),
+          col("n"), col("hist"), col("psi_prev"))
+      val histBad = stored.join(fresh, Seq("version"), "full")
+        .filter(col("hist").isNull || col("hist_f").isNull ||
+          sort_array(map_entries(col("hist"))) =!=
+            sort_array(map_entries(col("hist_f"))) ||
+          col("n") =!= aggregate(map_values(col("hist_f")),
+            lit(0L), (a, c) => a + c))
+        .select(col("version"), lit("profile_mismatch").as("violation"))
+      // psi_prev must replay from the STORED rows alone (tiny table —
+      // the unpartitioned window holds one row per version)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("version")
+      val psiBad = stored
+        .withColumn("hist_prev", lag("hist", 1).over(w))
+        .filter(
+          (col("hist_prev").isNull && col("psi_prev").isNotNull) ||
+          (col("hist_prev").isNotNull && (col("psi_prev").isNull ||
+            abs(col("psi_prev") - graft.ops.Profiling.histPsi(
+              col("hist"), col("hist_prev"))) > lit(1e-9))))
+        .select(col("version"), lit("psi_mismatch").as("violation"))
+      histBad.union(psiBad).orderBy("version", "violation")
+    }),
+
     // -- the delete_where stage key end-to-end: a load followed by a
     //    config-driven predicate purge on the TARGET (row-level TTL /
     //    GDPR erasure — the set-based complement of the reference's
@@ -975,6 +1042,10 @@ object QueriesEngine {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 100 < 3
         |ORDER BY o_orderkey""".stripMargin,
+    "q134_pipeline_profile" ->
+      """SELECT CAST(NULL AS BIGINT) AS version,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

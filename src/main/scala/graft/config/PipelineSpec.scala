@@ -80,6 +80,20 @@ final case class StageSpec(
                                 // .syncSemanticIndex; the model lives
                                 // at <index>.centroids)
     semanticIndexVec: String = "embedding", // column the cell index signs
+    profileTable: String = "", // bucketed targets only: corpus-profile
+                               // table name — after each load, every
+                               // retained target version without a
+                               // profile row gets (n, hist, psi_prev)
+                               // under version=<v>
+                               // (Profiling.syncProfile: idempotent
+                               // version-marker catch-up; a version
+                               // dropped before it was ever profiled
+                               // is a monitoring gap, not an error)
+    profileColumn: String = "", // numeric column the profile bins
+    profileLo: Double = 0.0, // fixed bin range [profile_lo, profile_hi)
+    profileHi: Double = 0.0, // — fixed edges are what make stored
+                             // profiles exactly mergeable/comparable
+    profileBins: Int = 64,
     deleteWhere: String = "", // post-load predicate purge on the TARGET
                               // (row-level TTL / GDPR erasure): every
                               // target row matching this SQL boolean is
@@ -219,6 +233,11 @@ object PipelineSpec {
       lshIndexVec = str("lsh_index_vec", "embedding"),
       semanticIndex = str("semantic_index", ""),
       semanticIndexVec = str("semantic_index_vec", "embedding"),
+      profileTable = str("profile", ""),
+      profileColumn = str("profile_column", ""),
+      profileLo = str("profile_lo", "0").toDouble,
+      profileHi = str("profile_hi", "0").toDouble,
+      profileBins = str("profile_bins", "64").toInt,
       deleteWhere = str("delete_where", ""),
       subscribeFeed = str("subscribe_feed", ""),
       consumerName = str("consumer_name", ""),

@@ -214,7 +214,7 @@ final class Runner(
         "(transform on the producer side, or in a stage reading the replica)")
     Seq("change_feed" -> stage.changeFeed,
       "minhash_index" -> stage.minhashIndex, "lsh_index" -> stage.lshIndex,
-      "semantic_index" -> stage.semanticIndex,
+      "semantic_index" -> stage.semanticIndex, "profile" -> stage.profileTable,
       "delete_where" -> stage.deleteWhere, "scd2_ts" -> stage.scd2Ts,
       "outbox_keep" -> (if (stage.outboxKeep != 0) stage.outboxKeep.toString
                         else ""))
@@ -305,6 +305,24 @@ final class Runner(
         s"(${stage.key.mkString(",")}) and the stage can emit delete ops " +
         (if (stage.loadType == "delete") "(type: delete)" else "(delete_where)") +
         " — use a single-column key or drop outbox_keep")
+    // `profile:` snapshots each retained version directly (readVersion,
+    // no predecessor diffs), so it needs a bucketed layout but no extra
+    // retention beyond the layout's own; config errors fail BEFORE the
+    // merge like every other maintenance key
+    if (stage.profileTable.nonEmpty) {
+      require(stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path),
+        s"stage ${stage.name}: profile needs a bucketed target " +
+          "(set buckets: N, or point at an existing bucketed layout)")
+      require(stage.profileColumn.nonEmpty,
+        s"stage ${stage.name}: profile needs profile_column " +
+          "(the numeric column to bin)")
+      require(stage.profileHi > stage.profileLo,
+        s"stage ${stage.name}: profile needs profile_hi > profile_lo, " +
+          s"got [${stage.profileLo}, ${stage.profileHi})")
+      require(stage.profileBins >= 1,
+        s"stage ${stage.name}: profile_bins must be >= 1, " +
+          s"got ${stage.profileBins}")
+    }
     val derived = Seq(
       ("change_feed", stage.changeFeed, false),
       ("minhash_index", stage.minhashIndex, true),
@@ -431,6 +449,14 @@ final class Runner(
         // no deletes, so the composite-key fold is fully supported
         key = if (stage.loadType == "scd2") stage.key :+ "valid_from"
               else stage.key): Unit
+    // `profile:` runs LAST in the maintenance pass so the rows it
+    // snapshots include this run's delete_where/compact versions too;
+    // it is its own idempotent catch-up (version-marker), so a crash
+    // anywhere above self-heals on the next run
+    if (stage.profileTable.nonEmpty)
+      graft.ops.Profiling.syncProfile(
+        spark, path, targetPath(stage.profileTable), stage.profileColumn,
+        stage.profileLo, stage.profileHi, stage.profileBins): Unit
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

@@ -98,10 +98,81 @@ object Profiling {
         lit(eps))
     val bins = array_distinct(concat(map_keys(a), map_keys(b)))
     val (ta, tb) = (total(a), total(b))
-    aggregate(bins, lit(0.0d), (acc, bin) => {
+    val raw = aggregate(bins, lit(0.0d), (acc, bin) => {
       val (pa, pb) = (p(a, ta, bin), p(b, tb, bin))
       acc + (pa - pb) * log(pa / pb)
     })
+    // an EMPTY side has no distribution to drift from — null, not NaN
+    when(ta === 0.0 || tb === 0.0, lit(null).cast("double")).otherwise(raw)
+  }
+
+  /** Config-synced corpus profiling for a bucketed merge target (the
+    * `profile:` stage key; the monitoring sibling of the
+    * `minhash_index:`/`lsh_index:`/`semantic_index:` maintenance keys):
+    * after each load, every RETAINED target version without a profile
+    * row gets one — `(n, hist, psi_prev)` under `profilePath/
+    * version=<v>/` — where `hist` is the global [[histSketch]] of
+    * `column` over that snapshot and `psi_prev` is the [[histPsi]]
+    * drift vs the previous profiled version (null for the first). The
+    * version-partition dir with its `_SUCCESS` marker IS the
+    * idempotency marker (same contract as the outbox/index catch-ups:
+    * overwrite-per-version, a crash mid-write leaves no `_SUCCESS` and
+    * re-profiles next run; already-profiled versions are never
+    * recomputed). Versions that fell out of retention before ever
+    * being profiled are a monitoring GAP, not an error — their rows
+    * cannot be computed and the catch-up moves on (unlike the index
+    * syncs, nothing downstream depends on per-version continuity).
+    *
+    * Returns the newly profiled version ids. */
+  def syncProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      profilePath: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      nbins: Int): Seq[Long] = {
+    import graft.sink.BucketedMergeSink
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(profilePath)
+    val fs = root.getFileSystem(hconf)
+    def profiled(v: Long): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"version=$v/_SUCCESS"))
+    val versions = BucketedMergeSink.manifestVersions(spark, targetPath).sorted
+    val pending = versions.filterNot(profiled)
+    // stored profile maps are tiny — <= nbins+2 entries
+    def readHist(v: Long): Map[Int, Long] =
+      spark.read.parquet(s"$profilePath/version=$v")
+        .select(explode(col("hist")).as(Seq("bin", "cnt")))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // drift baseline: the newest version the PROFILE TABLE holds below
+    // the first pending one — the profile's history outlives the
+    // target's retention window (that is what it is FOR), so the
+    // baseline must come from the stored rows, not the manifest
+    var prev: Option[Map[Int, Long]] =
+      (if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case s if s.startsWith("version=") =>
+            s.stripPrefix("version=").toLong }
+          .filter(v => profiled(v) && pending.headOption.forall(v < _))
+       else Nil).sorted.lastOption.map(readHist)
+    pending.foreach { v =>
+      val snap = BucketedMergeSink.readVersion(spark, targetPath, v)
+      val profile = histSketch(snap, column, lo, hi, nbins, Seq.empty)
+        .withColumn("n",
+          aggregate(map_values(col("hist")), lit(0L), (a, c) => a + c))
+      val withPsi = prev match {
+        case Some(pm) => profile.withColumn("psi_prev",
+          histPsi(col("hist"), typedLit(pm)))
+        case None => profile.withColumn("psi_prev",
+          lit(null).cast("double"))
+      }
+      withPsi.select(col("n"), col("hist"), col("psi_prev"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$profilePath/version=$v")
+      prev = Some(readHist(v))
+    }
+    pending
   }
 
   /** Quantile read from a sketch map: the LEFT EDGE of the bin holding

@@ -261,6 +261,76 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       "single-column") // composite key
   }
 
+  test("profile: each run snapshots per-version histograms with PSI " +
+    "drift; catch-up is idempotent; misconfigurations refuse before " +
+    "the write") {
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 500.0))
+      .toDF("id", "v").createOrReplaceTempView("prof_src")
+    val root = Files.createTempDirectory("graft-runner-prof").toString
+    val ry =
+      s"""pypelines:
+         |  p: [sp]
+         |pypes:
+         |  sp:
+         |    extract_query: "SELECT id, v FROM prof_src WHERE id <= {maxid}"
+         |    target_table: tgt_prof
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    profile: tgt_prof_profile
+         |    profile_column: v
+         |    profile_lo: 0
+         |    profile_hi: 100
+         |    profile_bins: 10
+         |""".stripMargin
+    val runner = new Runner(spark, PipelineSpec.fromYaml(ry),
+      placeholders = Map("maxid" -> "3"), targetRoot = root)
+    runner.run("p")
+    runner.run("p", Map("maxid" -> "4")) // adds the out-of-range doc
+    val prof = spark.read.parquet(s"$root/tgt_prof_profile")
+      .select(col("version").cast("long"), col("n"), col("hist"),
+        col("psi_prev"))
+      .orderBy("version")
+      .as[(Long, Long, Map[Int, Long], Option[Double])].collect()
+    assert(prof.length == 2, s"one profile row per version: ${prof.toSeq}")
+    // run 1: values 10/20/30 in [0,100) over 10 bins
+    assert(prof(0)._2 == 3L && prof(0)._3 == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+    assert(prof(0)._4.isEmpty, "first profiled version has no drift baseline")
+    // run 2 adds 500 -> carried overflow bin; drift strictly positive
+    assert(prof(1)._2 == 4L &&
+      prof(1)._3 == Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 10 -> 1L))
+    assert(prof(1)._4.exists(_ > 0.0),
+      s"new overflow mass must show as PSI drift: ${prof(1)._4}")
+    // idempotent: everything retained is already profiled
+    assert(graft.ops.Profiling.syncProfile(spark, s"$root/tgt_prof",
+      s"$root/tgt_prof_profile", "v", 0, 100, 10).isEmpty)
+    // misconfigurations refuse before any write, like the index keys
+    def failing(stanza: String, msg: String): Unit = {
+      val y =
+        s"""pypelines:
+           |  p: [bad]
+           |pypes:
+           |  bad:
+           |    extract_query: "SELECT id, v FROM prof_src"
+           |    target_table: tgt_prof_bad
+           |    key: [id]
+           |    profile: bad_profile
+           |$stanza
+           |""".stripMargin
+      val e = intercept[IllegalArgumentException](
+        new Runner(spark, PipelineSpec.fromYaml(y), Map.empty, root).run("p"))
+      assert(e.getMessage.contains("profile"), e.getMessage)
+      assert(e.getMessage.contains(msg), e.getMessage)
+      assert(!new java.io.File(s"$root/tgt_prof_bad").exists(),
+        "refusal must land before the write")
+    }
+    failing("    profile_column: v\n    profile_hi: 100", "bucketed")
+    failing("    buckets: 4\n    profile_hi: 100", "profile_column")
+    failing("    buckets: 4\n    profile_column: v", "profile_hi")
+    failing("    buckets: 4\n    profile_column: v\n    profile_hi: 100" +
+      "\n    profile_bins: 0", "profile_bins")
+  }
+
   test("lsh_index and semantic_index: each run keeps the embedding " +
     "postings (and the frozen centroid model) in lockstep with the target") {
     val rows = Seq(
