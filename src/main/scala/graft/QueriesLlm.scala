@@ -980,6 +980,36 @@ object QueriesLlm {
       histsDiffer.union(quantOff).orderBy("lang", "violation")
     }),
 
+    // -- q133's profile family driven ENTIRELY through the SQL surface
+    //    (GraftFunctions hist_bin/hist_quantile): the sketch build is
+    //    plain SQL over hist_bin — GROUP BY bin + map_from_entries IS
+    //    histSketch — and the per-lang doc count, median, and p90 are
+    //    read from the map alone. Unlike the empty-relation audits this
+    //    is a HASH-MATCHED entry: quantile reads are bin LEFT EDGES
+    //    (lo + bin·binw, exact IEEE arithmetic on integer bins — binw
+    //    78.125 is a dyadic rational), so DuckDB replays them bitwise
+    //    with window-function cumulative counts. Pins that a pipeline
+    //    author gets the whole persisted-profile pattern from an
+    //    extract_query string, no Scala.
+    "q135_hist_sql" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, dir, "documents").createOrReplaceTempView("q135_docs")
+      s.sql(
+        """WITH b AS (
+          |  SELECT lang, hist_bin(n_chars, 0, 20000, 256) AS bin,
+          |         count(1) AS cnt
+          |  FROM q135_docs WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+          |sk AS (
+          |  SELECT lang, map_from_entries(sort_array(
+          |           collect_list(struct(bin, cnt)))) AS hist
+          |  FROM b GROUP BY lang)
+          |SELECT lang,
+          |  aggregate(map_values(hist), 0L, (a, c) -> a + c) AS n,
+          |  hist_quantile(hist, 0, 20000, 256, 0.5) AS med,
+          |  hist_quantile(hist, 0, 20000, 256, 0.9) AS p90
+          |FROM sk ORDER BY lang""".stripMargin)
+    }),
+
     // -- persisted-sketch ROLLUP for heavy hitters (q129's warehouse
     //    shape with OUR mergeable sketch): per-shard MG summaries are
     //    stored through a REAL parquet round-trip (map<string,bigint>
@@ -1532,6 +1562,34 @@ object QueriesLlm {
       """SELECT CAST(NULL AS VARCHAR) AS lang,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
+    // binw = 20000/256 = 78.125 (dyadic): bin indices and their left
+    // edges are exact in both engines, so this hash-matches
+    "q135_hist_sql" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars < 0 THEN -1
+        |         WHEN n_chars >= 20000 THEN 256
+        |         ELSE CAST(floor(n_chars / 78.125) AS INT) END AS bin,
+        |    count(*) AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM b),
+        |q AS (
+        |  SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |    min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |             THEN bin END) AS mbin,
+        |    min(CASE WHEN cum >= CAST(ceil(n * 0.9) AS BIGINT)
+        |             THEN bin END) AS pbin
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n,
+        |  CASE WHEN mbin < 0 THEN 0.0 WHEN mbin >= 256 THEN 20000.0
+        |       ELSE mbin * 78.125 END AS med,
+        |  CASE WHEN pbin < 0 THEN 0.0 WHEN pbin >= 256 THEN 20000.0
+        |       ELSE pbin * 78.125 END AS p90
+        |FROM q ORDER BY lang""".stripMargin,
     "q118_incremental_semantic" -> noViolations("id_a", "id_b"),
     "q117_quantile_gate" ->
       """WITH c AS (

@@ -33,6 +33,26 @@ object GraftFunctions {
         s"got ${other.sql}")
   }
 
+  // bin-range parameters (lo/hi/q) fix the generated expression tree's
+  // constants the same way the integer cardinalities do — any numeric
+  // SQL literal is accepted (0, 2e4, 0.5 parse as int/double/decimal)
+  private def litDouble(fn: String, arg: String, e: Expression): Double =
+    e match {
+      case Literal(v, _: org.apache.spark.sql.types.NumericType)
+          if v != null => v match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case s: Short => s.toDouble
+        case b: Byte => b.toDouble
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      }
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a NUMERIC literal (it parameterizes the " +
+          s"generated expression), got ${other.sql}")
+    }
+
   private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
     require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
 
@@ -91,6 +111,38 @@ object GraftFunctions {
         new FrequentItemsMergeAggregator(cap),
         org.apache.spark.sql.catalyst.encoders
           .ExpressionEncoder[Map[String, Long]](), Seq(args(0)))
+    },
+    // the fixed-bin profile family (graft.ops.Profiling) on the SQL
+    // surface. hist_bin is the enabling kernel: with it the whole
+    // sketch BUILD is plain SQL — `map_from_entries(sort_array(
+    // collect_list(struct(bin, cnt))))` over `GROUP BY hist_bin(v, lo,
+    // hi, n)` IS histSketch, and the rollup is explode + SUM in SQL —
+    // while hist_quantile / hist_psi are the READ side over stored
+    // map<int,bigint> profiles. All three are pure Column compositions
+    // (codegen'd, no UDF); the range/q parameters are literals because
+    // they fold into the expression tree's constants.
+    "hist_bin" -> { args =>
+      arity("hist_bin", 4, args)
+      GraftSqlBridge.expressionEager(graft.ops.Profiling.binOf(
+        GraftSqlBridge.column(args(0)),
+        litDouble("hist_bin", "lo", args(1)),
+        litDouble("hist_bin", "hi", args(2)),
+        litInt("hist_bin", "nbins", args(3))))
+    },
+    "hist_quantile" -> { args =>
+      arity("hist_quantile", 5, args)
+      GraftSqlBridge.expressionEager(graft.ops.Profiling.histQuantile(
+        GraftSqlBridge.column(args(0)),
+        litDouble("hist_quantile", "lo", args(1)),
+        litDouble("hist_quantile", "hi", args(2)),
+        litInt("hist_quantile", "nbins", args(3)),
+        litDouble("hist_quantile", "q", args(4))))
+    },
+    "hist_psi" -> { args =>
+      arity("hist_psi", 2, args)
+      GraftSqlBridge.expressionEager(graft.ops.Profiling.histPsi(
+        GraftSqlBridge.column(args(0)),
+        GraftSqlBridge.column(args(1))))
     })
 
   /** Register every kernel on a live session (temp functions, session

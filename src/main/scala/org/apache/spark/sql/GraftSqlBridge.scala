@@ -13,6 +13,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. [[expression]] wraps the
+    * Column's node tree in a lazy `ColumnNodeExpression` that only the
+    * Dataset-boundary converter unrolls — embedded in a
+    * FunctionRegistry builder's output it survives analysis unconverted
+    * and fails at codegen (`Unevaluable`). This converts the whole node
+    * tree to catalyst expressions up front (inner functions become
+    * plain `UnresolvedFunction`s the analyzer resolves normally), which
+    * is what a registry builder returning a Column COMPOSITION needs. */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The RDD backing a `localCheckpoint()`ed Dataset, so iterative
     * algorithms can free a superseded checkpoint's blocks explicitly —
     * the Dataset API offers no way to unpersist checkpoint storage. */

@@ -140,6 +140,55 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("INTEGER literal"))
   }
 
+  test("hist_bin/hist_quantile/hist_psi: the profile family builds and " +
+    "reads fixed-bin sketches from plain SQL") {
+    GraftFunctions.register(spark)
+    val rows = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 500.0),
+      ("b", 5.0), ("b", 15.0), ("b", -3.0))
+    rows.toDF("g", "v").createOrReplaceTempView("gh_rows")
+    // the sketch BUILD in plain SQL: GROUP BY hist_bin == histSketch
+    val viaSql = spark.sql(
+      """SELECT g, map_from_entries(sort_array(
+        |         collect_list(struct(bin, cnt)))) AS hist
+        |FROM (SELECT g, hist_bin(v, 0, 100, 10) AS bin,
+        |             count(1) AS cnt
+        |      FROM gh_rows WHERE v IS NOT NULL GROUP BY 1, 2)
+        |GROUP BY g""".stripMargin)
+    val viaCol = graft.ops.Profiling.histSketch(
+      spark.table("gh_rows"), "v", 0, 100, 10, Seq("g"))
+    assertSameRows(
+      viaSql.select(col("g"), sort_array(map_entries(col("hist"))).as("h")),
+      viaCol.select(col("g"), sort_array(map_entries(col("hist"))).as("h")))
+    // the READ side over the stored maps: quantile + drift in SQL match
+    // the Column twins (and carry binOf's under/overflow contract)
+    viaSql.createOrReplaceTempView("gh_sketches")
+    val read = spark.sql(
+      """SELECT a.g, hist_quantile(a.hist, 0, 100, 10, 0.5) AS med,
+        |       hist_psi(a.hist, b.hist) AS drift,
+        |       hist_psi(a.hist, a.hist) AS self_drift
+        |FROM gh_sketches a JOIN gh_sketches b ON a.g = 'a' AND b.g = 'b'
+        |""".stripMargin).head()
+    // g=a: values 10/20/30/500 -> median rank 2 = 20 -> bin 2, left edge 20
+    assert(read.getDouble(1) == 20.0, s"median read: $read")
+    assert(read.getDouble(3) == 0.0, "identical profiles have zero drift")
+    val twin = spark.table("gh_sketches").as("x")
+      .join(spark.table("gh_sketches").as("y"),
+        col("x.g") === lit("a") && col("y.g") === lit("b"))
+      .select(graft.ops.Profiling.histPsi(col("x.hist"), col("y.hist")))
+      .head().getDouble(0)
+    assert(read.getDouble(2) == twin && twin > 0.0,
+      s"SQL psi must be the Column kernel: ${read.getDouble(2)} vs $twin")
+    // range/q parameters are literal-only — loud failure otherwise
+    val e = intercept[Exception] {
+      spark.sql("SELECT hist_bin(v, v, 100, 10) FROM gh_rows").collect()
+    }
+    assert(e.getMessage.contains("NUMERIC literal"))
+    // and scientific/decimal literal forms all fold (2e2, 0.5)
+    assert(spark.sql(
+      "SELECT hist_quantile(map(1, 1L), 0, 2e2, 10, 0.5) AS q").head()
+      .getDouble(0) == 20.0)
+  }
+
   test("GraftSession.builder: configured session has kernels and the scale knobs") {
     val shared = spark
     SparkSession.clearActiveSession()
