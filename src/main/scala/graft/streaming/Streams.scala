@@ -521,6 +521,53 @@ object Streams {
           spark, path, indexPath, vecCol, nlist, iters, trainPerCell,
           probeCells): Unit)
 
+  /** The indexed-ingest pattern applied to MONITORING instead of an
+    * index: continuous ingest whose per-version corpus profile
+    * ([[graft.ops.Profiling.syncProfile]] — `(n, hist, psi_prev)` rows,
+    * the streaming twin of the Runner's `profile:` stage key) tracks
+    * the target per micro-batch. Same idempotent `_SUCCESS`-marker
+    * catch-up and same catch-up-BEFORE-merge ordering as the index
+    * variants — here not because falling behind hard-refuses (an
+    * unprofiled version that leaves retention is a monitoring gap, not
+    * an error) but because catching pending versions up BEFORE this
+    * batch's merge slides the retention window is what keeps that gap
+    * empty. Unlike the index variants a composite key is fine —
+    * the profile snapshots whole versions, it never joins on the key. */
+  def streamingMergeWithProfile(
+      stream: DataFrame,
+      path: String,
+      profilePath: String,
+      key: Seq[String],
+      column: String,
+      lo: Double,
+      hi: Double,
+      nbins: Int = 64,
+      loadType: String = "upsert",
+      excluded: Seq[String] = Nil,
+      numBuckets: Int = 64,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(Set("upsert", "update", "delete")(loadType),
+      s"unknown load type: $loadType (expected upsert/update/delete; " +
+        "profile rows snapshot CURRENT versions — scd2 history would " +
+        "double-count closed rows)")
+    require(numBuckets > 0,
+      "a profiled merge stream needs a bucketed target (the profile " +
+        "snapshots manifest versions) — pass numBuckets > 0")
+    require(hi > lo, s"profile needs hi > lo, got [$lo, $hi)")
+    require(nbins >= 1, s"nbins must be >= 1, got $nbins")
+    val sync = (spark: SparkSession) =>
+      graft.ops.Profiling.syncProfile(
+        spark, path, profilePath, column, lo, hi, nbins): Unit
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      if (graft.sink.BucketedMergeSink.isBucketed(spark, path)) sync(spark)
+      graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
+        identifier = key.head, excluded = excluded, numBuckets = numBuckets,
+        retainVersions = retainVersions)
+      sync(spark)
+    }
+  }
+
   /** The shared merge-plus-index trigger loop behind the three indexed
     * ingest variants — validation and the catch-up-BEFORE-merge
     * ordering live here once; `sync` is the family's idempotent

@@ -419,6 +419,76 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       "both the crashed version's doc and the healing trigger's doc are indexed")
   }
 
+  test("streamingMergeWithProfile: per-version corpus profiles track the " +
+    "target across micro-batches; a crashed trigger's version heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-smp-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-smp-tgt").toString + "/t"
+    val prof = java.nio.file.Files.createTempDirectory("graft-smp-pr").toString + "/p"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smp-ck").toString
+    val batches = Seq(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      Seq((1L, 500.0), (4L, 40.0))) // b1 drags doc 1 into the overflow bin
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("id", "v"), i)
+    }
+    val stream = spark.readStream
+      .schema("id LONG, v DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMergeWithProfile(
+      stream, target, prof, Seq("id"), "v", 0, 100, 10, numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // one profile row per retained version, equal to a fresh histSketch
+    // of that snapshot, with drift strictly positive after the overflow
+    val versions = graft.sink.BucketedMergeSink
+      .manifestVersions(spark, target).sorted
+    val rows = spark.read.parquet(prof)
+      .select($"version".cast("long"), $"n", $"hist",
+        $"psi_prev")
+      .orderBy("version")
+      .as[(Long, Long, Map[Int, Long], Option[Double])].collect()
+    assert(rows.map(_._1).toSeq == versions,
+      s"every retained version profiled: ${rows.toSeq} vs $versions")
+    rows.foreach { case (v, n, hist, _) =>
+      val fresh = graft.ops.Profiling.histSketch(
+        graft.sink.BucketedMergeSink.readVersion(spark, target, v),
+        "v", 0, 100, 10, Seq.empty)
+        .select($"hist").as[Map[Int, Long]].head()
+      assert(hist == fresh && n == fresh.values.sum,
+        s"stored profile of v$v must equal a fresh sketch of the snapshot")
+    }
+    assert(rows.last._4.exists(_ > 0.0),
+      s"overflow mass must show as PSI drift: ${rows.last._4}")
+    // construction-time refusals
+    intercept[IllegalArgumentException](Streams.streamingMergeWithProfile(
+      stream, target, prof, Seq("id"), "v", 0, 100, numBuckets = 0))
+    intercept[IllegalArgumentException](Streams.streamingMergeWithProfile(
+      stream, target, prof, Seq("id"), "v", 100, 100))
+    intercept[IllegalArgumentException](Streams.streamingMergeWithProfile(
+      stream, target, prof, Seq("id"), "v", 0, 100, nbins = 0))
+    intercept[IllegalArgumentException](Streams.streamingMergeWithProfile(
+      stream, target, prof, Seq("id"), "v", 0, 100, loadType = "scd2"))
+    // crash between a trigger's merge and its profile: the target gains
+    // a version with no profile row; the next trigger heals it BEFORE
+    // its own merge can slide the retention window past it
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((5L, 50.0)).toDF("id", "v"), target, "upsert", Seq("id"))
+    writeSourceBatch(dir, Seq((6L, 60.0)).toDF("id", "v"), 2)
+    val q2 = Streams.streamingMergeWithProfile(
+      stream, target, prof, Seq("id"), "v", 0, 100, 10, numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val healed = spark.read.parquet(prof)
+      .select($"version".cast("long")).as[Long].collect().toSet
+    val retained = graft.sink.BucketedMergeSink
+      .manifestVersions(spark, target).toSet
+    assert(retained.subsetOf(healed),
+      s"crashed version's profile healed: $healed vs retained $retained")
+  }
+
   test("subscribeFeedStream: an AvailableNow trigger catches the replica " +
     "up to the outbox; the next one converges after more publishes") {
     import org.apache.spark.sql.streaming.Trigger
