@@ -1010,6 +1010,26 @@ object QueriesLlm {
           |FROM sk ORDER BY lang""".stripMargin)
     }),
 
+    // -- C4-style line-level cleaning (Raffel et al. 2020 §2.2) over a
+    //    deterministically LINED corpus: the synthetic docs carry no
+    //    newlines or punctuation, so a regex first breaks each doc into
+    //    6-word '.'-terminated lines with the (< 6-word) remainder left
+    //    unterminated — content-driven structure both engines replay
+    //    bitwise, no injection table. The filter then exercises every
+    //    rule on real variation: unterminated tails always drop, the
+    //    bad-substring rule uses a live corpus token ("spark"), short
+    //    docs fail the min-lines gate, and the doc text is REWRITTEN to
+    //    the kept lines. Hash-matched against the DuckDB replay.
+    "q136_c4_line_filter" -> ((s, dir) => {
+      val lined = Tables.load(s, dir, "documents")
+        .withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){5}\\S+) ?", "$1.\n"))
+      TextAnalysis.c4LineFilter(lined, badSubstrings = Seq("spark"))
+        .select(col("doc_id"), col("text").as("text_clean"),
+          col("n_lines").cast("long").as("n_lines"))
+        .orderBy("doc_id")
+    }),
+
     // -- persisted-sketch ROLLUP for heavy hitters (q129's warehouse
     //    shape with OUR mergeable sketch): per-shard MG summaries are
     //    stored through a REAL parquet round-trip (map<string,bigint>
@@ -1562,6 +1582,20 @@ object QueriesLlm {
       """SELECT CAST(NULL AS VARCHAR) AS lang,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
+    "q136_c4_line_filter" ->
+      """WITH l AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(text,
+        |      '((\S+ ){5}\S+) ?', '\1.' || chr(10), 'g'), chr(10)),
+        |    x -> regexp_matches(x, '[.!?"]$')
+        |         AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+        |         AND NOT contains(lower(x), 'spark')) AS kept
+        |  FROM documents
+        |  WHERE NOT contains(lower(text), '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum'))
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+        |  CAST(len(kept) AS BIGINT) AS n_lines
+        |FROM l WHERE len(kept) >= 3 ORDER BY doc_id""".stripMargin,
     // binw = 20000/256 = 78.125 (dyadic): bin indices and their left
     // edges are exact in both engines, so this hash-matches
     "q135_hist_sql" ->

@@ -227,6 +227,48 @@ object TextAnalysis {
           col("stopword_n") >= minStopwords)
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the rule set behind the C4 corpus, reused by most web
+    * pipelines since): keep only lines that (a) end in terminal
+    * punctuation, (b) hold at least `minWordsPerLine` words, and
+    * (c) contain none of `badSubstrings` (C4 drops "javascript"
+    * lines); then drop whole documents that (d) retain fewer than
+    * `minLines` lines or (e) contain any of `dropDocsWith` anywhere
+    * (C4 drops pages with "{" — code — and "lorem ipsum"). The doc's
+    * text is REWRITTEN to the retained lines (newline-joined), which is
+    * what makes this a cleaner, not just a gate.
+    *
+    * Pure column functions — one narrow pass, no shuffle, no UDF: the
+    * per-line rules run as a `filter` HOF over the split array, so a
+    * 100 TB corpus cleans at scan speed. Sub-line boilerplate (an exact
+    * paragraph recurring across docs) is [[graft.ops.Dedup
+    * .removeDuplicateSpans]]'s job; this pass is line-local by design. */
+  def c4LineFilter(
+      df: DataFrame,
+      textCol: String = "text",
+      minWordsPerLine: Int = 3,
+      minLines: Int = 3,
+      badSubstrings: Seq[String] = Seq("javascript"),
+      dropDocsWith: Seq[String] = Seq("{", "lorem ipsum")): DataFrame = {
+    require(minWordsPerLine >= 1 && minLines >= 1,
+      s"minWordsPerLine and minLines must be >= 1, got " +
+        s"$minWordsPerLine / $minLines")
+    val kept = filter(split(col(textCol), "\n"), l => {
+      val t = trim(l)
+      val lineOk = t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= lit(minWordsPerLine)
+      badSubstrings.foldLeft(lineOk)((acc, b) =>
+        acc && !lower(l).contains(lit(b)))
+    })
+    val docOk = dropDocsWith.foldLeft(lit(true))((acc, b) =>
+      acc && !lower(col(textCol)).contains(lit(b)))
+    df.filter(docOk)
+      .withColumn(textCol, kept)
+      .filter(size(col(textCol)) >= minLines)
+      .withColumn("n_lines", size(col(textCol)))
+      .withColumn(textCol, array_join(col(textCol), "\n"))
+  }
+
   /** Corpus-trained unigram language-model score per document — the
     * deterministic core of CCNet-style perplexity filtering (public
     * recipe: score each doc under a small LM; outliers on either end are

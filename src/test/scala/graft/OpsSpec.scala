@@ -213,6 +213,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
   }
 
+  test("c4LineFilter: each line rule and both doc rules fire " +
+    "independently; text is rewritten to the kept lines") {
+    val df = Seq(
+      // 3 good lines + every line-level failure mode: unterminated,
+      // too short, bad substring (case-insensitive), whitespace-only
+      (1L, "alpha beta gamma stays here.\nsecond good line is kept!\n" +
+        "third fine line survives too?\nno terminal punctuation here\n" +
+        "too short.\nthis line has JavaScript inside.\n   \n"),
+      (2L, "one good line is not enough."),            // < minLines
+      (3L, "brace page code { drops.\nall of it.\nevery line."), // doc rule
+      (4L, "Lorem Ipsum filler page here.\ngone too.\nall of it."),
+      (5L, "quoted line ends fine \"\ngood second line right here.\n" +
+        "good third line right here."))                // quote is terminal
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out.keySet == Set(1L, 5L), s"doc gates: $out")
+    assert(out(1L) == (("alpha beta gamma stays here.\n" +
+      "second good line is kept!\nthird fine line survives too?", 3)))
+    assert(out(5L)._2 == 3)
+    // thresholds are parameters, not constants
+    assert(TextAnalysis.c4LineFilter(df, minLines = 1).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.c4LineFilter(df, minLines = 0))
+  }
+
   test("removeDuplicateSpans: later copies of a k-gram lose their tokens, first survives") {
     // doc 1 and doc 3 share an 8-token span; doc 1 is first → doc 3 loses it.
     val span = "one two three four five six seven eight"
