@@ -1030,6 +1030,39 @@ object QueriesLlm {
         .orderBy("doc_id")
     }),
 
+    // -- compression-ratio quality signal (CCNet / RedPajama-V2
+    //    `compression_ratio`): zlib has no cross-engine oracle, so this
+    //    is an AUDIT over invariants that must hold for a correct
+    //    deflate at a fixed level — (a) ratios on >= 64-byte docs land
+    //    in (0, 1.1] (the corpus's 40-word vocab compresses well under
+    //    1; even incompressible text only pays the zlib framing),
+    //    (b) DUPLICATION COMPRESSES: deflate's 32 KB window turns the
+    //    second copy of a doc into one back-reference, so
+    //    ratio(text ⧺ text) < ratio(text) for every doc, and (c) the
+    //    SQL-registered kernel is bitwise the Column kernel. Violations
+    //    = empty relation.
+    "q138_compression_audit" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val scored = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 64)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.compressionRatio(col("text")).as("r"),
+          TextAnalysis.compressionRatio(
+            concat(col("text"), lit(" "), col("text"))).as("r2"))
+      scored.createOrReplaceTempView("q138_scored")
+      val range = scored.filter(col("r") <= 0.0 || col("r") > 1.1)
+        .select(col("doc_id"), lit("ratio_out_of_range").as("violation"))
+      val dup = scored.filter(col("r2") >= col("r"))
+        .select(col("doc_id"),
+          lit("duplication_not_compressive").as("violation"))
+      val parity = s.sql(
+        "SELECT doc_id, deflate_ratio(text) AS r_sql FROM q138_scored")
+        .join(scored, "doc_id")
+        .filter(col("r_sql") =!= col("r"))
+        .select(col("doc_id"), lit("sql_parity").as("violation"))
+      range.union(dup).union(parity).orderBy("doc_id", "violation")
+    }),
+
     // -- persisted-sketch ROLLUP for heavy hitters (q129's warehouse
     //    shape with OUR mergeable sketch): per-shard MG summaries are
     //    stored through a REAL parquet round-trip (map<string,bigint>
@@ -1580,6 +1613,10 @@ object QueriesLlm {
         |WHERE false""".stripMargin,
     "q133_hist_rollup" ->
       """SELECT CAST(NULL AS VARCHAR) AS lang,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q138_compression_audit" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q136_c4_line_filter" ->

@@ -801,6 +801,29 @@ object QueriesRelational {
           round(expr("variant_get(var, '$.v', 'double')"), 4).as("v"),
           expr("variant_get(var, '$.missing', 'string')").as("absent"))
         .orderBy("event_id")
+    }),
+
+    // -- recursive CTE (Spark 4's WITH RECURSIVE — iterative UnionLoop
+    //    execution, each level one more join over the previous
+    //    frontier): nation read as an implicit binary tree
+    //    (parent(k) = (k-1) DIV 2, root 0) and traversed from the root,
+    //    carrying per-node depth and the root-path region-key sum —
+    //    the org-chart / BOM-explosion query shape relational engines
+    //    are asked for; DuckDB replays with its own WITH RECURSIVE.
+    "q137_recursive_cte" -> ((s, dir) => {
+      T(s, dir, "nation").createOrReplaceTempView("q137_nation")
+      s.sql(
+        """WITH RECURSIVE tree AS (
+          |  SELECT n_nationkey AS key, 0 AS depth,
+          |         CAST(n_regionkey AS BIGINT) AS path_sum
+          |  FROM q137_nation WHERE n_nationkey = 0
+          |  UNION ALL
+          |  SELECT n.n_nationkey AS key, t.depth + 1 AS depth,
+          |         t.path_sum + n.n_regionkey AS path_sum
+          |  FROM q137_nation n JOIN tree t
+          |    ON (n.n_nationkey - 1) DIV 2 = t.key
+          |  WHERE n.n_nationkey > 0)
+          |SELECT key, depth, path_sum FROM tree ORDER BY key""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -831,6 +854,18 @@ object QueriesRelational {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  round(value, 4) AS v, CAST(NULL AS VARCHAR) AS absent
         |FROM events ORDER BY event_id""".stripMargin,
+    "q137_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT n_nationkey AS key, 0 AS depth,
+        |         CAST(n_regionkey AS BIGINT) AS path_sum
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT n.n_nationkey AS key, t.depth + 1 AS depth,
+        |         t.path_sum + n.n_regionkey AS path_sum
+        |  FROM nation n JOIN tree t
+        |    ON (n.n_nationkey - 1) // 2 = t.key
+        |  WHERE n.n_nationkey > 0)
+        |SELECT key, depth, path_sum FROM tree ORDER BY key""".stripMargin,
     "q65_approx_pct_audit" ->
       """SELECT CAST(NULL AS VARCHAR) AS o_orderstatus,
         |  CAST(NULL AS VARCHAR) AS violation

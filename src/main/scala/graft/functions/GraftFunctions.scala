@@ -143,6 +143,16 @@ object GraftFunctions {
       GraftSqlBridge.expressionEager(graft.ops.Profiling.histPsi(
         GraftSqlBridge.column(args(0)),
         GraftSqlBridge.column(args(1))))
+    },
+    // compression-ratio quality signal; 1-arg form defaults to level 6
+    // (zlib's own default), 2-arg form pins the level explicitly
+    "deflate_ratio" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        s"deflate_ratio expects 1 or 2 arguments, got ${args.length}")
+      val level =
+        if (args.length == 2) litInt("deflate_ratio", "level", args(1))
+        else 6
+      DeflateRatio(args(0), level)
     })
 
   /** Register every kernel on a live session (temp functions, session

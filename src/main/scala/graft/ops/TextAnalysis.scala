@@ -227,6 +227,15 @@ object TextAnalysis {
           col("stopword_n") >= minStopwords)
   }
 
+  /** Compression-ratio quality signal (zlib-deflated bytes / raw
+    * bytes): the CCNet / RedPajama-V2 `compression_ratio` member of the
+    * quality-signal family — templated spam and boilerplate compress
+    * far below organic prose, so pipelines gate on both tails. Thin
+    * veneer over the codegen'd [[graft.functions.CompressExprs]]
+    * kernel; see there for determinism and framing caveats. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    graft.functions.CompressExprs.deflateRatio(text, level)
+
   /** C4-style LINE-level cleaning (Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — the rule set behind the C4 corpus, reused by most web
     * pipelines since): keep only lines that (a) end in terminal

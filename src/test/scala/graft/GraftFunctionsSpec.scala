@@ -189,6 +189,50 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
       .getDouble(0) == 20.0)
   }
 
+  test("deflate_ratio: deterministic zlib signal — repetition compresses, " +
+    "levels are literal-only construction params") {
+    GraftFunctions.register(spark)
+    val boiler = Array.fill(200)("spam spam buy now").mkString(" ")
+    val prose = (1 to 200).map(i => s"word$i item${i * 7 % 113}").mkString(" ")
+    val df = Seq((1L, boiler), (2L, prose), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    df.createOrReplaceTempView("dr_docs")
+    val out = spark.sql(
+      """SELECT id, deflate_ratio(text) AS r, deflate_ratio(text, 1) AS r1
+        |FROM dr_docs ORDER BY id""".stripMargin)
+      .collect()
+    val r = out.map(x => x.getLong(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(1L).get < 0.1, s"boilerplate must compress hard: ${r(1L)}")
+    assert(r(1L).get < r(2L).get && r(2L).get < 1.1,
+      s"varied prose compresses less: $r")
+    assert(r(3L).contains(1.0), "empty input reports 1.0, never div-by-zero")
+    assert(r(4L).isEmpty, "null text stays null")
+    // a faster level compresses no better than the default
+    assert(out(0).getDouble(2) >= r(1L).get)
+    // twice the SAME call is bit-identical (thread-local deflater reuse
+    // across rows cannot leak state between inputs)
+    val twice = spark.sql(
+      "SELECT deflate_ratio(text) = deflate_ratio(text) AS eq FROM dr_docs " +
+        "WHERE text IS NOT NULL")
+      .collect().map(_.getBoolean(0))
+    assert(twice.forall(identity))
+    // Column twin is the same kernel
+    val viaCol = df.filter($"id" === 1L)
+      .select(graft.ops.TextAnalysis.compressionRatio($"text")).head().getDouble(0)
+    assert(viaCol == r(1L).get)
+    // literal + range contracts
+    val e = intercept[Exception] {
+      spark.sql("SELECT deflate_ratio(text, CAST(rand() AS INT)) FROM dr_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT deflate_ratio(text, 12) FROM dr_docs").collect()
+    }
+    assert(bad.getMessage.contains("[1, 9]"))
+  }
+
   test("GraftSession.builder: configured session has kernels and the scale knobs") {
     val shared = spark
     SparkSession.clearActiveSession()
