@@ -824,6 +824,53 @@ object QueriesRelational {
           |    ON (n.n_nationkey - 1) DIV 2 = t.key
           |  WHERE n.n_nationkey > 0)
           |SELECT key, depth, path_sum FROM tree ORDER BY key""".stripMargin)
+    }),
+
+    // -- theta set-algebra sketches (the fourth persisted-sketch
+    //    family member: q129 HLL = distinct rollup, q132 MG = heavy
+    //    hitters, q133 = distributions, theta = SET ALGEBRA): one
+    //    sketch of l_orderkey per returnflag is STORED through a real
+    //    parquet round-trip, then |A∪N∪R|, |A∩R|, and |A\R| are
+    //    estimated from the stored bytes alone — the segment-overlap
+    //    question HLL structurally cannot answer. Audited vs exact
+    //    distinct counts: union within 5% (single-sketch rse ~1.6% at
+    //    lgK=12), intersection/difference within 10% (error scales
+    //    with |A∪B|/|A∩B| per the theta framework). Violations =
+    //    empty relation.
+    "q139_theta_audit" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.ThetaSketch
+      val li = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_orderkey").cast("string").as("ok"))
+      val skPath = Tables.scratchPath("graft-theta", dir)
+      li.groupBy("flag")
+        .agg(ThetaSketch.thetaSketch(col("ok")).as("sk"))
+        .write.mode("overwrite").parquet(skPath) // the stored sketch table
+      val stored = s.read.parquet(skPath)
+      val estUnion = stored.agg(ThetaSketch.thetaEstimate(
+        ThetaSketch.thetaUnion(col("sk"))).as("e")).head().getDouble(0)
+      val estInt = stored.filter(col("flag").isin("A", "R"))
+        .agg(ThetaSketch.thetaEstimate(
+          ThetaSketch.thetaIntersect(col("sk"))).as("e")).head().getDouble(0)
+      val estDiff = stored.filter(col("flag") === "A").select(col("sk").as("a"))
+        .crossJoin(stored.filter(col("flag") === "R").select(col("sk").as("r")))
+        .select(ThetaSketch.thetaEstimate(
+          ThetaSketch.thetaANotB(col("a"), col("r"))).as("e"))
+        .head().getDouble(0)
+      val aSet = li.filter(col("flag") === "A").select("ok").distinct()
+      val rSet = li.filter(col("flag") === "R").select("ok").distinct()
+      val exactUnion = li.select("ok").distinct().count().toDouble
+      val exactInt = aSet.intersect(rSet).count().toDouble
+      val exactDiff = aSet.except(rSet).count().toDouble
+      Seq(("union", estUnion, exactUnion, 0.05),
+        ("intersect", estInt, exactInt, 0.10),
+        ("diff", estDiff, exactDiff, 0.10))
+        .toDF("op", "est", "exact", "bound")
+        .filter(abs(col("est") - col("exact")) > col("bound") * col("exact"))
+        .select(col("op"), lit("estimate_out_of_band").as("violation"))
+        .orderBy("op")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -854,6 +901,10 @@ object QueriesRelational {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  round(value, 4) AS v, CAST(NULL AS VARCHAR) AS absent
         |FROM events ORDER BY event_id""".stripMargin,
+    "q139_theta_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS op,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
     "q137_recursive_cte" ->
       """WITH RECURSIVE tree AS (
         |  SELECT n_nationkey AS key, 0 AS depth,

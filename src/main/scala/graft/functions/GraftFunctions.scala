@@ -153,6 +153,39 @@ object GraftFunctions {
         if (args.length == 2) litInt("deflate_ratio", "level", args(1))
         else 6
       DeflateRatio(args(0), level)
+    },
+    // theta sketches — the set-algebra member of the persisted-sketch
+    // family (see graft.functions.ThetaSketch). Items cast to string
+    // like freq_items; the optional lgK literal sizes the sketch.
+    "theta_sketch_agg" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        s"theta_sketch_agg expects 1 or 2 arguments, got ${args.length}")
+      val lgK = if (args.length == 2)
+        litInt("theta_sketch_agg", "lgK", args(1)) else ThetaSketch.DefaultLgK
+      val item = org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.StringType)
+      ThetaSketchAgg(item, lgK).toAggregateExpression()
+    },
+    "theta_union_agg" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        s"theta_union_agg expects 1 or 2 arguments, got ${args.length}")
+      val lgK = if (args.length == 2)
+        litInt("theta_union_agg", "lgK", args(1)) else ThetaSketch.DefaultLgK
+      ThetaSetAgg(args(0), lgK, intersect = false).toAggregateExpression()
+    },
+    "theta_intersect_agg" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        s"theta_intersect_agg expects 1 or 2 arguments, got ${args.length}")
+      val lgK = if (args.length == 2)
+        litInt("theta_intersect_agg", "lgK", args(1))
+      else ThetaSketch.DefaultLgK
+      ThetaSetAgg(args(0), lgK, intersect = true).toAggregateExpression()
+    },
+    "theta_estimate" -> { args =>
+      arity("theta_estimate", 1, args); ThetaEstimate(args(0))
+    },
+    "theta_a_not_b" -> { args =>
+      arity("theta_a_not_b", 2, args); ThetaANotB(args(0), args(1))
     })
 
   /** Register every kernel on a live session (temp functions, session

@@ -419,6 +419,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected a PARTIAL sketch stage below the exchange:\n$p")
   }
 
+  test("deflate_ratio stays inside whole-stage codegen — no fallback " +
+    "projection in the scoring scan") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // a real scan: a projection over a local relation constant-folds at
+    // optimization time and leaves no codegen stage to inspect
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-plan-dr").toString + "/docs"
+    Seq((1L, "some text here"), (2L, "other words there"))
+      .toDF("id", "text").write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("ps_dr_docs")
+    val df = spark.sql(
+      "SELECT id, deflate_ratio(text) AS r FROM ps_dr_docs WHERE text IS NOT NULL")
+    val plan = df.queryExecution.executedPlan
+    val gen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(gen.nonEmpty &&
+      gen.exists(_.toString.toLowerCase.contains("deflate_ratio")),
+      s"the quality-signal projection must codegen (UDF would ser/de " +
+        s"every row):\n$plan")
+    df.collect() // the generated code must actually compile and run
+  }
+
   test("q123: the 2-dim range predicate reaches the z-ordered parquet " +
     "scan — pushdown is what turns tight file stats into skipped IO") {
     val p = plan("q123_zorder_scan")
