@@ -83,6 +83,46 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("bin"), col("cnt"))
 
+  /** Streaming DRIFT ALERT — the monitoring family's closing piece:
+    * each event-time window's value distribution is profiled against a
+    * STORED reference histogram (a row of the `profile:` table, or any
+    * [[graft.ops.Profiling.histSketch]] map) and only windows whose PSI
+    * exceeds `threshold` emit. Streaming allows one aggregation per
+    * query, so the whole window profile + PSI lives in ONE custom
+    * Aggregator whose buffer is the (nbins+2) counter array — state
+    * stays constant per open window regardless of stream rate — and
+    * whose finish replays [[graft.ops.Profiling.histPsi]]'s exact
+    * fold (same bin order, same ε floor, same operation order), so the
+    * emitted psi is BITWISE the batch kernel's (StreamsSpec pins the
+    * parity). Emits (window_start, n, hist, psi); batch frames work
+    * identically (the watermark is a no-op). */
+  def windowedDriftAlert(
+      events: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nbins: Int,
+      reference: Map[Int, Long],
+      threshold: Double,
+      windowLen: String = "1 hour",
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(reference.nonEmpty,
+      "drift needs a non-empty reference profile (an empty side has no " +
+        "distribution to drift from — histPsi would be null on every window)")
+    val agg = udaf(
+      new WindowDriftAggregator(lo, hi, nbins, reference),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen))
+      .agg(agg(col(valueCol).cast("double")).as("p"))
+      .select(col("window.start").as("window_start"),
+        col("p.n"), col("p.hist"), col("p.psi"))
+      .filter(col("psi") > lit(threshold))
+  }
+
   /** File-stream reader over a directory of event parquet (schema fixed
     * up front — streaming sources can't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
@@ -96,6 +136,8 @@ object Streams {
   // GENERATED code (batch mode never serializes state, so a private
   // constructor only breaks the streaming path)
   final case class SessionState(n: Long, start: Long, last: Long)
+  /** [[windowedDriftAlert]]'s per-window emission. */
+  final case class DriftProfile(n: Long, hist: Map[Int, Long], psi: Option[Double])
 
   // state timestamps are kept in MICROseconds: Timestamp.getTime is
   // millis-precision and would silently truncate the micro component of
@@ -728,4 +770,71 @@ object Streams {
           }
       }
   }
+}
+
+/** The one-aggregation window profiler behind
+  * [[Streams.windowedDriftAlert]]: buffer = (nbins+2) counters
+  * (underflow/overflow carried like [[graft.ops.Profiling.binOf]]),
+  * finish = the histogram map plus a PSI replaying
+  * [[graft.ops.Profiling.histPsi]]'s exact fold — same sorted-bin
+  * order (the window map's keys are ascending by construction; pass a
+  * sorted-key reference for bitwise parity), same ε floor, same
+  * per-bin operation order, natural log. */
+private[graft] class WindowDriftAggregator(
+    lo: Double,
+    hi: Double,
+    nbins: Int,
+    reference: Map[Int, Long])
+    extends org.apache.spark.sql.expressions
+      .Aggregator[Double, Array[Long], Streams.DriftProfile] {
+  require(nbins >= 1 && hi > lo, "need nbins >= 1 and hi > lo")
+  require(reference.nonEmpty, "reference profile must be non-empty")
+
+  private val width = (hi - lo) / nbins
+
+  override def zero: Array[Long] = new Array[Long](nbins + 2)
+
+  override def reduce(b: Array[Long], v: Double): Array[Long] = {
+    // identical arithmetic to Profiling.binOf so stream and batch
+    // profiles of the same rows are map-for-map equal
+    val bin =
+      if (v < lo) -1
+      else if (v >= hi) nbins
+      else math.floor((v - lo) / width).toInt
+    b(bin + 1) += 1L
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Streams.DriftProfile = {
+    val hist = scala.collection.immutable.ListMap(
+      r.indices.filter(r(_) > 0L).map(i => (i - 1) -> r(i)): _*)
+    val n = r.sum
+    val psi = {
+      val (ta, tb) = (n.toDouble, reference.values.sum.toDouble)
+      if (ta == 0.0 || tb == 0.0) None
+      else {
+        val bins = hist.keys.toSeq ++
+          reference.keys.toSeq.sorted.filterNot(hist.contains)
+        var acc = 0.0
+        bins.foreach { bin =>
+          val pa = math.max(hist.getOrElse(bin, 0L).toDouble / ta, 1e-6)
+          val pb = math.max(reference.getOrElse(bin, 0L).toDouble / tb, 1e-6)
+          acc += (pa - pb) * math.log(pa / pb)
+        }
+        Some(acc)
+      }
+    }
+    Streams.DriftProfile(n, hist, psi)
+  }
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Streams.DriftProfile] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.DriftProfile]()
 }

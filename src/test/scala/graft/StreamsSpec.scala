@@ -136,6 +136,56 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedDriftAlert: only drifted windows emit; psi is bitwise " +
+    "the batch histPsi kernel; state is bin-bounded by construction") {
+    import scala.collection.immutable.ListMap
+    // reference profile: the steady distribution (bins 0,1,2 evenly)
+    val reference = ListMap(0 -> 2L, 1 -> 2L, 2 -> 2L)
+    val steady = Seq((tsAt(10, 1), 5.0), (tsAt(10, 2), 15.0),
+      (tsAt(10, 3), 25.0), (tsAt(10, 10), 7.0), (tsAt(10, 11), 17.0),
+      (tsAt(10, 12), 27.0))
+    val drifted = Seq((tsAt(11, 1), 500.0), (tsAt(11, 2), 500.0),
+      (tsAt(11, 3), 5.0))
+    val late = Seq((tsAt(14, 0), 15.0)) // closes both windows
+    val dir = java.nio.file.Files.createTempDirectory("graft-da-stream").toString
+    writeSourceBatch(dir, (steady ++ drifted).toDF("ts", "v"), 0)
+    writeSourceBatch(dir, late.toDF("ts", "v"), 1)
+    val stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.windowedDriftAlert(
+      stream, "v", 0.0, 100.0, 10, reference, threshold = 0.25)
+      .writeStream.format("memory").queryName("da_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("da_stream")
+        .as[(java.sql.Timestamp, Long, Map[Int, Long], Double)].collect()
+      assert(out.map(_._1).toSeq == Seq(tsAt(11, 0)),
+        s"only the drifted window may alert: ${out.toSeq}")
+      val (_, n, hist, psi) = out.head
+      assert(n == 3L && hist == Map(0 -> 1L, 10 -> 2L),
+        s"window profile: $n / $hist")
+      // bitwise parity with the batch kernel on the same two maps
+      val batchPsi = spark.range(1)
+        .select(graft.ops.Profiling.histPsi(
+          org.apache.spark.sql.functions.typedLit(ListMap(0 -> 1L, 10 -> 2L)),
+          org.apache.spark.sql.functions.typedLit(reference)))
+        .head().getDouble(0)
+      assert(psi == batchPsi && psi > 0.25,
+        s"stream psi must be the batch kernel bitwise: $psi vs $batchPsi")
+    } finally q.stop()
+    // batch mode: same expression, both windows score, steady ~0 drift
+    val batch = Streams.windowedDriftAlert(
+      (steady ++ drifted).toDF("ts", "v"), "v", 0.0, 100.0, 10,
+      reference, threshold = -1.0) // emit everything
+      .as[(java.sql.Timestamp, Long, Map[Int, Long], Double)]
+      .collect().sortBy(_._1.getTime)
+    assert(batch.length == 2 && math.abs(batch.head._4) < 1e-9,
+      s"steady window drifts ~0: ${batch.toSeq}")
+    intercept[IllegalArgumentException](Streams.windowedDriftAlert(
+      steady.toDF("ts", "v"), "v", 0, 100, 10, Map.empty, 0.25))
+  }
+
   test("readEventStream produces a streaming frame with the fixed schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val sdf = Streams.readEventStream(spark, dir)
