@@ -94,6 +94,13 @@ final case class StageSpec(
     profileHi: Double = 0.0, // — fixed edges are what make stored
                              // profiles exactly mergeable/comparable
     profileBins: Int = 64,
+    profileMaxPsi: Double = 0.0, // > 0: a bad-data circuit breaker —
+                                 // refuse the load BEFORE any write when
+                                 // the incoming batch's profile_column
+                                 // distribution drifts past this PSI vs
+                                 // the NEWEST stored profile row
+                                 // (requires profile:; 0 = off; first
+                                 // load has no baseline and never trips)
     deleteWhere: String = "", // post-load predicate purge on the TARGET
                               // (row-level TTL / GDPR erasure): every
                               // target row matching this SQL boolean is
@@ -238,6 +245,7 @@ object PipelineSpec {
       profileLo = str("profile_lo", "0").toDouble,
       profileHi = str("profile_hi", "0").toDouble,
       profileBins = str("profile_bins", "64").toInt,
+      profileMaxPsi = str("profile_max_psi", "0").toDouble,
       deleteWhere = str("delete_where", ""),
       subscribeFeed = str("subscribe_feed", ""),
       consumerName = str("consumer_name", ""),

@@ -323,6 +323,12 @@ final class Runner(
         s"stage ${stage.name}: profile_bins must be >= 1, " +
           s"got ${stage.profileBins}")
     }
+    require(stage.profileMaxPsi == 0.0 || stage.profileTable.nonEmpty,
+      s"stage ${stage.name}: profile_max_psi needs profile: " +
+        "(the stored profile is the drift baseline)")
+    require(stage.profileMaxPsi >= 0.0,
+      s"stage ${stage.name}: profile_max_psi must be >= 0, " +
+        s"got ${stage.profileMaxPsi}")
     val derived = Seq(
       ("change_feed", stage.changeFeed, false),
       ("minhash_index", stage.minhashIndex, true),
@@ -383,6 +389,39 @@ final class Runner(
     // shape. Without it, mergeIntoParquet still auto-delegates when the
     // path already holds a bucketed layout, so a stage can't silently
     // flatten a target created with buckets.
+    // `profile_max_psi:` — the bad-data circuit breaker: refuse the
+    // load BEFORE any write when the incoming batch's profile_column
+    // distribution drifts past the bound vs the NEWEST stored profile
+    // row (a corrupted extract should not reach the table; the operator
+    // raises the bound or drops the key to override). Opt-in because it
+    // evaluates the batch plan once more than the merge alone — the
+    // batch is persisted across the check + merge so the extract never
+    // runs twice. First load (no stored profile) and delete batches
+    // (ids, no distribution) never trip.
+    val driftGuard = stage.profileTable.nonEmpty &&
+      stage.profileMaxPsi > 0.0 && stage.loadType != "delete" &&
+      df.columns.contains(stage.profileColumn)
+    if (driftGuard) {
+      df.persist()
+      graft.ops.Profiling
+        .latestProfile(spark, targetPath(stage.profileTable))
+        .foreach { case (refV, ref) =>
+          graft.ops.Profiling.batchDrift(df, stage.profileColumn,
+            stage.profileLo, stage.profileHi, stage.profileBins, ref)
+            .foreach { psi =>
+              if (psi > stage.profileMaxPsi) {
+                df.unpersist()
+                throw new IllegalStateException(
+                  f"stage ${stage.name}: incoming batch drifts PSI=$psi%.4f" +
+                    f" > profile_max_psi=${stage.profileMaxPsi}%.4f vs " +
+                    s"stored profile version $refV of " +
+                    s"${stage.profileTable} (column " +
+                    s"${stage.profileColumn}) — refusing to load; inspect " +
+                    "the extract, or raise/remove profile_max_psi")
+              }
+            }
+        }
+    }
     if (stage.buckets > 0)
       graft.sink.BucketedMergeSink.merge(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
@@ -404,6 +443,7 @@ final class Runner(
         spark, df, path, stage.loadType, stage.key, stage.identifier,
         stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions,
         scd2Ts = Hydrate(stage.scd2Ts, ph))
+    if (driftGuard) df.unpersist()
     // `delete_where:` purges matching target rows right after the load —
     // row-level TTL / GDPR erasure as a stage property (the hydrated
     // predicate lets a retention cutoff ride placeholders). Runs BEFORE

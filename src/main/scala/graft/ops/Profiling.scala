@@ -124,6 +124,60 @@ object Profiling {
     * syncs, nothing downstream depends on per-version continuity).
     *
     * Returns the newly profiled version ids. */
+  // the version ids a profile table holds (completed rows only — a torn
+  // dir without _SUCCESS is invisible, same contract as the catch-up)
+  private def profiledVersions(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(profilePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("version=") =>
+        s.stripPrefix("version=").toLong }
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"version=$v/_SUCCESS")))
+      .sorted
+  }
+
+  // stored profile maps are tiny — <= nbins+2 entries
+  private def readStoredHist(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String,
+      v: Long): Map[Int, Long] =
+    spark.read.parquet(s"$profilePath/version=$v")
+      .select(explode(col("hist")).as(Seq("bin", "cnt")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** The NEWEST stored profile row, as (version, hist) — the reference
+    * a drift gate compares an incoming batch against. None while the
+    * profile table is empty (a first load has no baseline). */
+  def latestProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String): Option[(Long, Map[Int, Long])] =
+    profiledVersions(spark, profilePath).lastOption
+      .map(v => v -> readStoredHist(spark, profilePath, v))
+
+  /** PSI of a batch's `column` distribution against a stored reference
+    * map — one aggregation over the batch (the global [[histSketch]])
+    * plus the [[histPsi]] column kernel, so batch and stored-profile
+    * drift scores are the same arithmetic. None when the batch holds
+    * no non-null values (nothing to judge). */
+  def batchDrift(
+      batch: DataFrame,
+      column: String,
+      lo: Double,
+      hi: Double,
+      nbins: Int,
+      reference: Map[Int, Long]): Option[Double] = {
+    val rows = histSketch(batch, column, lo, hi, nbins, Seq.empty)
+      .select(histPsi(col("hist"),
+        typedLit(scala.collection.immutable.ListMap(
+          reference.toSeq.sortBy(_._1): _*))).as("psi"))
+      .collect()
+    rows.headOption.collect { case r if !r.isNullAt(0) => r.getDouble(0) }
+  }
+
   def syncProfile(
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String,
@@ -133,29 +187,19 @@ object Profiling {
       hi: Double,
       nbins: Int): Seq[Long] = {
     import graft.sink.BucketedMergeSink
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(profilePath)
-    val fs = root.getFileSystem(hconf)
-    def profiled(v: Long): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(root, s"version=$v/_SUCCESS"))
     val versions = BucketedMergeSink.manifestVersions(spark, targetPath).sorted
-    val pending = versions.filterNot(profiled)
-    // stored profile maps are tiny — <= nbins+2 entries
+    val profiledSet = profiledVersions(spark, profilePath).toSet
+    val pending = versions.filterNot(profiledSet)
     def readHist(v: Long): Map[Int, Long] =
-      spark.read.parquet(s"$profilePath/version=$v")
-        .select(explode(col("hist")).as(Seq("bin", "cnt")))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      readStoredHist(spark, profilePath, v)
     // drift baseline: the newest version the PROFILE TABLE holds below
     // the first pending one — the profile's history outlives the
     // target's retention window (that is what it is FOR), so the
     // baseline must come from the stored rows, not the manifest
     var prev: Option[Map[Int, Long]] =
-      (if (fs.exists(root))
-        fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .collect { case s if s.startsWith("version=") =>
-            s.stripPrefix("version=").toLong }
-          .filter(v => profiled(v) && pending.headOption.forall(v < _))
-       else Nil).sorted.lastOption.map(readHist)
+      profiledVersions(spark, profilePath)
+        .filter(v => pending.headOption.forall(v < _))
+        .lastOption.map(readHist)
     pending.foreach { v =>
       val snap = BucketedMergeSink.readVersion(spark, targetPath, v)
       val profile = histSketch(snap, column, lo, hi, nbins, Seq.empty)

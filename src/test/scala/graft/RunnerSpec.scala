@@ -331,6 +331,69 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       "\n    profile_bins: 0", "profile_bins")
   }
 
+  test("profile_max_psi: a drifted incoming batch refuses BEFORE any " +
+    "write; in-band batches load; the first load never trips") {
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0),
+      (11L, 500.0), (12L, 600.0), (13L, 700.0), (14L, 800.0))
+      .toDF("id", "v").createOrReplaceTempView("gate_src")
+    val root = Files.createTempDirectory("graft-runner-gate").toString
+    def yaml(pred: String) =
+      s"""pypelines:
+         |  p: [sg]
+         |pypes:
+         |  sg:
+         |    extract_query: "SELECT id, v FROM gate_src WHERE $pred"
+         |    target_table: tgt_gate
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    profile: tgt_gate_profile
+         |    profile_column: v
+         |    profile_lo: 0
+         |    profile_hi: 100
+         |    profile_bins: 10
+         |    profile_max_psi: 0.5
+         |""".stripMargin
+    // first load: no stored profile yet -> no baseline, never trips
+    new Runner(spark, PipelineSpec.fromYaml(yaml("id <= 3")),
+      Map.empty, root).run("p")
+    // drifted batch (all overflow) refuses BEFORE the write: the target
+    // keeps exactly its first version and the profile table one row
+    val e = intercept[IllegalStateException](
+      new Runner(spark, PipelineSpec.fromYaml(yaml("id > 10")),
+        Map.empty, root).run("p"))
+    assert(e.getMessage.contains("profile_max_psi") &&
+      e.getMessage.contains("refusing to load"), e.getMessage)
+    assert(graft.sink.BucketedMergeSink
+      .manifestVersions(spark, s"$root/tgt_gate").length == 1,
+      "the refused batch must not have committed a version")
+    assert(spark.read.parquet(s"$root/tgt_gate_profile").count() == 1)
+    // an in-band batch (the same distribution -> PSI 0) sails through;
+    // note PSI is strict about MISSING mass too — a batch holding only
+    // bins 1,2 of a 1,2,3 baseline scores ~4.2, which is the point
+    new Runner(spark, PipelineSpec.fromYaml(yaml("id <= 3")),
+      Map.empty, root).run("p")
+    assert(graft.sink.BucketedMergeSink
+      .manifestVersions(spark, s"$root/tgt_gate").max == 2,
+      "the in-band batch must have committed version 2")
+    // misconfiguration: the gate without its baseline refuses up front
+    val badYaml =
+      """pypelines:
+        |  p: [bad]
+        |pypes:
+        |  bad:
+        |    extract_query: "SELECT id, v FROM gate_src"
+        |    target_table: tgt_gate_bad
+        |    key: [id]
+        |    profile_max_psi: 0.5
+        |""".stripMargin
+    val bad = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(badYaml), Map.empty, root)
+        .run("p"))
+    assert(bad.getMessage.contains("profile_max_psi") &&
+      bad.getMessage.contains("profile:"), bad.getMessage)
+  }
+
   test("lsh_index and semantic_index: each run keeps the embedding " +
     "postings (and the frozen centroid model) in lockstep with the target") {
     val rows = Seq(
