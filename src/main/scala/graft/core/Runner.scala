@@ -322,6 +322,13 @@ final class Runner(
       require(stage.profileBins >= 1,
         s"stage ${stage.name}: profile_bins must be >= 1, " +
           s"got ${stage.profileBins}")
+      // same contract as Streams.streamingMergeWithProfile: a profile
+      // over scd2 snapshots would count CLOSED history rows alongside
+      // current ones — a distribution of bookkeeping, not of the data
+      require(stage.loadType != "scd2",
+        s"stage ${stage.name}: profile over an scd2 target would " +
+          "double-count closed history rows — profile the current view " +
+          "in a downstream stage instead")
     }
     require(stage.profileMaxPsi == 0.0 || stage.profileTable.nonEmpty,
       s"stage ${stage.name}: profile_max_psi needs profile: " +

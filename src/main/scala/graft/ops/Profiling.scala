@@ -106,24 +106,6 @@ object Profiling {
     when(ta === 0.0 || tb === 0.0, lit(null).cast("double")).otherwise(raw)
   }
 
-  /** Config-synced corpus profiling for a bucketed merge target (the
-    * `profile:` stage key; the monitoring sibling of the
-    * `minhash_index:`/`lsh_index:`/`semantic_index:` maintenance keys):
-    * after each load, every RETAINED target version without a profile
-    * row gets one — `(n, hist, psi_prev)` under `profilePath/
-    * version=<v>/` — where `hist` is the global [[histSketch]] of
-    * `column` over that snapshot and `psi_prev` is the [[histPsi]]
-    * drift vs the previous profiled version (null for the first). The
-    * version-partition dir with its `_SUCCESS` marker IS the
-    * idempotency marker (same contract as the outbox/index catch-ups:
-    * overwrite-per-version, a crash mid-write leaves no `_SUCCESS` and
-    * re-profiles next run; already-profiled versions are never
-    * recomputed). Versions that fell out of retention before ever
-    * being profiled are a monitoring GAP, not an error — their rows
-    * cannot be computed and the catch-up moves on (unlike the index
-    * syncs, nothing downstream depends on per-version continuity).
-    *
-    * Returns the newly profiled version ids. */
   // the version ids a profile table holds (completed rows only — a torn
   // dir without _SUCCESS is invisible, same contract as the catch-up)
   private def profiledVersions(
@@ -178,6 +160,24 @@ object Profiling {
     rows.headOption.collect { case r if !r.isNullAt(0) => r.getDouble(0) }
   }
 
+  /** Config-synced corpus profiling for a bucketed merge target (the
+    * `profile:` stage key; the monitoring sibling of the
+    * `minhash_index:`/`lsh_index:`/`semantic_index:` maintenance keys):
+    * after each load, every RETAINED target version without a profile
+    * row gets one — `(n, hist, psi_prev)` under `profilePath/
+    * version=<v>/` — where `hist` is the global [[histSketch]] of
+    * `column` over that snapshot and `psi_prev` is the [[histPsi]]
+    * drift vs the previous profiled version (null for the first). The
+    * version-partition dir with its `_SUCCESS` marker IS the
+    * idempotency marker (same contract as the outbox/index catch-ups:
+    * overwrite-per-version, a crash mid-write leaves no `_SUCCESS` and
+    * re-profiles next run; already-profiled versions are never
+    * recomputed). Versions that fell out of retention before ever
+    * being profiled are a monitoring GAP, not an error — their rows
+    * cannot be computed and the catch-up moves on (unlike the index
+    * syncs, nothing downstream depends on per-version continuity).
+    *
+    * Returns the newly profiled version ids. */
   def syncProfile(
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String,

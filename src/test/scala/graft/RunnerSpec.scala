@@ -329,6 +329,9 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     failing("    buckets: 4\n    profile_column: v", "profile_hi")
     failing("    buckets: 4\n    profile_column: v\n    profile_hi: 100" +
       "\n    profile_bins: 0", "profile_bins")
+    failing("    buckets: 4\n    profile_column: v\n    profile_hi: 100" +
+      "\n    type: scd2\n    scd2_ts: \"2024-01-01 00:00:00\"",
+      "scd2") // closed history rows would double-count
   }
 
   test("profile_max_psi: a drifted incoming batch refuses BEFORE any " +
