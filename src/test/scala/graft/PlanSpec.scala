@@ -419,6 +419,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected a PARTIAL sketch stage below the exchange:\n$p")
   }
 
+  test("theta_sketch_agg plans its partial below the exchange — raw " +
+    "values never ride the shuffle") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    (1 to 200).map(i => (i % 5, s"u${i % 37}")).toDF("g", "item")
+      .createOrReplaceTempView("ps_theta_rows")
+    val df = spark.sql(
+      "SELECT g, theta_sketch_agg(item) AS sk FROM ps_theta_rows GROUP BY g")
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("objecthashaggregate"),
+      s"expected ObjectHashAggregate for the theta Union gadget:\n$p")
+    assert(p.contains("partial_theta_sketch_agg"),
+      s"expected a PARTIAL sketch stage below the exchange — without " +
+        s"it every raw item ships through the shuffle:\n$p")
+  }
+
   test("deflate_ratio stays inside whole-stage codegen — no fallback " +
     "projection in the scoring scan") {
     graft.functions.GraftFunctions.register(spark)
