@@ -728,6 +728,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.ivfPqTopK(noVecs, noVecs, k = 1)
     }
+    // the r14 text/profiling family: empty in, empty (or None) out
+    assert(TextAnalysis.c4LineFilter(noDocs).count() == 0)
+    assert(noDocs
+      .select(TextAnalysis.compressionRatio(col("text"))).count() == 0)
+    assert(graft.ops.Profiling.histSketch(
+      noDocs.select(col("doc_id").as("v")), "v", 0, 10, 4, Seq.empty)
+      .select(map_entries(col("hist"))).head().getSeq[Any](0).isEmpty,
+      "a global sketch of nothing is the empty map, not a crash")
+    assert(graft.ops.Profiling.batchDrift(
+      noDocs.select(col("doc_id").cast("double").as("v")),
+      "v", 0, 10, 4, Map(0 -> 1L)).isEmpty,
+      "no rows -> no distribution -> no drift verdict")
   }
 
   test("asof: null keys never match (equi-join semantics)") {
