@@ -1624,7 +1624,7 @@ object QueriesLlm {
         |  SELECT doc_id, list_filter(
         |    string_split(regexp_replace(text,
         |      '((\S+ ){5}\S+) ?', '\1.' || chr(10), 'g'), chr(10)),
-        |    x -> regexp_matches(x, '[.!?"]$')
+        |    x -> regexp_matches(trim(x), '[.!?"]$')
         |         AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
         |         AND NOT contains(lower(x), 'spark')) AS kept
         |  FROM documents

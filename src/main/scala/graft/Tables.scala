@@ -34,13 +34,29 @@ object Tables {
   private val loadCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  // eviction bound: cached DataFrames strongly reference their
+  // SparkSession, so without one a long-lived host JVM that creates
+  // many sessions (test suites, repeated bench families, embedders)
+  // would leak every stopped session's state for the process lifetime.
+  // Generous enough that the battery's handful of live sessions never
+  // thrash; past it, every OTHER session's entries drop (re-inference
+  // is the only cost) while the requesting session keeps its plans.
+  private[graft] val loadCacheCap = 256
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // sessionUuid, not identityHashCode: identity hashes can collide
     // across sessions after GC churn, and a collision would hand one
     // session a DataFrame bound to another's state
-    loadCache.computeIfAbsent(
-      (org.apache.spark.sql.GraftSqlBridge.sessionUuid(spark), dir, name),
-      _ => loadUncached(spark, dir, name))
+    val sid = org.apache.spark.sql.GraftSqlBridge.sessionUuid(spark)
+    val df = loadCache.computeIfAbsent(
+      (sid, dir, name), _ => loadUncached(spark, dir, name))
+    if (loadCache.size > loadCacheCap)
+      loadCache.keySet.removeIf(k => k._1 != sid)
+    df
+  }
+
+  // spec hook: TablesSpec pins that session churn cannot grow the cache
+  private[graft] def loadCacheSize: Int = loadCache.size
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.LongType

@@ -406,51 +406,69 @@ final class Runner(
     // runs twice. First load (no stored profile) and delete batches
     // (ids, no distribution) never trip.
     val driftGuard = stage.profileTable.nonEmpty &&
-      stage.profileMaxPsi > 0.0 && stage.loadType != "delete" &&
-      df.columns.contains(stage.profileColumn)
-    if (driftGuard) {
-      df.persist()
-      graft.ops.Profiling
-        .latestProfile(spark, targetPath(stage.profileTable))
-        .foreach { case (refV, ref) =>
-          graft.ops.Profiling.batchDrift(df, stage.profileColumn,
-            stage.profileLo, stage.profileHi, stage.profileBins, ref)
-            .foreach { psi =>
-              if (psi > stage.profileMaxPsi) {
-                df.unpersist()
-                throw new IllegalStateException(
-                  f"stage ${stage.name}: incoming batch drifts PSI=$psi%.4f" +
-                    f" > profile_max_psi=${stage.profileMaxPsi}%.4f vs " +
-                    s"stored profile version $refV of " +
-                    s"${stage.profileTable} (column " +
-                    s"${stage.profileColumn}) — refusing to load; inspect " +
-                    "the extract, or raise/remove profile_max_psi")
+      stage.profileMaxPsi > 0.0 && stage.loadType != "delete"
+    // a guarded load whose extract DROPPED the profiled column is
+    // exactly the corrupted-extract scenario the breaker exists for —
+    // skipping the gate silently would wave it straight through
+    if (driftGuard)
+      require(df.columns.contains(stage.profileColumn),
+        s"stage ${stage.name}: profile_max_psi guards column " +
+          s"${stage.profileColumn} but the extract does not produce it — " +
+          "refusing to load (a drift guard must not silently disarm when " +
+          "the profiled column vanishes)")
+    // the batch is persisted across the drift check + merge so the
+    // extract never runs twice; try/finally so a merge/maintenance
+    // failure can't leak the persisted batch in the block manager
+    if (driftGuard) df.persist()
+    try {
+      if (driftGuard) {
+        // the gate bins the batch with the STAGE's edges — refuse when
+        // the stored reference was built under a different binning
+        graft.ops.Profiling.requireBinningMatch(
+          spark, targetPath(stage.profileTable),
+          stage.profileLo, stage.profileHi, stage.profileBins)
+        graft.ops.Profiling
+          .latestProfile(spark, targetPath(stage.profileTable))
+          .foreach { case (refV, ref) =>
+            graft.ops.Profiling.batchDrift(df, stage.profileColumn,
+              stage.profileLo, stage.profileHi, stage.profileBins, ref)
+              .foreach { psi =>
+                if (psi > stage.profileMaxPsi) {
+                  throw new IllegalStateException(
+                    f"stage ${stage.name}: incoming batch drifts PSI=$psi%.4f" +
+                      f" > profile_max_psi=${stage.profileMaxPsi}%.4f vs " +
+                      s"stored profile version $refV of " +
+                      s"${stage.profileTable} (column " +
+                      s"${stage.profileColumn}) — refusing to load; inspect " +
+                      "the extract, or raise/remove profile_max_psi")
+                }
               }
-            }
-        }
+          }
+      }
+      if (stage.buckets > 0)
+        graft.sink.BucketedMergeSink.merge(
+          spark, df, path, stage.loadType, stage.key, stage.identifier,
+          stage.fieldsExcludedFromUpdate, numBuckets = stage.buckets,
+          // persisted into the layout at creation; on an existing target a
+          // non-zero value must match the layout's (sink contract)
+          retainVersions = stage.retainVersions,
+          // scd2_ts hydrates like the extract: an incremental scd2 pipeline
+          // passes each run's batch timestamp as a placeholder — a
+          // hardcoded literal would stamp every run's versions identically
+          scd2Ts = Hydrate(stage.scd2Ts, ph))
+      else
+        // retention rides along: the target may already BE a bucketed
+        // layout (validated above when retain_versions != 0), and
+        // mergeIntoParquet delegates to the bucketed sink in that case —
+        // dropping the stage's value here would silently shrink the
+        // retention window the user configured
+        MergeSink.mergeIntoParquet(
+          spark, df, path, stage.loadType, stage.key, stage.identifier,
+          stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions,
+          scd2Ts = Hydrate(stage.scd2Ts, ph))
+    } finally {
+      if (driftGuard) df.unpersist()
     }
-    if (stage.buckets > 0)
-      graft.sink.BucketedMergeSink.merge(
-        spark, df, path, stage.loadType, stage.key, stage.identifier,
-        stage.fieldsExcludedFromUpdate, numBuckets = stage.buckets,
-        // persisted into the layout at creation; on an existing target a
-        // non-zero value must match the layout's (sink contract)
-        retainVersions = stage.retainVersions,
-        // scd2_ts hydrates like the extract: an incremental scd2 pipeline
-        // passes each run's batch timestamp as a placeholder — a
-        // hardcoded literal would stamp every run's versions identically
-        scd2Ts = Hydrate(stage.scd2Ts, ph))
-    else
-      // retention rides along: the target may already BE a bucketed
-      // layout (validated above when retain_versions != 0), and
-      // mergeIntoParquet delegates to the bucketed sink in that case —
-      // dropping the stage's value here would silently shrink the
-      // retention window the user configured
-      MergeSink.mergeIntoParquet(
-        spark, df, path, stage.loadType, stage.key, stage.identifier,
-        stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions,
-        scd2Ts = Hydrate(stage.scd2Ts, ph))
-    if (driftGuard) df.unpersist()
     // `delete_where:` purges matching target rows right after the load —
     // row-level TTL / GDPR erasure as a stage property (the hydrated
     // predicate lets a retention cutoff ride placeholders). Runs BEFORE

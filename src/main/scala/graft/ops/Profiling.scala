@@ -131,6 +131,42 @@ object Profiling {
       .select(explode(col("hist")).as(Seq("bin", "cnt")))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+  // the binning a profile table's newest row was built with; None while
+  // the table is empty (rows are always written with the stamp — see
+  // syncProfile — so a populated table always answers)
+  private def storedBinning(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String): Option[(Double, Double, Int)] =
+    profiledVersions(spark, profilePath).lastOption.flatMap { v =>
+      val df = spark.read.parquet(s"$profilePath/version=$v")
+      if (!Seq("lo", "hi", "nbins").forall(df.columns.contains)) None
+      else df.select("lo", "hi", "nbins").collect().headOption
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2)))
+    }
+
+  /** Refuse when the configured binning no longer matches the binning
+    * the stored profile rows were built with: bin indices from
+    * different edges are incomparable, so every PSI / quantile read
+    * against the stored reference would be silently meaningless.
+    * Called by [[syncProfile]] and the Runner's `profile_max_psi`
+    * gate; a no-op while the profile table is empty. */
+  def requireBinningMatch(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String,
+      lo: Double,
+      hi: Double,
+      nbins: Int): Unit =
+    storedBinning(spark, profilePath).foreach { case (slo, shi, sn) =>
+      if (slo != lo || shi != hi || sn != nbins)
+        throw new IllegalStateException(
+          s"profile table $profilePath holds sketches binned " +
+            s"[$slo, $shi) x $sn but the configuration now says " +
+            s"[$lo, $hi) x $nbins — bin indices from different edges " +
+            "are incomparable and every drift/quantile read would be " +
+            "meaningless; restore the original profile_lo/hi/bins, or " +
+            "point profile: at a fresh path to re-baseline")
+    }
+
   /** The NEWEST stored profile row, as (version, hist) — the reference
     * a drift gate compares an incoming batch against. None while the
     * profile table is empty (a first load has no baseline). */
@@ -164,8 +200,8 @@ object Profiling {
     * `profile:` stage key; the monitoring sibling of the
     * `minhash_index:`/`lsh_index:`/`semantic_index:` maintenance keys):
     * after each load, every RETAINED target version without a profile
-    * row gets one — `(n, hist, psi_prev)` under `profilePath/
-    * version=<v>/` — where `hist` is the global [[histSketch]] of
+    * row gets one — `(n, hist, psi_prev, lo, hi, nbins)` under
+    * `profilePath/version=<v>/` — where `hist` is the global [[histSketch]] of
     * `column` over that snapshot and `psi_prev` is the [[histPsi]]
     * drift vs the previous profiled version (null for the first). The
     * version-partition dir with its `_SUCCESS` marker IS the
@@ -187,6 +223,9 @@ object Profiling {
       hi: Double,
       nbins: Int): Seq[Long] = {
     import graft.sink.BucketedMergeSink
+    // a profile table is one binning's history — a silent edge change
+    // would splice incomparable bin indices into the same table
+    requireBinningMatch(spark, profilePath, lo, hi, nbins)
     val versions = BucketedMergeSink.manifestVersions(spark, targetPath).sorted
     val profiledSet = profiledVersions(spark, profilePath).toSet
     val pending = versions.filterNot(profiledSet)
@@ -211,7 +250,11 @@ object Profiling {
         case None => profile.withColumn("psi_prev",
           lit(null).cast("double"))
       }
-      withPsi.select(col("n"), col("hist"), col("psi_prev"))
+      // lo/hi/nbins ride every row so a future run under a CHANGED
+      // binning config is refused (requireBinningMatch) instead of
+      // comparing bin indices from incompatible edges
+      withPsi.select(col("n"), col("hist"), col("psi_prev"),
+          lit(lo).as("lo"), lit(hi).as("hi"), lit(nbins).as("nbins"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$profilePath/version=$v")
       prev = Some(readHist(v))

@@ -304,6 +304,16 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     // idempotent: everything retained is already profiled
     assert(graft.ops.Profiling.syncProfile(spark, s"$root/tgt_prof",
       s"$root/tgt_prof_profile", "v", 0, 100, 10).isEmpty)
+    // every stored row carries its binning stamp, and a CHANGED binning
+    // refuses instead of splicing incomparable bin indices into the table
+    val stamped = spark.read.parquet(s"$root/tgt_prof_profile")
+      .select("lo", "hi", "nbins").distinct()
+      .as[(Double, Double, Int)].collect().toSeq
+    assert(stamped == Seq((0.0, 100.0, 10)), s"binning stamp: $stamped")
+    val rebin = intercept[IllegalStateException](
+      graft.ops.Profiling.syncProfile(spark, s"$root/tgt_prof",
+        s"$root/tgt_prof_profile", "v", 0, 100, 20))
+    assert(rebin.getMessage.contains("incomparable"), rebin.getMessage)
     // misconfigurations refuse before any write, like the index keys
     def failing(stanza: String, msg: String): Unit = {
       val y =
@@ -395,6 +405,25 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
         .run("p"))
     assert(bad.getMessage.contains("profile_max_psi") &&
       bad.getMessage.contains("profile:"), bad.getMessage)
+    // an extract that DROPS the profiled column is the corrupted-extract
+    // scenario itself: the gate must refuse loudly, not silently disarm
+    val dropYaml = yaml("id <= 3")
+      .replace("SELECT id, v FROM gate_src", "SELECT id FROM gate_src")
+    val dropped = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(dropYaml), Map.empty, root)
+        .run("p"))
+    assert(dropped.getMessage.contains("does not produce it"),
+      dropped.getMessage)
+    assert(graft.sink.BucketedMergeSink
+      .manifestVersions(spark, s"$root/tgt_gate").max == 2,
+      "the refused missing-column batch must not have committed")
+    // a drift gate under a CHANGED binning refuses before comparing
+    // incomparable bin indices (the stored rows carry their stamp)
+    val rebinGate = intercept[IllegalStateException](
+      new Runner(spark, PipelineSpec.fromYaml(
+        yaml("id <= 3").replace("profile_bins: 10", "profile_bins: 20")),
+        Map.empty, root).run("p"))
+    assert(rebinGate.getMessage.contains("incomparable"), rebinGate.getMessage)
   }
 
   test("lsh_index and semantic_index: each run keeps the embedding " +

@@ -86,6 +86,22 @@ class TablesSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(a.orderBy("r_regionkey"), c.orderBy("r_regionkey"))
   }
 
+  test("loadCache is bounded: session churn past the cap evicts other " +
+    "sessions' plans instead of leaking them for the process lifetime") {
+    assume(haveTestdata, s"driver testdata absent at $sfDir — regenerated per round")
+    // each churned session caches one entry; without eviction the map
+    // would end at >= 2*cap entries, each strongly pinning its session
+    (1 to 2 * Tables.loadCacheCap).foreach { _ =>
+      Tables.load(spark.newSession(), sfDir, "region")
+    }
+    assert(Tables.loadCacheSize <= Tables.loadCacheCap + 1,
+      s"cache grew to ${Tables.loadCacheSize} entries past the " +
+        s"${Tables.loadCacheCap} cap — stopped sessions leak")
+    // and the surviving session still serves correct rows
+    val again = Tables.load(spark, sfDir, "region")
+    assert(again.count() > 0)
+  }
+
   test("as-of time-bucketing accepts TimestampNTZType and matches the unbucketed result") {
     import spark.implicits._
     val left = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"),
