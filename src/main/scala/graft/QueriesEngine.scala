@@ -389,6 +389,57 @@ object QueriesEngine {
       histBad.union(psiBad).orderBy("version", "violation")
     }),
 
+    // -- the `profile_max_psi:` bad-data circuit breaker end-to-end
+    //    (q134's monitoring key ARMED): load 1 baselines the stored
+    //    profile; load 2's extract is deliberately drifted — every
+    //    n_chars shifted past profile_hi, so its whole mass lands in
+    //    the carried overflow bin and PSI >> bound — and must refuse
+    //    BEFORE any write (Runner.scala drift gate). Emitted rows are
+    //    the target's post-refusal state, which the oracle replays as
+    //    load 1 alone; a poison row rides along if the refusal never
+    //    fired, so BOTH halves of the contract (refusal fired, target
+    //    untouched) are hash-gated.
+    "q140_drift_guard_refusal" -> ((s, dir) => {
+      import s.implicits._
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [docs_guarded]
+          |pypes:
+          |  docs_guarded:
+          |    extract_query: "SELECT doc_id, text, n_chars + {shift} AS n_chars FROM documents WHERE doc_id % 20 < 1"
+          |    target_table: q140_docs
+          |    type: upsert
+          |    key: [doc_id]
+          |    buckets: 4
+          |    retain_versions: 2
+          |    profile: q140_profile
+          |    profile_column: n_chars
+          |    profile_lo: 0
+          |    profile_hi: 20000
+          |    profile_bins: 64
+          |    profile_max_psi: 0.25
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runguard", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("shift" -> "0"), tmp)
+      runner.run("demo") // first load: no stored baseline, never trips
+      val refused =
+        try { runner.run("demo", Map("shift" -> "1000000")); false }
+        catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("profile_max_psi") => true
+        }
+      val tgt = graft.sink.BucketedMergeSink.read(s, s"$tmp/q140_docs")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val poison =
+        if (refused) tgt.limit(0)
+        else Seq((-1L, "DRIFTED LOAD WAS NOT REFUSED", -1L))
+          .toDF("doc_id", "text", "n_chars")
+      tgt.unionByName(poison).orderBy("doc_id")
+    }),
+
     // -- the delete_where stage key end-to-end: a load followed by a
     //    config-driven predicate purge on the TARGET (row-level TTL /
     //    GDPR erasure — the set-based complement of the reference's
@@ -1046,6 +1097,11 @@ object QueriesEngine {
       """SELECT CAST(NULL AS BIGINT) AS version,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
+    // the drifted second load must have been refused, so the target is
+    // exactly load 1's slice (no poison row)
+    "q140_drift_guard_refusal" ->
+      """SELECT doc_id, text, n_chars FROM documents
+        |WHERE doc_id % 20 < 1 ORDER BY doc_id""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

@@ -932,6 +932,37 @@ object QueriesLlm {
       mgAudit(toks, sk, cap)
     }),
 
+    // -- production-shaped heavy-hitter composition: "which registered
+    //    domains dominate the crawl?" — the provenance question every
+    //    web-scale pipeline asks before capping or reweighting a
+    //    source. urlParts (q107's kernel) extracts registered_domain
+    //    from synthetic crawl URLs whose host distribution is
+    //    deliberately Zipf-ish (a third of the corpus concentrates on
+    //    four sites, so the sketch MUST carry them at this capacity);
+    //    freq_items (q131's SQL kernel) sketches domain frequencies in
+    //    one aggregation; mgAudit replays the Misra-Gries bands against
+    //    exact domain counts. Violations = empty relation.
+    "q143_top_domains" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val site = when(pmod(col("doc_id"), lit(3)) === 0,
+        pmod(col("doc_id"), lit(4))).otherwise(pmod(col("doc_id"), lit(97)))
+      val url = concat(
+        lit("https://sub"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".site"), site.cast("string"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val doms = TextAnalysis.urlParts(
+          Tables.load(s, dir, "documents").withColumn("url", url), "url")
+        .select(col("registered_domain").as("tok"))
+      doms.createOrReplaceTempView("q143_doms")
+      val cap = 16
+      val sk = s.sql(
+        s"""SELECT explode(sk) AS (tok, est)
+           |FROM (SELECT freq_items(tok, $cap) AS sk FROM q143_doms)""".stripMargin)
+      mgAudit(doms, sk, cap)
+    }),
+
     // -- persisted-profile ROLLUP for DISTRIBUTIONS (the numeric
     //    sibling of q129/q132): per-(lang, shard) fixed-bin histograms
     //    of n_chars are stored through a real parquet round-trip
@@ -1604,6 +1635,10 @@ object QueriesLlm {
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q131_freq_items_sql" ->
+      """SELECT CAST(NULL AS VARCHAR) AS tok,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q143_top_domains" ->
       """SELECT CAST(NULL AS VARCHAR) AS tok,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,

@@ -871,6 +871,102 @@ object QueriesRelational {
         .filter(abs(col("est") - col("exact")) > col("bound") * col("exact"))
         .select(col("op"), lit("estimate_out_of_band").as("violation"))
         .orderBy("op")
+    }),
+
+    // -- q139's theta set algebra driven ENTIRELY through the plain
+    //    spark.sql string surface (the q131/q135 pattern): an
+    //    extract_query author gets sketch build, storage, and
+    //    union/intersect/difference reads over the stored bytes with
+    //    zero Scala Columns. Same audit bands as q139 (union 5% —
+    //    single-sketch rse ~1.6% at lgK=12 — intersect/diff 10%);
+    //    violations = empty relation.
+    "q141_theta_sql" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "lineitem").createOrReplaceTempView("q141_li")
+      val skPath = Tables.scratchPath("graft-thetasql", dir)
+      // BUILD via SQL string: one stored sketch per returnflag
+      s.sql(
+        """SELECT l_returnflag AS flag, theta_sketch_agg(l_orderkey) AS sk
+          |FROM q141_li GROUP BY l_returnflag""".stripMargin)
+        .write.mode("overwrite").parquet(skPath)
+      s.read.parquet(skPath).createOrReplaceTempView("q141_sk")
+      // READ via SQL string: set algebra over the STORED bytes, audited
+      // in the same statement against exact DISTINCT/INTERSECT/EXCEPT
+      s.sql(
+        """WITH est AS (
+          |  SELECT 'union' AS op, theta_estimate(theta_union_agg(sk)) AS est
+          |  FROM q141_sk
+          |  UNION ALL
+          |  SELECT 'intersect', theta_estimate(theta_intersect_agg(sk))
+          |  FROM q141_sk WHERE flag IN ('A', 'R')
+          |  UNION ALL
+          |  SELECT 'diff', theta_estimate(theta_a_not_b(a.sk, r.sk))
+          |  FROM (SELECT sk FROM q141_sk WHERE flag = 'A') a,
+          |       (SELECT sk FROM q141_sk WHERE flag = 'R') r),
+          |exact AS (
+          |  SELECT 'union' AS op,
+          |    CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS exact,
+          |    0.05 AS bound
+          |  FROM q141_li
+          |  UNION ALL
+          |  SELECT 'intersect', CAST(count(*) AS DOUBLE), 0.10 FROM (
+          |    SELECT DISTINCT l_orderkey FROM q141_li WHERE l_returnflag = 'A'
+          |    INTERSECT
+          |    SELECT DISTINCT l_orderkey FROM q141_li WHERE l_returnflag = 'R')
+          |  UNION ALL
+          |  SELECT 'diff', CAST(count(*) AS DOUBLE), 0.10 FROM (
+          |    SELECT DISTINCT l_orderkey FROM q141_li WHERE l_returnflag = 'A'
+          |    EXCEPT
+          |    SELECT DISTINCT l_orderkey FROM q141_li WHERE l_returnflag = 'R'))
+          |SELECT e.op, 'estimate_out_of_band' AS violation
+          |FROM est e JOIN exact x USING (op)
+          |WHERE abs(e.est - x.exact) > x.bound * x.exact
+          |ORDER BY op""".stripMargin)
+    }),
+
+    // -- streaming drift alerting in BATCH mode (the q72 pattern for
+    //    windowedDriftAlert): the one-aggregation stream operator —
+    //    whose custom Aggregator folds the (nbins+2) counter buffer and
+    //    replays histPsi's exact fold in finish — evaluates the same
+    //    plan shape over a batch frame (the watermark is a no-op).
+    //    Emitted rows are PARITY violations between the stream
+    //    operator's alerts and the pure batch twin (histSketch per
+    //    window + the histPsi column kernel, both sides filtered at the
+    //    same threshold): any window where n, the histogram, or the
+    //    BITWISE psi differ. Oracle = empty relation; StreamsSpec
+    //    drives the same operator through a real micro-batched stream.
+    "q142_drift_alert_batch" -> ((s, dir) => {
+      import graft.ops.Profiling
+      val ev = T(s, dir, "events")
+      val (lo, hi, nbins, threshold) = (0.0, 500.0, 8, 0.25)
+      // reference profile: the corpus's own global value distribution
+      // (sorted-key ListMap — windowedDriftAlert's bitwise-parity
+      // contract); <= nbins+2 rows reach the driver
+      val refRows = Profiling.histSketch(ev, "value", lo, hi, nbins, Seq.empty)
+        .select(explode(col("hist")).as(Seq("bin", "cnt"))).collect()
+      val ref = scala.collection.immutable.ListMap(
+        refRows.toSeq.map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1): _*)
+      val alerts = graft.streaming.Streams.windowedDriftAlert(
+        ev, "value", lo, hi, nbins, ref, threshold)
+      val twin = Profiling.histSketch(
+          ev.filter(col("value").isNotNull)
+            .withColumn("w", window(col("ts"), "1 hour")),
+          "value", lo, hi, nbins, Seq("w"))
+        .select(col("w.start").as("window_start"),
+          aggregate(map_values(col("hist")), lit(0L), (a, c) => a + c).as("n"),
+          col("hist"),
+          Profiling.histPsi(col("hist"), typedLit(ref)).as("psi"))
+        .filter(col("psi") > lit(threshold))
+      def canon(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("window_start"), col("n"),
+          sort_array(map_entries(col("hist"))).as("h"), col("psi"),
+          lit(src).as("src"))
+      canon(alerts, "alert").unionByName(canon(twin, "batch"))
+        .groupBy("window_start", "n", "h", "psi")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2) // present on exactly one side = drift
+        .select(col("window_start"), lit("alert_parity").as("violation"))
+        .orderBy("window_start")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -903,6 +999,14 @@ object QueriesRelational {
         |FROM events ORDER BY event_id""".stripMargin,
     "q139_theta_audit" ->
       """SELECT CAST(NULL AS VARCHAR) AS op,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q141_theta_sql" ->
+      """SELECT CAST(NULL AS VARCHAR) AS op,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q142_drift_alert_batch" ->
+      """SELECT CAST(NULL AS TIMESTAMP) AS window_start,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q137_recursive_cte" ->

@@ -825,7 +825,10 @@ private[graft] class WindowDriftAggregator(
         bins.foreach { bin =>
           val pa = math.max(hist.getOrElse(bin, 0L).toDouble / ta, 1e-6)
           val pb = math.max(reference.getOrElse(bin, 0L).toDouble / tb, 1e-6)
-          acc += (pa - pb) * math.log(pa / pb)
+          // StrictMath, not math.log: Spark's Log expression evaluates
+          // via StrictMath, and the JDK intrinsic differs by up to 1
+          // ulp — enough to break the bitwise batch-kernel parity
+          acc += (pa - pb) * java.lang.StrictMath.log(pa / pb)
         }
         Some(acc)
       }
