@@ -44,10 +44,19 @@ object QueriesLlm {
     * change can never be masked by a stale cross-process cache. */
   private[graft] def cachedGroundTruth(s: SparkSession, key: String)(
       compute: => DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{DataType, StructType}
     if (sys.env.get("SPARK_GRAFT_GT_CACHE").contains("0")) return compute
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-gt-cache")
+    persistOnce(s, new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-gt-cache"),
+      key)(compute)
+  }
+
+  /** Compute-once-read-forever parquet cache under `base/key` with an
+    * atomic publish and an empty-frame schema sidecar — the shared
+    * machinery behind [[cachedGroundTruth]] (cross-JVM) and
+    * [[memoApprox]] (pid-scoped). */
+  private def persistOnce(s: SparkSession, base: java.io.File, key: String)(
+      compute: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
     val dir = new java.io.File(base, key)
     // an empty exact set writes no parquet part files (Spark skips empty
     // partitions), so the schema travels in a sidecar and an empty cache
@@ -100,28 +109,26 @@ object QueriesLlm {
     * materializes ONCE per JVM (localCheckpoint — bounded: pair/top-k
     * frames, never signatures) and later passes reuse it.
     *
-    * Deliberately JVM-LOCAL, unlike [[cachedGroundTruth]]'s cross-JVM
-    * parquet: the memo caches the MEASURED side, and a cross-process
-    * cache keyed only on (content, config) could serve results computed
-    * by OLD code after an operator change — masking exactly the recall
-    * regression the gate exists to catch. Same JVM = same code, so the
-    * in-process memo can never go stale. Each operator's runtime cost
-    * stays measured by its own battery entry (q42/q52/q49/q53/q103);
-    * the audit re-measuring it N more times was triple-counting, not
-    * coverage. Keyed on the session uuid so a foreign session never
-    * receives a frame bound to another session's state; sized by the
-    * five gate sides, with other sessions' entries dropped past a small
-    * cap (the SketchRecallSpec suites churn sessions). */
-  private val approxMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    * Deliberately PROCESS-LOCAL, unlike [[cachedGroundTruth]]'s
+    * cross-JVM cache: the memo caches the MEASURED side, and a
+    * cross-process cache keyed only on (content, config) could serve
+    * results computed by OLD code after an operator change — masking
+    * exactly the recall regression the gate exists to catch. Same
+    * process = same code, so the memo can never go stale. Each
+    * operator's runtime cost stays measured by its own battery entry
+    * (q42/q52/q49/q53/q103); the audit re-measuring it N more times
+    * was triple-counting, not coverage.
+    *
+    * Storage is a pid-scoped scratch parquet ([[Tables.scratchPath]] —
+    * swept at process exit), NOT localCheckpoint: the bench evicts
+    * every persistent RDD block between timed queries (Bench.onePass),
+    * which would strand a checkpointed memo as
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the second pass. A parquet
+    * read-back plan survives any block-manager eviction. */
   private def memoApprox(s: SparkSession, key: String)(
       compute: => DataFrame): DataFrame = {
-    val sid = org.apache.spark.sql.GraftSqlBridge.sessionUuid(s)
-    val df = approxMemo.computeIfAbsent(s"$sid|$key",
-      _ => compute.localCheckpoint(true))
-    if (approxMemo.size > 32)
-      approxMemo.keySet.removeIf(k => !k.startsWith(s"$sid|"))
-    df
+    val path = new java.io.File(Tables.scratchPath("graft-apxmemo", key))
+    persistOnce(s, path.getParentFile, path.getName)(compute)
   }
 
   /** The normalized token stream the heavy-hitter audits profile. */
