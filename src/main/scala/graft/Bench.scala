@@ -205,8 +205,10 @@ object Bench {
   }
 
   /** Percentages over the window: steal/iowait against total cpu ticks
-    * (all cores), PSI "some" stall time against wall time. */
-  private[graft] def hostDeltaJson(a: HostSnap, b: HostSnap): String = {
+    * (all cores), PSI "some" stall time against wall time. `calibS`,
+    * when >= 0, is the window's [[calibProbe]] seconds. */
+  private[graft] def hostDeltaJson(
+      a: HostSnap, b: HostSnap, calibS: Double = -1.0): String = {
     val dTicks = math.max(1L, b.totalTicks - a.totalTicks)
     val wallUs = math.max(1L, (b.wallNs - a.wallNs) / 1000)
     def p(x: Double): String = f"$x%.2f"
@@ -215,7 +217,62 @@ object Bench {
       s""""iowait_pct":${p(100.0 * (b.iowaitTicks - a.iowaitTicks) / dTicks)},""" +
       s""""cpu_psi_some_pct":${p(100.0 * (b.cpuPsiUs - a.cpuPsiUs) / wallUs)},""" +
       s""""io_psi_some_pct":${p(100.0 * (b.ioPsiUs - a.ioPsiUs) / wallUs)},""" +
+      (if (calibS >= 0) s""""calib_s":${f"$calibS%.3f"},""" else "") +
       s""""load1_end":${b.load1}}"""
+  }
+
+  // ------------------------------------------------- calibration probe
+  //
+  // Fixed-work CPU calibration (r15 verdict #1): steal/iowait/PSI say
+  // whether the host was CONTENDED, but the r15 adjudication showed a
+  // second failure mode they miss — the virtualized host's delivered
+  // per-thread throughput swings between multi-hour eras with calm
+  // counters, inflating wall AND task-CPU together on byte-identical
+  // work (SURVEY §6). The probe turns that swing into a number inside
+  // the artifact: a deterministic single-threaded xxhash-style mix over
+  // a fixed 64 MiB buffer, run at the OPEN of every host window (each
+  // family JVM, each isolated re-run, the whole run). Work is constant
+  // by construction — same buffer, same pass count; the final checksum
+  // is pinned in BenchWorkSpec so any edit to the workload is loud —
+  // so calib_s varies only with the era's delivered throughput, and
+  // cross-round CPU comparisons normalize as
+  //   cpu_norm = cpu_s * (calib_ref / calib_window).
+  // ~0.5-1 s calm; ~10 windows per full run.
+
+  private val calibWords = 8 * 1024 * 1024 // 64 MiB of longs
+  private val calibPasses = 16
+  private lazy val calibBuf: Array[Long] = {
+    val a = new Array[Long](calibWords)
+    var x = 0x9E3779B97F4A7C15L // splitmix64 stream — deterministic fill
+    var i = 0
+    while (i < calibWords) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      a(i) = z ^ (z >>> 31)
+      i += 1
+    }
+    a
+  }
+
+  /** (seconds, checksum). The checksum both defeats dead-code
+    * elimination and IS the constant-work pin. */
+  private[graft] def calibProbe(): (Double, Long) = {
+    val buf = calibBuf // fault the buffer in before timing
+    val t0 = System.nanoTime()
+    var h = 0x27D4EB2F165667C5L
+    var p = 0
+    while (p < calibPasses) {
+      var i = 0
+      while (i < calibWords) {
+        h ^= buf(i) * 0x9E3779B185EBCA87L
+        h = java.lang.Long.rotateLeft(h, 31) * 0xC2B2AE3D27D4EB4FL
+        i += 1
+      }
+      p += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, h)
   }
 
   private def runParent(): Unit = {
@@ -228,14 +285,18 @@ object Bench {
         val per = math.ceil(names.size.toDouble / nFam).toInt
         names.grouped(per).toSeq
       }
+    val runCalib = calibProbe()._1 // era probe for the whole-run window
     val runStart = hostSnap()
     var spawned = true
     // (label, host-delta json) pairs; strings are rendered at emit time so
     // labels can still be rewritten if a family is abandoned mid-sequence
     val famHost = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def withHost(run: => FamilyRun, head: String): FamilyRun = {
+      // probe BEFORE the window opens so the measurement itself never
+      // rides inside the window's steal/PSI/wall accounting
+      val calib = calibProbe()._1
       val a = hostSnap()
-      try run finally famHost += (head -> hostDeltaJson(a, hostSnap()))
+      try run finally famHost += (head -> hostDeltaJson(a, hostSnap(), calib))
     }
     val results: Seq[FamilyRun] =
       if (nFam == 1) { spawned = false; Seq(withHost(runInProcess(names), names.head)) }
@@ -277,7 +338,7 @@ object Bench {
     val isolated = isolatedRuns.map { case (n, r) => n -> r._1.head._2 }
     val isolatedWork = isolatedRuns.flatMap { case (n, r) => r._3.get(n).map(n -> _) }
     val hostJson =
-      s"""{"overall":${hostDeltaJson(runStart, hostSnap())},""" +
+      s"""{"overall":${hostDeltaJson(runStart, hostSnap(), runCalib)},""" +
         s""""windows":[${famHost.map { case (l, h) =>
           s"""{"family":"$l","host":$h}""" }.mkString(",")}]}"""
     emit(passesByName, meta, families = results.size, isolated,

@@ -106,8 +106,9 @@ object QueriesLlm {
     * hyperplanes, deterministic k-means init — yet the bench's
     * warmup + N passes recomputed each of them every pass, ~5/6 of the
     * entry's per-pass cost spent re-deriving constants. Each side now
-    * materializes ONCE per JVM (localCheckpoint — bounded: pair/top-k
-    * frames, never signatures) and later passes reuse it.
+    * materializes ONCE per JVM (a launch-scoped scratch parquet —
+    * bounded: pair/top-k frames, never signatures) and later passes
+    * reuse it.
     *
     * Deliberately PROCESS-LOCAL, unlike [[cachedGroundTruth]]'s
     * cross-JVM cache: the memo caches the MEASURED side, and a
@@ -119,15 +120,21 @@ object QueriesLlm {
     * (q42/q52/q49/q53/q103); the audit re-measuring it N more times
     * was triple-counting, not coverage.
     *
-    * Storage is a pid-scoped scratch parquet ([[Tables.scratchPath]] —
-    * swept at process exit), NOT localCheckpoint: the bench evicts
-    * every persistent RDD block between timed queries (Bench.onePass),
-    * which would strand a checkpointed memo as
-    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the second pass. A parquet
-    * read-back plan survives any block-manager eviction. */
+    * Storage is a launch-scoped scratch parquet
+    * ([[Tables.launchScratchPath]] — swept at process exit), NOT
+    * localCheckpoint: the bench evicts every persistent RDD block
+    * between timed queries (Bench.onePass), which would strand a
+    * checkpointed memo as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the
+    * second pass. A parquet read-back plan survives any block-manager
+    * eviction. Launch-scoped — a per-launch nonce plus a strong hash
+    * of the FULL key (r15 advice) — because pid alone leaves two
+    * stale-read holes: a SIGKILL skips the shutdown sweep and a later
+    * JVM recycling the pid could read sides computed by OLD code, and
+    * the old 32-bit `String.hashCode` key let distinct configs
+    * collide onto one dir. */
   private def memoApprox(s: SparkSession, key: String)(
       compute: => DataFrame): DataFrame = {
-    val path = new java.io.File(Tables.scratchPath("graft-apxmemo", key))
+    val path = new java.io.File(Tables.launchScratchPath("graft-apxmemo", key))
     persistOnce(s, path.getParentFile, path.getName)(compute)
   }
 

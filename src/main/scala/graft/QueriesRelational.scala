@@ -879,7 +879,11 @@ object QueriesRelational {
     //    union/intersect/difference reads over the stored bytes with
     //    zero Scala Columns. Same audit bands as q139 (union 5% —
     //    single-sketch rse ~1.6% at lgK=12 — intersect/diff 10%);
-    //    violations = empty relation.
+    //    violations = empty relation. Anti-vacuity (r15 advice): the
+    //    final check anchors on a FIXED op list — a missing 'A'/'R'
+    //    sketch empties the intersect/diff estimate legs, and an
+    //    absent-or-null estimate surfaces as a 'missing_input' row
+    //    instead of an inner join silently dropping the op.
     "q141_theta_sql" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       T(s, dir, "lineitem").createOrReplaceTempView("q141_li")
@@ -890,38 +894,7 @@ object QueriesRelational {
           |FROM q141_li GROUP BY l_returnflag""".stripMargin)
         .write.mode("overwrite").parquet(skPath)
       s.read.parquet(skPath).createOrReplaceTempView("q141_sk")
-      // READ via SQL string: set algebra over the STORED bytes, audited
-      // in the same statement against exact DISTINCT/INTERSECT/EXCEPT
-      s.sql(
-        """WITH est AS (
-          |  SELECT 'union' AS op, theta_estimate(theta_union_agg(sk)) AS est
-          |  FROM q141_sk
-          |  UNION ALL
-          |  SELECT 'intersect', theta_estimate(theta_intersect_agg(sk))
-          |  FROM q141_sk WHERE flag IN ('A', 'R')
-          |  UNION ALL
-          |  SELECT 'diff', theta_estimate(theta_a_not_b(a.sk, r.sk))
-          |  FROM (SELECT sk FROM q141_sk WHERE flag = 'A') a,
-          |       (SELECT sk FROM q141_sk WHERE flag = 'R') r),
-          |exact AS (
-          |  SELECT 'union' AS op,
-          |    CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS exact,
-          |    0.05 AS bound
-          |  FROM q141_li
-          |  UNION ALL
-          |  SELECT 'intersect', CAST(count(*) AS DOUBLE), 0.10 FROM (
-          |    SELECT DISTINCT l_orderkey FROM q141_li WHERE l_returnflag = 'A'
-          |    INTERSECT
-          |    SELECT DISTINCT l_orderkey FROM q141_li WHERE l_returnflag = 'R')
-          |  UNION ALL
-          |  SELECT 'diff', CAST(count(*) AS DOUBLE), 0.10 FROM (
-          |    SELECT DISTINCT l_orderkey FROM q141_li WHERE l_returnflag = 'A'
-          |    EXCEPT
-          |    SELECT DISTINCT l_orderkey FROM q141_li WHERE l_returnflag = 'R'))
-          |SELECT e.op, 'estimate_out_of_band' AS violation
-          |FROM est e JOIN exact x USING (op)
-          |WHERE abs(e.est - x.exact) > x.bound * x.exact
-          |ORDER BY op""".stripMargin)
+      thetaSqlAudit(s, "q141_li", "q141_sk")
     }),
 
     // -- streaming drift alerting in BATCH mode (the q72 pattern for
@@ -968,6 +941,51 @@ object QueriesRelational {
         .select(col("window_start"), lit("alert_parity").as("violation"))
         .orderBy("window_start")
     }))
+
+  /** q141's read side: set algebra over STORED theta sketch bytes via
+    * plain `spark.sql`, audited in the same statement against exact
+    * DISTINCT/INTERSECT/EXCEPT over `liView`. Anchored on a FIXED op
+    * list (r15 advice): an absent 'A'/'R' sketch (or a null estimate
+    * from an emptied aggregate leg) surfaces as a `missing_input` row
+    * instead of the inner join silently dropping the op and the audit
+    * passing vacuously — ThetaSketchSpec pins that direction on a
+    * one-flag corpus. Requires `GraftFunctions.register`. */
+  private[graft] def thetaSqlAudit(
+      s: SparkSession, liView: String, skView: String): DataFrame =
+    s.sql(
+      s"""WITH est AS (
+         |  SELECT 'union' AS op, theta_estimate(theta_union_agg(sk)) AS est
+         |  FROM $skView
+         |  UNION ALL
+         |  SELECT 'intersect', theta_estimate(theta_intersect_agg(sk))
+         |  FROM $skView WHERE flag IN ('A', 'R')
+         |  UNION ALL
+         |  SELECT 'diff', theta_estimate(theta_a_not_b(a.sk, r.sk))
+         |  FROM (SELECT sk FROM $skView WHERE flag = 'A') a,
+         |       (SELECT sk FROM $skView WHERE flag = 'R') r),
+         |exact AS (
+         |  SELECT 'union' AS op,
+         |    CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS exact,
+         |    0.05 AS bound
+         |  FROM $liView
+         |  UNION ALL
+         |  SELECT 'intersect', CAST(count(*) AS DOUBLE), 0.10 FROM (
+         |    SELECT DISTINCT l_orderkey FROM $liView WHERE l_returnflag = 'A'
+         |    INTERSECT
+         |    SELECT DISTINCT l_orderkey FROM $liView WHERE l_returnflag = 'R')
+         |  UNION ALL
+         |  SELECT 'diff', CAST(count(*) AS DOUBLE), 0.10 FROM (
+         |    SELECT DISTINCT l_orderkey FROM $liView WHERE l_returnflag = 'A'
+         |    EXCEPT
+         |    SELECT DISTINCT l_orderkey FROM $liView WHERE l_returnflag = 'R'))
+         |SELECT v.op,
+         |  CASE WHEN e.est IS NULL THEN 'missing_input'
+         |       ELSE 'estimate_out_of_band' END AS violation
+         |FROM VALUES ('union'), ('intersect'), ('diff') AS v(op)
+         |LEFT JOIN est e ON e.op = v.op
+         |LEFT JOIN exact x ON x.op = v.op
+         |WHERE e.est IS NULL OR abs(e.est - x.exact) > x.bound * x.exact
+         |ORDER BY op""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q27_salted_join" ->

@@ -31,32 +31,47 @@ object Tables {
     * analyzed plan — lazy, no data pinned — keyed on session so a
     * fresh session (new JVM, new bench family) re-infers. Testdata is
     * read-only by contract, so staleness cannot arise. */
-  private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]
-
   // eviction bound: cached DataFrames strongly reference their
   // SparkSession, so without one a long-lived host JVM that creates
   // many sessions (test suites, repeated bench families, embedders)
   // would leak every stopped session's state for the process lifetime.
   // Generous enough that the battery's handful of live sessions never
-  // thrash; past it, every OTHER session's entries drop (re-inference
-  // is the only cost) while the requesting session keeps its plans.
+  // thrash. Eviction is entry-level LRU (r15 advice): past the cap the
+  // least-recently-used entry drops, whatever session owns it — the
+  // old wipe-every-foreign-session policy let two live sessions that
+  // jointly exceeded the cap thrash each other to a ~0% hit rate, and
+  // never bounded a SINGLE session's growth at all. Re-inference is
+  // the only cost of a miss.
   private[graft] val loadCacheCap = 256
+
+  private val loadCache =
+    new java.util.LinkedHashMap[(String, String, String), DataFrame](
+      64, 0.75f, /* accessOrder = LRU */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean =
+        size() > loadCacheCap
+    }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // sessionUuid, not identityHashCode: identity hashes can collide
     // across sessions after GC churn, and a collision would hand one
     // session a DataFrame bound to another's state
     val sid = org.apache.spark.sql.GraftSqlBridge.sessionUuid(spark)
-    val df = loadCache.computeIfAbsent(
-      (sid, dir, name), _ => loadUncached(spark, dir, name))
-    if (loadCache.size > loadCacheCap)
-      loadCache.keySet.removeIf(k => k._1 != sid)
-    df
+    val key = (sid, dir, name)
+    val hit = loadCache.synchronized(Option(loadCache.get(key)))
+    hit.getOrElse {
+      // load OUTSIDE the monitor (Spark driver work); on a lost race
+      // keep the winner so repeat loads stay reference-equal
+      val df = loadUncached(spark, dir, name)
+      loadCache.synchronized {
+        Option(loadCache.get(key)).getOrElse { loadCache.put(key, df); df }
+      }
+    }
   }
 
   // spec hook: TablesSpec pins that session churn cannot grow the cache
-  private[graft] def loadCacheSize: Int = loadCache.size
+  private[graft] def loadCacheSize: Int =
+    loadCache.synchronized(loadCache.size)
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
@@ -109,30 +124,40 @@ object Tables {
   private lazy val scratchRoot: String =
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
 
-  private lazy val cleanupInstalled: Unit = {
-    val self = ProcessHandle.current().pid()
+  private[graft] def pidAlive(pid: Long): Boolean = {
+    val oh = ProcessHandle.of(pid)
+    oh.isPresent && oh.get.isAlive
+  }
+
+  /** Delete every `graft-*-<pid>-*` scratch dir under `roots` whose
+    * embedded pid fails `keep`. Non-matching names are never touched.
+    * Exposed for TablesSpec's crash-orphan pin (r15 verdict #4):
+    * startup pruning is what reclaims a SIGKILL'd process's
+    * RAM-backed /dev/shm garbage, so its behavior is spec-pinned, not
+    * just exercised implicitly. */
+  private[graft] def sweepScratch(
+      roots: Seq[java.io.File], keep: Long => Boolean): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    def sweep(keep: Long => Boolean): Unit =
-      Seq("/tmp", "/dev/shm").distinct
-        .flatMap(r => Option(new java.io.File(r).listFiles())
-          .getOrElse(Array.empty).toSeq)
-        .foreach { f =>
-          f.getName match {
-            case dirName(pid) if !keep(pid.toLong) =>
-              try rm(f) catch { case _: Throwable => () }
-            case _ => ()
-          }
+    roots
+      .flatMap(r => Option(r.listFiles()).getOrElse(Array.empty).toSeq)
+      .foreach { f =>
+        f.getName match {
+          case dirName(pid) if !keep(pid.toLong) =>
+            try rm(f) catch { case _: Throwable => () }
+          case _ => ()
         }
-    def alive(pid: Long): Boolean = {
-      val oh = ProcessHandle.of(pid)
-      oh.isPresent && oh.get.isAlive
-    }
-    sweep(pid => pid == self || alive(pid))
+      }
+  }
+
+  private lazy val cleanupInstalled: Unit = {
+    val self = ProcessHandle.current().pid()
+    val roots = Seq("/tmp", "/dev/shm").distinct.map(new java.io.File(_))
+    sweepScratch(roots, pid => pid == self || pidAlive(pid))
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      sweep(pid => pid != self)))
+      sweepScratch(roots, pid => pid != self)))
   }
 
   def fixturePath(prefix: String, src: String): String = {
@@ -153,5 +178,35 @@ object Tables {
   def scratchPath(prefix: String, dir: String): String = {
     cleanupInstalled
     s"$scratchRoot/$prefix-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+  }
+
+  /** Alphanumeric token unique to this JVM LAUNCH: pid plus the
+    * process start instant. A pid alone can recycle — a SIGKILL'd JVM
+    * skips its shutdown sweep, and if the startup prune hasn't run
+    * yet (or raced), a recycled pid would resurrect the dead launch's
+    * scratch. Two launches can share a pid only across a reuse, and
+    * then their start instants differ. */
+  private[graft] lazy val launchNonce: String = {
+    val info = ProcessHandle.current().info()
+    val startMs: Long =
+      if (info.startInstant().isPresent) info.startInstant().get.toEpochMilli
+      else System.nanoTime() // fallback: still fixed for the JVM's life
+    java.lang.Long.toHexString(startMs)
+  }
+
+  /** Scratch path for a LAUNCH-LOCAL memo (r15 advice): like
+    * [[scratchPath]] but (a) the name carries [[launchNonce]] on top
+    * of the pid, so a recycled pid after a SIGKILL can never read the
+    * dead launch's artifacts, and (b) the key rides as a strong
+    * 64-bit content hash (SHA-256 prefix) instead of the 32-bit
+    * `String.hashCode`, so distinct keys cannot collide onto one dir.
+    * The name still matches the sweep pattern (prefix+nonce is one
+    * alphanumeric run; the pid stays the swept capture group). */
+  def launchScratchPath(prefix: String, key: String): String = {
+    cleanupInstalled
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8"))
+    val h = digest.take(8).map(b => f"$b%02x").mkString
+    s"$scratchRoot/$prefix$launchNonce-${ProcessHandle.current().pid()}-$h"
   }
 }

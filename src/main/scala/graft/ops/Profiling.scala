@@ -132,14 +132,25 @@ object Profiling {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   // the binning a profile table's newest row was built with; None while
-  // the table is empty (rows are always written with the stamp — see
-  // syncProfile — so a populated table always answers)
+  // the table is empty. Rows are always written with the stamp (see
+  // syncProfile), so an UNSTAMPED populated table predates the stamp
+  // and its binning is unknowable — refuse rather than skip (r15
+  // advice): silently no-op'ing here would let a binning change
+  // against a pre-stamp table compare bin indices from incompatible
+  // edges, the exact failure the stamp exists to refuse.
   private def storedBinning(
       spark: org.apache.spark.sql.SparkSession,
       profilePath: String): Option[(Double, Double, Int)] =
     profiledVersions(spark, profilePath).lastOption.flatMap { v =>
       val df = spark.read.parquet(s"$profilePath/version=$v")
-      if (!Seq("lo", "hi", "nbins").forall(df.columns.contains)) None
+      if (!Seq("lo", "hi", "nbins").forall(df.columns.contains))
+        throw new IllegalStateException(
+          s"profile table $profilePath (version=$v) holds rows without " +
+            "a lo/hi/nbins binning stamp — it predates the stamped " +
+            "format, so the binning its bin indices were built with " +
+            "cannot be verified; point profile: at a fresh path to " +
+            "re-baseline (the unstamped history stays readable as " +
+            "plain parquet)")
       else df.select("lo", "hi", "nbins").collect().headOption
         .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2)))
     }

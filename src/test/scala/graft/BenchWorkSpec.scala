@@ -104,6 +104,28 @@ class BenchWorkSpec extends AnyFunSuite with SparkTestBase {
         "print after the bench JSON line")
   }
 
+  test("calibration probe does constant work (pinned checksum), is " +
+    "deterministic, and calib_s rides the host-window JSON") {
+    // the probe's whole value is that its WORK never changes — calib_s
+    // ratios across rounds are only meaningful if every capture ran the
+    // identical workload. The checksum is a pure function of (buffer
+    // fill, pass count, mix), so any edit to any of them fails here and
+    // forces a deliberate re-baseline of the pinned constant.
+    val (s1, h1) = Bench.calibProbe()
+    val (s2, h2) = Bench.calibProbe()
+    assert(h1 == h2, f"probe not deterministic: 0x$h1%016x vs 0x$h2%016x")
+    assert(h1 == 0xA3A39F26BABD4D39L,
+      f"probe checksum drifted — the fixed workload changed; re-baseline " +
+        f"deliberately if intended: 0x$h1%016x")
+    assert(s1 > 0 && s2 > 0)
+    val a = Bench.hostSnap()
+    val b = Bench.hostSnap()
+    val withCalib = Bench.hostDeltaJson(a, b, s1)
+    assert(withCalib.contains("\"calib_s\":"), withCalib)
+    // default (child-side / legacy callers): no calib key, still valid
+    assert(!Bench.hostDeltaJson(a, b).contains("calib_s"))
+  }
+
   test("host-contention snapshot reads real counters and deltas to sane JSON") {
     // the "host" section of BENCH_FULL.json is the second half of the
     // storm-vs-regression adjudication (work metrics being the first);

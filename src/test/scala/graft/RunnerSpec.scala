@@ -314,6 +314,21 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       graft.ops.Profiling.syncProfile(spark, s"$root/tgt_prof",
         s"$root/tgt_prof_profile", "v", 0, 100, 20))
     assert(rebin.getMessage.contains("incomparable"), rebin.getMessage)
+    // a populated profile table WITHOUT the stamp columns (pre-stamp
+    // format) refuses too (r15 advice): skipping the check there would
+    // let a binning change compare bin indices from incompatible edges —
+    // the exact hole the stamp closed for stamped tables
+    spark.range(1).select(
+        lit(3L).as("n"),
+        typedLit(Map(1 -> 1L, 2 -> 2L)).as("hist"),
+        lit(null).cast("double").as("psi_prev"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/prestamp_profile/version=1")
+    val unstamped = intercept[IllegalStateException](
+      graft.ops.Profiling.syncProfile(spark, s"$root/tgt_prof",
+        s"$root/prestamp_profile", "v", 0, 100, 10))
+    assert(unstamped.getMessage.contains("binning stamp") &&
+      unstamped.getMessage.contains("re-baseline"), unstamped.getMessage)
     // misconfigurations refuse before any write, like the index keys
     def failing(stanza: String, msg: String): Unit = {
       val y =

@@ -102,6 +102,78 @@ class TablesSpec extends AnyFunSuite with SparkTestBase {
     assert(again.count() > 0)
   }
 
+  test("loadCache bounds a SINGLE session too, and entry-level LRU " +
+    "keeps a concurrently-live session's hot plans (r15 advice)") {
+    assume(haveTestdata, s"driver testdata absent at $sfDir — regenerated per round")
+    // symlinked dirs give one session arbitrarily many distinct (dir,
+    // name) keys over the same physical parquet — the shape the old
+    // wipe-foreign-sessions policy never bounded at all
+    val root = java.nio.file.Files.createTempDirectory("graft-lru-spec")
+    val src = java.nio.file.Paths.get(s"$sfDir/region.parquet")
+    val one = spark.newSession()
+    val hot = Tables.load(one, sfDir, "region") // the entry LRU must keep
+    (1 to Tables.loadCacheCap + 16).foreach { i =>
+      val d = root.resolve(s"d$i")
+      java.nio.file.Files.createDirectory(d)
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("region.parquet"), src)
+      Tables.load(one, d.toString, "region")
+      // touch the hot entry so LRU ranks it above the churned ones
+      if (i % 64 == 0) Tables.load(one, sfDir, "region")
+    }
+    assert(Tables.loadCacheSize <= Tables.loadCacheCap,
+      s"one session grew the cache to ${Tables.loadCacheSize} past the " +
+        s"${Tables.loadCacheCap} cap — the within-session bound is gone")
+    // the periodically-touched entry survived the churn (entry-level
+    // LRU), so the hot path still pays zero re-inference
+    assert(Tables.load(one, sfDir, "region") eq hot,
+      "recently-used entry was evicted by same-session churn — eviction " +
+        "is not LRU")
+  }
+
+  test("crash-orphan sweep: a dead pid's scratch dirs are reclaimed, a " +
+    "live pid's and non-graft names are never touched (r15 verdict #4)") {
+    // a SIGKILL/OOM-kill skips the shutdown hook, stranding RAM-backed
+    // /dev/shm scratch until reboot; startup pruning is the reclaim path
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-spec").toFile
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(root, name)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-0").toPath, Array[Byte](1, 2, 3))
+      d
+    }
+    val self = ProcessHandle.current().pid()
+    // 2^22 is the kernel's PID_MAX_LIMIT; beyond it no live pid exists
+    val dead = mk(s"graft-apxmemoabc-${(1L << 22) + 7}-deadbeef")
+    val live = mk(s"graft-fix-$self-cafe")
+    val other = mk("unrelated-dir")
+    val noMatch = mk("graft-fix-notapid-cafe") // name shape outside the pattern
+    Tables.sweepScratch(Seq(root),
+      pid => pid == self || Tables.pidAlive(pid))
+    assert(!dead.exists, "dead-pid scratch survived the sweep")
+    assert(live.exists, "live (self) scratch was swept")
+    assert(other.exists, "non-graft dir was touched")
+    assert(noMatch.exists, "non-matching name was touched")
+  }
+
+  test("launchScratchPath: strong key hash (no 32-bit collisions) and a " +
+    "per-launch nonce on top of the pid (r15 advice)") {
+    // "Aa" and "BB" collide in String.hashCode — the old scratchPath key
+    val a = Tables.launchScratchPath("graft-apxmemo", "Aa")
+    val b = Tables.launchScratchPath("graft-apxmemo", "BB")
+    assert("Aa".hashCode == "BB".hashCode, "test premise: 32-bit collision")
+    assert(a != b, "colliding 32-bit keys must map to distinct memo dirs")
+    // nonce present: the name is not a function of the pid alone, so a
+    // recycled pid after a SIGKILL cannot resurrect a dead launch's memo
+    assert(a.contains(Tables.launchNonce))
+    assert(a.contains(s"-${ProcessHandle.current().pid()}-"))
+    // and the name still matches the sweep's reclaim pattern
+    val base = new java.io.File(a).getName
+    assert(base.matches("""graft-[A-Za-z0-9]+-\d+-[0-9a-fA-F]+"""),
+      s"memo dir $base escapes the crash-orphan sweep pattern")
+  }
+
   test("as-of time-bucketing accepts TimestampNTZType and matches the unbucketed result") {
     import spark.implicits._
     val left = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"),

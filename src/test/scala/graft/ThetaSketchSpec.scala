@@ -108,4 +108,31 @@ class ThetaSketchSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(bad.getMessage.contains("[4, 26]"))
   }
+
+  test("q141 audit anti-vacuity: a corpus missing the 'A'/'R' flags " +
+    "emits missing_input rows instead of passing on dropped ops") {
+    // r15 advice: before the fixed-op anchor, the intersect/diff legs
+    // emptied (or went null) when a flag sketch was absent and the
+    // inner join silently dropped those ops — a broken sketch build
+    // that produced no 'A'/'R' sketches audited green. This drives the
+    // EXACT production statement (thetaSqlAudit, the q141 read side)
+    // over a one-flag corpus and demands the violations surface.
+    GraftFunctions.register(spark)
+    Seq((1L, "N"), (2L, "N"), (3L, "N"))
+      .toDF("l_orderkey", "l_returnflag")
+      .createOrReplaceTempView("th_oneflag_li")
+    spark.sql(
+      """SELECT l_returnflag AS flag, theta_sketch_agg(l_orderkey) AS sk
+        |FROM th_oneflag_li GROUP BY l_returnflag""".stripMargin)
+      .createOrReplaceTempView("th_oneflag_sk")
+    val rows = QueriesRelational
+      .thetaSqlAudit(spark, "th_oneflag_li", "th_oneflag_sk")
+      .as[(String, String)].collect().toSeq
+    assert(rows.contains(("intersect", "missing_input")) &&
+      rows.contains(("diff", "missing_input")),
+      s"dropped-op audit must fail loudly, got: $rows")
+    // the present op still audits for real: union estimates 3 exactly
+    assert(!rows.exists(_._1 == "union"),
+      s"union leg should be green on the one-flag corpus: $rows")
+  }
 }
