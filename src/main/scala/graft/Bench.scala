@@ -603,7 +603,11 @@ object Bench {
       "BENCH_2026-08-15_r14_run1.json is the designated CALM-ERA ANCHOR " +
       "for r13->r14 deltas (r13's driver capture ran ~3-5x task-CPU " +
       "inflated at load1 15.6 with byte-identical work shapes; compare " +
-      "against the anchor, not that capture)\""
+      "against the anchor, not that capture). " +
+      "r16+: every host window opens with a fixed-work single-thread " +
+      "probe (calib_s); cross-round cpu comparisons normalize by the " +
+      "calib ratio, cpu_norm = cpu_s * (calib_ref / calib_window) — " +
+      "SURVEY section 6 Era calibration\""
     val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
       s""""passes":$passes,"isolated":$iso,"work":${workJson(workByName)},""" +
       s""""work_isolated":${workJson(isolatedWork)},"host":$hostJson,""" +
