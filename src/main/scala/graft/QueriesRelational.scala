@@ -940,6 +940,56 @@ object QueriesRelational {
         .filter(col("c") =!= 2) // present on exactly one side = drift
         .select(col("window_start"), lit("alert_parity").as("violation"))
         .orderBy("window_start")
+    }),
+
+    // -- KLL quantile sketches (graft.functions.KllSketch) — the
+    //    rank/quantile member of the persisted-sketch family, driven
+    //    ENTIRELY through spark.sql strings (the q141 pattern): build
+    //    per-returnflag sketches over l_extendedprice, store through
+    //    parquet, merge-read corpus quantiles from the BYTES alone.
+    //    The audit is in RANK SPACE — KLL bounds |est_rank − true_rank|
+    //    (≈1.65% at k=200, 99% conf), never the value, so each probe
+    //    quantile v̂ is checked by computing v̂'s TRUE rank over the
+    //    corpus and demanding |true_rank(v̂) − q| ≤ 0.035 (2ε), plus
+    //    the sketch's own rank of v̂ within the same band, plus kll_n
+    //    EXACTLY equal to count(*) (KLL counts updates precisely).
+    //    Compaction is randomized, so estimates vary run to run inside
+    //    the band — violations relation, never an estimate hash.
+    "q144_kll_quantiles" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "lineitem").createOrReplaceTempView("q144_li")
+      val skPath = Tables.scratchPath("graft-kllsql", dir)
+      // BUILD via SQL string: one stored sketch per returnflag
+      s.sql(
+        """SELECT l_returnflag AS flag, kll_sketch_agg(l_extendedprice) AS sk
+          |FROM q144_li GROUP BY l_returnflag""".stripMargin)
+        .write.mode("overwrite").parquet(skPath)
+      s.read.parquet(skPath).createOrReplaceTempView("q144_sk")
+      s.sql(
+        """WITH merged AS (SELECT kll_merge_agg(sk) AS sk FROM q144_sk),
+          |probes AS (SELECT col AS q FROM VALUES
+          |  (0.01d), (0.10d), (0.25d), (0.50d), (0.75d), (0.90d), (0.99d)
+          |  AS t(col)),
+          |est AS (
+          |  SELECT p.q,
+          |    kll_quantile(m.sk, p.q) AS v,
+          |    kll_rank(m.sk, kll_quantile(m.sk, p.q)) AS sk_rank,
+          |    kll_n(m.sk) AS sk_n
+          |  FROM probes p CROSS JOIN merged m),
+          |checked AS (
+          |  SELECT e.q, e.sk_rank, e.sk_n, count(*) AS n,
+          |    avg(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <= e.v
+          |        THEN 1.0d ELSE 0.0d END) AS true_rank
+          |  FROM est e CROSS JOIN q144_li l
+          |  GROUP BY e.q, e.sk_rank, e.sk_n)
+          |SELECT q,
+          |  CASE WHEN sk_n <> n THEN 'n_mismatch'
+          |       WHEN abs(true_rank - q) > 0.035d THEN 'rank_out_of_band'
+          |       ELSE 'self_rank_out_of_band' END AS violation
+          |FROM checked
+          |WHERE sk_n <> n OR abs(true_rank - q) > 0.035d
+          |   OR abs(sk_rank - true_rank) > 0.035d
+          |ORDER BY q""".stripMargin)
     }))
 
   /** q141's read side: set algebra over STORED theta sketch bytes via
@@ -1025,6 +1075,10 @@ object QueriesRelational {
         |WHERE false""".stripMargin,
     "q142_drift_alert_batch" ->
       """SELECT CAST(NULL AS TIMESTAMP) AS window_start,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q144_kll_quantiles" ->
+      """SELECT CAST(NULL AS DOUBLE) AS q,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q137_recursive_cte" ->

@@ -186,6 +186,39 @@ object GraftFunctions {
     },
     "theta_a_not_b" -> { args =>
       arity("theta_a_not_b", 2, args); ThetaANotB(args(0), args(1))
+    },
+    // KLL quantile sketches — the rank/quantile member of the
+    // persisted-sketch family (see graft.functions.KllSketch). Values
+    // cast to double; the optional k literal sizes the rank error
+    // (default 200 ≈ 1.65%).
+    "kll_sketch_agg" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        s"kll_sketch_agg expects 1 or 2 arguments, got ${args.length}")
+      val k = if (args.length == 2)
+        litInt("kll_sketch_agg", "k", args(1)) else KllSketch.DefaultK
+      val value = org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.DoubleType)
+      KllSketchAgg(value, k).toAggregateExpression()
+    },
+    "kll_merge_agg" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        s"kll_merge_agg expects 1 or 2 arguments, got ${args.length}")
+      val k = if (args.length == 2)
+        litInt("kll_merge_agg", "k", args(1)) else KllSketch.DefaultK
+      KllMergeAgg(args(0), k).toAggregateExpression()
+    },
+    "kll_quantile" -> { args =>
+      arity("kll_quantile", 2, args)
+      KllQuantile(args(0), org.apache.spark.sql.catalyst.expressions.Cast(
+        args(1), org.apache.spark.sql.types.DoubleType))
+    },
+    "kll_rank" -> { args =>
+      arity("kll_rank", 2, args)
+      KllRank(args(0), org.apache.spark.sql.catalyst.expressions.Cast(
+        args(1), org.apache.spark.sql.types.DoubleType))
+    },
+    "kll_n" -> { args =>
+      arity("kll_n", 1, args); KllN(args(0))
     })
 
   /** Register every kernel on a live session (temp functions, session

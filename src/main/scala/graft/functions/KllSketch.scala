@@ -1,0 +1,329 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** KLL quantile sketches (Karnin, Lang, Liberty, "Optimal Quantile
+  * Approximation in Streams", FOCS 2016; the Apache DataSketches KLL
+  * implementation shipped with Spark): mergeable RANK/QUANTILE
+  * sketches — the fifth persisted-sketch family (HLL distinct = q129,
+  * Misra–Gries heavy hitters = q132, fixed-bin distributions = q133,
+  * theta set algebra = q139/q141). The fixed-bin histogram family
+  * answers quantiles only inside a [lo, hi) range DECLARED UP FRONT;
+  * KLL needs no range at all — "p99 latency per segment, rolled up
+  * over a year of stored per-day sketches" works when nobody knew the
+  * value range at write time, which is the common case for profiling
+  * raw corpus columns (token counts, document lengths, prices).
+  *
+  * Error contract (rank space, the KLL guarantee): a sketch with
+  * parameter k bounds NORMALIZED RANK error — |est_rank(v) − r(v)| ≤
+  * ε with 99% confidence, ε ≈ 1.65% at the default k=200 — and the
+  * bound is preserved under merge. Value-space error is deliberately
+  * unbounded (a quantile lands on a RETAINED item); audits must
+  * therefore check the rank of the returned value, never the value
+  * itself (q144 does exactly this). `n` is exact — KLL counts every
+  * update — so the stored sketch doubles as an exact row counter.
+  * Compaction uses random coin flips, so two builds of the same data
+  * may differ bitwise while both honoring the band: battery coverage
+  * is a violations relation over the band, never a hash of estimates
+  * (the theta/MG pattern).
+  *
+  * Scale shape: one ≤~(3k)-item buffer per group per executor partial,
+  * ≤ ~8·3k bytes per group through the exchange (map-side combine
+  * absorbs the raw stream); the merge aggregate reads STORED bytes
+  * only, so corpus-wide quantile rollups never rescan rows. */
+object KllSketch {
+
+  /** DataSketches' own default: ε ≈ 1.65% normalized rank error. */
+  val DefaultK = 200
+
+  /** Aggregate a double column into a KLL sketch (binary). */
+  def kllSketch(value: Column, k: Int = DefaultK): Column =
+    GraftSqlBridge.column(
+      KllSketchAgg(GraftSqlBridge.expression(value), k)
+        .toAggregateExpression())
+
+  /** Merge STORED sketches (a binary column) into one sketch. Unlike
+    * theta intersection, the empty merge IS representable (the empty
+    * sketch), so this always yields bytes. */
+  def kllMerge(sketch: Column, k: Int = DefaultK): Column =
+    GraftSqlBridge.column(
+      KllMergeAgg(GraftSqlBridge.expression(sketch), k)
+        .toAggregateExpression())
+
+  /** Value at normalized rank `q` ∈ [0, 1] of a stored sketch
+    * (inclusive semantics: the smallest retained value whose rank of
+    * `<=` mass reaches q). Null for an empty sketch. */
+  def kllQuantile(sketch: Column, q: Column): Column =
+    GraftSqlBridge.column(KllQuantile(
+      GraftSqlBridge.expression(sketch), GraftSqlBridge.expression(q)))
+
+  /** Normalized rank of `value` (fraction of the stream `<=` it).
+    * Null for an empty sketch. */
+  def kllRank(sketch: Column, value: Column): Column =
+    GraftSqlBridge.column(KllRank(
+      GraftSqlBridge.expression(sketch), GraftSqlBridge.expression(value)))
+
+  /** EXACT number of values the sketch absorbed. */
+  def kllN(sketch: Column): Column =
+    GraftSqlBridge.column(KllN(GraftSqlBridge.expression(sketch)))
+}
+
+/** Static kernels the expressions (and their generated code) call. */
+object KllKernel {
+
+  // heapify returns a read-only view of the compact image for queries;
+  // merging into a fresh updatable instance is the write path
+  def wrap(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  def fold(into: KllDoublesSketch, bytes: Array[Byte]): Unit =
+    into.merge(wrap(bytes))
+
+  /** null (boxed) on empty — an empty stream has no quantiles. */
+  def quantile(bytes: Array[Byte], q: Double): Any = {
+    require(q >= 0.0 && q <= 1.0,
+      s"kll_quantile rank must be in [0, 1], got $q")
+    val sk = wrap(bytes)
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(
+      sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+  }
+
+  def rank(bytes: Array[Byte], v: Double): Any = {
+    val sk = wrap(bytes)
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(
+      sk.getRank(v, QuantileSearchCriteria.INCLUSIVE))
+  }
+
+  def n(bytes: Array[Byte]): Long = wrap(bytes).getN
+}
+
+/** `kll_sketch_agg(value[, k])`: raw doubles → KLL sketch bytes. The
+  * buffer is the live updatable sketch; serialization to the compact
+  * image happens only at exchange boundaries. Null and NaN values are
+  * skipped (NaN has no rank — admitting it would poison the order). */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_sketch_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch_agg requires double (cast the value), got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(
+      buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (!d.isNaN) buffer.update(d)
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
+    // merge into a fresh updatable instance: heapified compact images
+    // answer queries but must not be the mutable buffer
+    val sk = createAggregationBuffer()
+    KllKernel.fold(sk, bytes)
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** `kll_merge_agg(sk[, k])` over STORED sketch bytes — the persisted-
+  * sketch read side. Rows here are stored sketches (a handful per
+  * group), so the per-row heapify is off the hot path by construction.
+  * Null bytes are skipped; zero inputs yield the EMPTY sketch (the
+  * merge identity is representable, unlike theta intersection's
+  * universe), whose quantile/rank reads are null. */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_merge_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kll_merge_agg requires binary (a stored kll sketch), got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(
+      buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) KllKernel.fold(buffer, v.asInstanceOf[Array[Byte]])
+    buffer
+  }
+
+  override def merge(
+      buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
+    val sk = createAggregationBuffer()
+    KllKernel.fold(sk, bytes)
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren.head)
+}
+
+/** `kll_quantile(sk, q)`: value at normalized rank q of stored bytes;
+  * null for the empty sketch. q outside [0, 1] refuses loudly. */
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kll_quantile requires (binary, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_quantile"
+
+  override protected def nullSafeEval(sk: Any, q: Any): Any =
+    KllKernel.quantile(sk.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, q) => {
+      val r = ctx.freshName("kllQ")
+      s"""
+      Object $r = graft.functions.KllKernel.quantile($sk, $q);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }"""
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_rank(sk, v)`: normalized rank (fraction `<=` v) from stored
+  * bytes; null for the empty sketch. */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kll_rank requires (binary, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_rank"
+
+  override protected def nullSafeEval(sk: Any, v: Any): Any =
+    KllKernel.rank(sk.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, v) => {
+      val r = ctx.freshName("kllR")
+      s"""
+      Object $r = graft.functions.KllKernel.rank($sk, $v);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }"""
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_n(sk)`: EXACT update count of a stored sketch — KLL tracks n
+  * precisely, so the profile row doubles as an exact row count. */
+case class KllN(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kll_n requires binary, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kll_n"
+
+  override protected def nullSafeEval(input: Any): Any =
+    KllKernel.n(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.KllKernel.n($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

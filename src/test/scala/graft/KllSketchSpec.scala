@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, KllSketch}
+
+/** KLL quantile sketches: exact-mode equalities below capacity, the
+  * persisted round-trip + merge read side, the rank-space error band
+  * at scale, exact n, and the SQL surface. A KLL sketch never compacts
+  * until its level-0 buffer overflows (~3k items at k=200), so
+  * small-cardinality assertions are EQUALITIES against order
+  * statistics — including through parquet and kll_merge_agg — while
+  * large-n assertions are rank-space bands (the only contract KLL
+  * makes; value-space error is structurally unbounded). */
+class KllSketchSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // inclusive quantile over distinct 1..n with uniform weight: the
+  // smallest v whose fraction-<= reaches q, i.e. ceil(q*n) clamped to 1
+  private def exactQ(n: Int, q: Double): Double =
+    math.max(1, math.ceil(q * n).toInt).toDouble
+
+  test("exact mode: quantiles and ranks are order-statistic equalities " +
+    "below capacity, through parquet and kll_merge_agg") {
+    val df = (1 to 100).map(v => (v % 4, v.toDouble)).toDF("g", "v")
+      .repartition(4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-kll-spec").toString + "/sk"
+    df.groupBy("g").agg(KllSketch.kllSketch(col("v")).as("sk"))
+      .write.mode("overwrite").parquet(path)
+    val merged = spark.read.parquet(path)
+      .agg(KllSketch.kllMerge(col("sk")).as("sk"))
+    for (q <- Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)) {
+      val got = merged.select(KllSketch.kllQuantile(col("sk"), lit(q)))
+        .head().getDouble(0)
+      assert(got == exactQ(100, q), s"q=$q: got $got, want ${exactQ(100, q)}")
+    }
+    // ranks are exact too: fraction of {1..100} <= 37 is 0.37
+    val r = merged.select(KllSketch.kllRank(col("sk"), lit(37.0)))
+      .head().getDouble(0)
+    assert(r == 0.37, s"exact-mode rank: $r")
+    val n = merged.select(KllSketch.kllN(col("sk"))).head().getLong(0)
+    assert(n == 100L, s"exact n through merge: $n")
+  }
+
+  test("n is EXACT at 100k rows and null/NaN values are skipped") {
+    val vals = spark.range(100000).select(
+      (col("id") % 1000).cast("double").as("v"))
+    val withJunk = vals.unionByName(
+      Seq(Option.empty[Double], Some(Double.NaN))
+        .toDF("v"))
+    val sk = withJunk.agg(KllSketch.kllSketch(col("v")).as("sk"))
+    val n = sk.select(KllSketch.kllN(col("sk"))).head().getLong(0)
+    assert(n == 100000L, s"null/NaN must not count: $n")
+  }
+
+  test("estimation mode: rank error at 100k values stays inside the " +
+    "k=200 band, and the band survives repartitioning") {
+    // uniform 0..99999: true rank of v is (v+1)/100000
+    val big = spark.range(100000).select(col("id").cast("double").as("v"))
+    for (parts <- Seq(1, 13)) {
+      val sk = big.repartition(parts)
+        .agg(KllSketch.kllSketch(col("v")).as("sk"))
+      val probes = Seq(1000.0, 25000.0, 50000.0, 75000.0, 99000.0)
+      val got = sk.select(
+        probes.map(p => KllSketch.kllRank(col("sk"), lit(p))): _*)
+        .head()
+      probes.zipWithIndex.foreach { case (p, i) =>
+        val trueRank = (p + 1) / 100000.0
+        // DataSketches' published bound for k=200 is ~1.65% normalized
+        // rank error at 99% confidence; 0.025 adds headroom so the
+        // randomized compaction never flakes the suite
+        assert(math.abs(got.getDouble(i) - trueRank) <= 0.025,
+          s"parts=$parts probe=$p: rank ${got.getDouble(i)} vs $trueRank")
+      }
+    }
+  }
+
+  test("SQL surface: kll_* kernels match the Column API in the exact " +
+    "regime; k is validated; empty sketches read as null") {
+    GraftFunctions.register(spark)
+    (1 to 100).map(_.toDouble).toDF("v")
+      .createOrReplaceTempView("kll_rows")
+    // SQL build + read: exact regime, so equality against order stats
+    val row = spark.sql(
+      """SELECT kll_quantile(sk, 0.5d) AS med, kll_rank(sk, 80.0d) AS r,
+        |  kll_n(sk) AS n
+        |FROM (SELECT kll_sketch_agg(v) AS sk FROM kll_rows)""".stripMargin)
+      .head()
+    assert(row.getDouble(0) == 50.0 && row.getDouble(1) == 0.8 &&
+      row.getLong(2) == 100L, s"SQL surface: $row")
+    // integer input casts through (the registry casts to double)
+    val cast = spark.sql(
+      """SELECT kll_quantile(kll_sketch_agg(id), 1.0d)
+        |FROM range(10)""".stripMargin).head().getDouble(0)
+    assert(cast == 9.0, s"int cast-through: $cast")
+    // k must be an INTEGER literal inside its bounds
+    val e = intercept[Exception] {
+      spark.sql("SELECT kll_sketch_agg(v, CAST(rand() AS INT)) FROM kll_rows")
+        .collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT kll_sketch_agg(v, 4) FROM kll_rows").collect()
+    }
+    assert(bad.getMessage.contains("[8, 65535]"))
+    // merging zero sketches is the EMPTY sketch (representable, unlike
+    // theta intersection), and its quantile/rank reads are null
+    val empty = spark.sql(
+      """SELECT kll_quantile(sk, 0.5d) AS a, kll_rank(sk, 1.0d) AS b,
+        |  kll_n(sk) AS n
+        |FROM (SELECT kll_merge_agg(sk) AS sk FROM
+        |      (SELECT CAST(NULL AS BINARY) AS sk) WHERE sk IS NOT NULL)
+        |""".stripMargin).head()
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.getLong(2) == 0L,
+      s"empty sketch reads: $empty")
+    // a rank outside [0, 1] refuses loudly
+    val oob = intercept[Exception] {
+      spark.sql(
+        "SELECT kll_quantile(kll_sketch_agg(v), 1.5d) FROM kll_rows")
+        .collect()
+    }
+    assert(oob.getMessage.contains("[0, 1]"), oob.getMessage)
+  }
+}
