@@ -990,6 +990,56 @@ object QueriesRelational {
           |WHERE sk_n <> n OR abs(true_rank - q) > 0.035d
           |   OR abs(sk_rank - true_rank) > 0.035d
           |ORDER BY q""".stripMargin)
+    }),
+
+    // -- streaming quantile profiling in BATCH mode (the q142 pattern
+    //    for Streams.windowedQuantiles): one KLL sketch per event-time
+    //    window, probe quantiles read from the per-window bytes. The
+    //    audit is the family's rank-space contract applied PER WINDOW,
+    //    TIE-AWARE because hourly windows are small (13–18 events at
+    //    sf0.01) and `value` has atoms: a value v̂ is a valid
+    //    ε-quantile iff rank_<(v̂) ≤ q + ε AND rank_≤(v̂) ≥ q − ε —
+    //    the one-sided |rank_≤ − q| form would flag any probe landing
+    //    ON an atom, whose inclusive rank legitimately overshoots q by
+    //    the atom's mass (the exact order statistic itself fails that
+    //    test). Band is 2ε + 1/n (the 1/n term is rank discretization,
+    //    irreducible by ANY sketch at window size n). Additionally
+    //    each emitted n must equal the window's exact count, and the
+    //    stored window sketches must merge-read to the corpus's exact
+    //    total (the roll-up the bytes exist for). Violations relation;
+    //    StreamsSpec drives the same operator through a real
+    //    micro-batched stream with state-store round-trips.
+    "q145_kll_windows" -> ((s, dir) => {
+      import graft.functions.KllSketch
+      val probes = Seq(0.25, 0.50, 0.75, 0.99)
+      val ev = T(s, dir, "events").filter(col("value").isNotNull)
+      val wq = graft.streaming.Streams.windowedQuantiles(ev, "value", probes)
+      val est = wq.select(col("window_start"), col("n"),
+        explode(col("quantiles")).as(Seq("q", "v")))
+      val perWindow = est
+        .join(ev.withColumn(
+          "window_start", window(col("ts"), "1 hour")("start")),
+          "window_start")
+        .groupBy("window_start", "q", "n", "v")
+        .agg(count(lit(1)).as("cnt"),
+          avg(when(col("value") <= col("v"), 1.0d).otherwise(0.0d))
+            .as("rank_le"),
+          avg(when(col("value") < col("v"), 1.0d).otherwise(0.0d))
+            .as("rank_lt"))
+        .filter(col("n") =!= col("cnt") ||
+          col("rank_lt") - col("q") > lit(0.035d) + lit(1.0d) / col("cnt") ||
+          col("q") - col("rank_le") > lit(0.035d) + lit(1.0d) / col("cnt"))
+        .select(col("window_start"), col("q"),
+          when(col("n") =!= col("cnt"), lit("n_mismatch"))
+            .otherwise(lit("rank_out_of_band")).as("violation"))
+      val rollup = wq
+        .agg(KllSketch.kllN(KllSketch.kllMerge(col("sk"))).as("rn"))
+        .crossJoin(ev.agg(count(lit(1)).as("tot")))
+        .filter(col("rn") =!= col("tot"))
+        .select(lit(null).cast("timestamp").as("window_start"),
+          lit(null).cast("double").as("q"),
+          lit("rollup_n_mismatch").as("violation"))
+      perWindow.unionByName(rollup).orderBy("window_start", "q")
     }))
 
   /** q141's read side: set algebra over STORED theta sketch bytes via
@@ -1079,6 +1129,11 @@ object QueriesRelational {
         |WHERE false""".stripMargin,
     "q144_kll_quantiles" ->
       """SELECT CAST(NULL AS DOUBLE) AS q,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q145_kll_windows" ->
+      """SELECT CAST(NULL AS TIMESTAMP) AS window_start,
+        |  CAST(NULL AS DOUBLE) AS q,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q137_recursive_cte" ->

@@ -123,6 +123,49 @@ object Streams {
       .filter(col("psi") > lit(threshold))
   }
 
+  /** Tumbling-window QUANTILE profile — the streaming twin of the KLL
+    * family ([[graft.functions.KllSketch]], q144), completing the
+    * per-family streaming symmetry (MG → [[windowedHeavyHitters]],
+    * fixed-bin → [[windowedHistogram]]/[[windowedDriftAlert]], KLL →
+    * here): one mergeable KLL sketch per event-time window, so the
+    * aggregation STATE is ~3k-item-bounded per open window regardless
+    * of stream rate and NO value range needs declaring up front — the
+    * fixed-bin twin profiles only inside its configured [lo, hi).
+    * Emits per closed window: `n` (EXACT count — KLL counts updates
+    * precisely), the sketch BYTES (stored stream profiles roll up
+    * losslessly against batch-built ones via `kll_merge_agg`, the
+    * mergeable-summaries contract), and a probe→value `quantiles` map.
+    * The error contract is the family's: rank-space only (≈1.65% at
+    * k=200, preserved under merge), value-space unbounded — consumers
+    * audit ranks, never values (the q144/q145 pattern). Batch frames
+    * run the identical expression (the watermark is a no-op). */
+  def windowedQuantiles(
+      events: DataFrame,
+      valueCol: String,
+      probes: Seq[Double],
+      k: Int = graft.functions.KllSketch.DefaultK,
+      windowLen: String = "1 hour",
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(probes.nonEmpty, "windowedQuantiles needs at least one probe rank")
+    probes.foreach(q => require(q >= 0.0 && q <= 1.0,
+      s"probe ranks must be in [0, 1], got $q"))
+    import graft.functions.KllSketch
+    events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen))
+      .agg(KllSketch.kllSketch(col(valueCol).cast("double"), k).as("sk"))
+      .select(
+        col("window.start").as("window_start"),
+        KllSketch.kllN(col("sk")).as("n"),
+        col("sk"),
+        map_from_arrays(
+          array(probes.map(lit): _*),
+          array(probes.map(q =>
+            KllSketch.kllQuantile(col("sk"), lit(q))): _*)).as("quantiles"))
+  }
+
   /** File-stream reader over a directory of event parquet (schema fixed
     * up front — streaming sources can't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -186,6 +186,65 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       steady.toDF("ts", "v"), "v", 0, 100, 10, Map.empty, 0.25))
   }
 
+  test("windowedQuantiles: exact-regime reads are order statistics per " +
+    "window, stored window sketches roll up with exact n, and only " +
+    "closed windows emit on the stream") {
+    import graft.functions.KllSketch
+    // window 10:00 holds 1..5, window 11:00 holds 10..11 — far below
+    // KLL's compaction capacity, so quantile reads are EXACT order
+    // statistics (deterministic despite the randomized compactor)
+    val rows = Seq(
+      (tsAt(10, 1), 1.0), (tsAt(10, 2), 2.0), (tsAt(10, 3), 3.0),
+      (tsAt(10, 10), 4.0), (tsAt(10, 11), 5.0),
+      (tsAt(11, 1), 10.0), (tsAt(11, 2), 11.0),
+      (tsAt(14, 0), 42.0)) // late event: closes 10:00 and 11:00 on the stream
+    // batch twin: watermark is a no-op, all three windows emit
+    val batch = Streams.windowedQuantiles(
+      rows.toDF("ts", "v"), "v", probes = Seq(0.0, 0.5, 1.0))
+    val bOut = batch.select("window_start", "n", "quantiles")
+      .as[(java.sql.Timestamp, Long, Map[Double, Double])]
+      .collect().sortBy(_._1.getTime)
+    assert(bOut.toSeq == Seq(
+      (tsAt(10, 0), 5L, Map(0.0 -> 1.0, 0.5 -> 3.0, 1.0 -> 5.0)),
+      (tsAt(11, 0), 2L, Map(0.0 -> 10.0, 0.5 -> 10.0, 1.0 -> 11.0)),
+      (tsAt(14, 0), 1L, Map(0.0 -> 42.0, 0.5 -> 42.0, 1.0 -> 42.0))),
+      s"batch windows: ${bOut.toSeq}")
+    // stored window sketches roll up: merge-read n is EXACT and the
+    // merged median is the corpus order statistic (still exact regime)
+    import org.apache.spark.sql.functions.{col, lit}
+    val rollup = batch.agg(KllSketch.kllMerge(col("sk")).as("sk"))
+      .select(KllSketch.kllN(col("sk")),
+        KllSketch.kllQuantile(col("sk"), lit(0.5)))
+      .head()
+    assert(rollup.getLong(0) == 8L && rollup.getDouble(1) == 4.0,
+      s"rollup of stored window sketches: $rollup")
+    // streaming: the 14:00 arrival pushes the watermark past 10:00 and
+    // 11:00, so exactly those two windows emit — through the state store
+    val dir = java.nio.file.Files.createTempDirectory("graft-wq-stream").toString
+    writeSourceBatch(dir, rows.take(7).toDF("ts", "v"), 0)
+    writeSourceBatch(dir, rows.drop(7).toDF("ts", "v"), 1)
+    val stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.windowedQuantiles(stream, "v", probes = Seq(0.5))
+      .writeStream.format("memory").queryName("wq_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("wq_stream")
+        .select("window_start", "n", "quantiles")
+        .as[(java.sql.Timestamp, Long, Map[Double, Double])]
+        .collect().sortBy(_._1.getTime)
+      assert(out.toSeq == Seq(
+        (tsAt(10, 0), 5L, Map(0.5 -> 3.0)),
+        (tsAt(11, 0), 2L, Map(0.5 -> 10.0))),
+        s"only the closed windows emit, with exact reads: ${out.toSeq}")
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streams.windowedQuantiles(
+      rows.toDF("ts", "v"), "v", probes = Seq.empty))
+    intercept[IllegalArgumentException](Streams.windowedQuantiles(
+      rows.toDF("ts", "v"), "v", probes = Seq(1.5)))
+  }
+
   test("readEventStream produces a streaming frame with the fixed schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val sdf = Streams.readEventStream(spark, dir)
