@@ -1040,6 +1040,54 @@ object QueriesRelational {
           lit(null).cast("double").as("q"),
           lit("rollup_n_mismatch").as("violation"))
       perWindow.unionByName(rollup).orderBy("window_start", "q")
+    }),
+
+    // -- KS drift over STORED KLL bytes (the monitoring question for
+    //    metrics with NO declared range — hist_psi's q142 role when
+    //    nobody configured a binning): three sketches built and stored
+    //    through parquet via plain spark.sql — a reference era (even
+    //    event_ids), a same-distribution current era (odd event_ids),
+    //    and a shifted current era (odd, value + 500) — then the drift
+    //    test kll_ks > kll_ks_threshold(p=1e-6) read from bytes alone.
+    //    The audit demands the test SEPARATE: no drift detected
+    //    between the two same-distribution halves (the threshold
+    //    covers two-sample sampling noise + both sketches' rank
+    //    error, so this is deterministic up to p=1e-6), drift
+    //    DETECTED for the shifted era (the +500 shift pushes the
+    //    CDFs nearly disjoint, delta ≈ 1 >> any threshold), and both
+    //    deltas inside [0, 1]. Violations relation, empty oracle.
+    "q146_kll_drift" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "events").filter(col("value").isNotNull)
+        .createOrReplaceTempView("q146_ev")
+      val skPath = Tables.scratchPath("graft-kllks", dir)
+      s.sql(
+        """SELECT era, kll_sketch_agg(v) AS sk FROM (
+          |  SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS era,
+          |         CAST(value AS DOUBLE) AS v FROM q146_ev
+          |  UNION ALL
+          |  SELECT 'shifted' AS era, CAST(value AS DOUBLE) + 500.0d AS v
+          |  FROM q146_ev WHERE event_id % 2 = 1)
+          |GROUP BY era""".stripMargin)
+        .write.mode("overwrite").parquet(skPath)
+      s.read.parquet(skPath).createOrReplaceTempView("q146_sk")
+      s.sql(
+        """WITH pairs AS (
+          |  SELECT c.era,
+          |    kll_ks(r.sk, c.sk) AS delta,
+          |    kll_ks_threshold(r.sk, c.sk, 1e-6d) AS thr
+          |  FROM (SELECT sk FROM q146_sk WHERE era = 'ref') r
+          |  CROSS JOIN (SELECT era, sk FROM q146_sk WHERE era <> 'ref') c)
+          |SELECT era,
+          |  CASE WHEN delta IS NULL OR delta < 0.0d OR delta > 1.0d
+          |         THEN 'delta_out_of_range'
+          |       WHEN era = 'cur' AND delta > thr THEN 'false_alarm'
+          |       ELSE 'missed_drift' END AS violation
+          |FROM pairs
+          |WHERE delta IS NULL OR delta < 0.0d OR delta > 1.0d
+          |   OR (era = 'cur' AND delta > thr)
+          |   OR (era = 'shifted' AND delta <= thr)
+          |ORDER BY era""".stripMargin)
     }))
 
   /** q141's read side: set algebra over STORED theta sketch bytes via
@@ -1134,6 +1182,10 @@ object QueriesRelational {
     "q145_kll_windows" ->
       """SELECT CAST(NULL AS TIMESTAMP) AS window_start,
         |  CAST(NULL AS DOUBLE) AS q,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q146_kll_drift" ->
+      """SELECT CAST(NULL AS VARCHAR) AS era,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q137_recursive_cte" ->

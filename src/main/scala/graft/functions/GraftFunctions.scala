@@ -219,6 +219,15 @@ object GraftFunctions {
     },
     "kll_n" -> { args =>
       arity("kll_n", 1, args); KllN(args(0))
+    },
+    "kll_ks" -> { args =>
+      arity("kll_ks", 2, args); KllKsDelta(args(0), args(1))
+    },
+    "kll_ks_threshold" -> { args =>
+      arity("kll_ks_threshold", 3, args)
+      KllKsThreshold(args(0), args(1),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args(2), org.apache.spark.sql.types.DoubleType))
     })
 
   /** Register every kernel on a live session (temp functions, session

@@ -7,7 +7,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -76,6 +76,26 @@ object KllSketch {
   /** EXACT number of values the sketch absorbed. */
   def kllN(sketch: Column): Column =
     GraftSqlBridge.column(KllN(GraftSqlBridge.expression(sketch)))
+
+  /** Kolmogorov–Smirnov distance between two STORED sketches — the
+    * drift kernel for metrics with no declared range (the KLL-family
+    * analogue of `hist_psi`, which needs both profiles on one shared
+    * binning declared up front): max |F₁(x) − F₂(x)| over the union of
+    * retained items, from bytes alone. Null if either side is empty. */
+  def kllKs(a: Column, b: Column): Column =
+    GraftSqlBridge.column(KllKsDelta(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Rejection threshold for [[kllKs]] at significance `p`: drift is
+    * DETECTED iff `kll_ks(a, b) > kll_ks_threshold(a, b, p)`. The
+    * threshold accounts for both sampling noise (the classic
+    * two-sample KS term, shrinking with the sketches' exact n) and
+    * both sketches' rank error — so the same test is sound on exact
+    * and estimation-mode sketches. Null if either side is empty. */
+  def kllKsThreshold(a: Column, b: Column, p: Column): Column =
+    GraftSqlBridge.column(KllKsThreshold(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+      GraftSqlBridge.expression(p)))
 }
 
 /** Static kernels the expressions (and their generated code) call. */
@@ -107,6 +127,26 @@ object KllKernel {
   }
 
   def n(bytes: Array[Byte]): Long = wrap(bytes).getN
+
+  /** null (boxed) if either sketch is empty — an empty stream has no
+    * CDF to compare. */
+  def ksDelta(a: Array[Byte], b: Array[Byte]): Any = {
+    val (sa, sb) = (wrap(a), wrap(b))
+    if (sa.isEmpty || sb.isEmpty) null
+    else java.lang.Double.valueOf(
+      org.apache.datasketches.quantilescommon.KolmogorovSmirnov
+        .computeKSDelta(sa, sb))
+  }
+
+  def ksThreshold(a: Array[Byte], b: Array[Byte], p: Double): Any = {
+    require(p > 0.0 && p < 1.0,
+      s"kll_ks_threshold significance must be in (0, 1), got $p")
+    val (sa, sb) = (wrap(a), wrap(b))
+    if (sa.isEmpty || sb.isEmpty) null
+    else java.lang.Double.valueOf(
+      org.apache.datasketches.quantilescommon.KolmogorovSmirnov
+        .computeKSThreshold(sa, sb, p))
+  }
 }
 
 /** `kll_sketch_agg(value[, k])`: raw doubles → KLL sketch bytes. The
@@ -302,6 +342,83 @@ case class KllRank(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `kll_ks(a, b)`: Kolmogorov–Smirnov distance between two stored
+  * sketches — max |F₁(x) − F₂(x)| over the union of retained items,
+  * computed from bytes alone; null if either sketch is empty. */
+case class KllKsDelta(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kll_ks requires (binary, binary), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_ks"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    KllKernel.ksDelta(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("kllKs")
+      s"""
+      Object $r = graft.functions.KllKernel.ksDelta($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }"""
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_ks_threshold(a, b, p)`: rejection threshold for [[KllKsDelta]]
+  * at significance `p` — covers two-sample sampling noise (shrinking
+  * with each sketch's exact n) PLUS both sketches' rank error, so
+  * `kll_ks(a,b) > kll_ks_threshold(a,b,p)` is a sound drift test in
+  * exact and estimation mode alike. Null if either sketch is empty. */
+case class KllKsThreshold(
+    first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, BinaryType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, p) => TypeCheckResult.TypeCheckFailure(
+        s"kll_ks_threshold requires (binary, binary, double), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${p.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_ks_threshold"
+
+  override protected def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    KllKernel.ksThreshold(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, p) => {
+      val r = ctx.freshName("kllKsT")
+      s"""
+      Object $r = graft.functions.KllKernel.ksThreshold($a, $b, $p);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }"""
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `kll_n(sk)`: EXACT update count of a stored sketch — KLL tracks n

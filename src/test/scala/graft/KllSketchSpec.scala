@@ -78,6 +78,57 @@ class KllSketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kll_ks / kll_ks_threshold: KS distance from stored bytes — " +
+    "identical sketches score 0, disjoint ranges score 1, the " +
+    "threshold-gated test separates same-distribution from shifted") {
+    GraftFunctions.register(spark)
+    val sks = Seq.tabulate(300)(i => (if (i < 100) "a" else if (i < 200) "b" else "c",
+      if (i < 200) (i % 100 + 1).toDouble else (i % 100 + 201).toDouble))
+      .toDF("g", "v")
+      .groupBy("g").agg(KllSketch.kllSketch(col("v")).as("sk"))
+    sks.createOrReplaceTempView("ks_sks")
+    val row = spark.sql(
+      """SELECT kll_ks(a.sk, a.sk) AS self, kll_ks(a.sk, b.sk) AS same,
+        |  kll_ks(a.sk, c.sk) AS disjoint,
+        |  kll_ks_threshold(a.sk, b.sk, 1e-6d) AS thr
+        |FROM (SELECT sk FROM ks_sks WHERE g='a') a
+        |CROSS JOIN (SELECT sk FROM ks_sks WHERE g='b') b
+        |CROSS JOIN (SELECT sk FROM ks_sks WHERE g='c') c""".stripMargin)
+      .head()
+    // groups a and b hold the IDENTICAL values 1..100 (exact mode), so
+    // both the self-delta and the cross-delta are exactly 0; group c is
+    // 201..300, fully disjoint — the CDFs separate to (n−1)/n = 0.99
+    // (the delta is evaluated at retained points with exclusive rank,
+    // so the last point of `a` contributes F_a = 0.99 vs F_c = 0)
+    assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 0.0 &&
+      row.getDouble(2) >= 0.98, s"deltas: $row")
+    // the drift TEST: same distribution stays under the threshold,
+    // the disjoint one exceeds it
+    assert(row.getDouble(1) <= row.getDouble(3) &&
+      1.0 > row.getDouble(3), s"threshold: $row")
+    // tighter significance (smaller p) demands MORE evidence: the
+    // threshold can only grow
+    val mono = spark.sql(
+      """SELECT kll_ks_threshold(a.sk, b.sk, 1e-9d) >=
+        |       kll_ks_threshold(a.sk, b.sk, 0.1d)
+        |FROM (SELECT sk FROM ks_sks WHERE g='a') a
+        |CROSS JOIN (SELECT sk FROM ks_sks WHERE g='b') b""".stripMargin)
+      .head().getBoolean(0)
+    assert(mono, "threshold must be monotone decreasing in p")
+    // empty side reads null; p outside (0, 1) refuses loudly
+    val empty = spark.sql(
+      """SELECT kll_ks(a.sk, e.sk) FROM (SELECT sk FROM ks_sks WHERE g='a') a
+        |CROSS JOIN (SELECT kll_merge_agg(sk) AS sk FROM ks_sks
+        |            WHERE false) e""".stripMargin).head()
+    assert(empty.isNullAt(0), "empty sketch KS must be null")
+    val oob = intercept[Exception] {
+      spark.sql(
+        """SELECT kll_ks_threshold(sk, sk, 2.0d) FROM ks_sks WHERE g='a'"""
+      ).collect()
+    }
+    assert(oob.getMessage.contains("(0, 1)"), oob.getMessage)
+  }
+
   test("SQL surface: kll_* kernels match the Column API in the exact " +
     "regime; k is validated; empty sketches read as null") {
     GraftFunctions.register(spark)
