@@ -440,6 +440,81 @@ object QueriesEngine {
       tgt.unionByName(poison).orderBy("doc_id")
     }),
 
+    // -- the `kll_profile:` + `kll_profile_max_ks:` circuit breaker
+    //    end-to-end (q140's twin for metrics with NO declared range):
+    //    load 1 baselines the stored sketch, load 2 grows the slice
+    //    with the SAME distribution (KS small — must pass the gate AND
+    //    extend the profile history), load 3's extract is shifted by
+    //    1e6 (CDFs disjoint, KS ≈ 1 >> bound) and must refuse BEFORE
+    //    any write. Emitted rows are the target's post-refusal state —
+    //    the oracle replays loads 1+2 — plus poison rows if any half
+    //    of the contract broke: refusal never fired, profile history
+    //    not exactly two versions, ks_prev not (null, then ≤ bound),
+    //    or a stored n differing from its snapshot's exact count.
+    "q147_kll_guard_refusal" -> ((s, dir) => {
+      import s.implicits._
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [docs_ksguard]
+          |pypes:
+          |  docs_ksguard:
+          |    extract_query: "SELECT doc_id, text, n_chars + {shift} AS n_chars FROM documents WHERE doc_id % 20 < {slice}"
+          |    target_table: q147_docs
+          |    type: upsert
+          |    key: [doc_id]
+          |    buckets: 4
+          |    retain_versions: 2
+          |    kll_profile: q147_profile
+          |    kll_profile_column: n_chars
+          |    kll_profile_max_ks: 0.5
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runksguard", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("shift" -> "0", "slice" -> "1"), tmp)
+      runner.run("demo") // load 1: no stored baseline, never trips
+      // load 2: bigger slice, same distribution — KS stays small
+      runner.run("demo", Map("shift" -> "0", "slice" -> "2"))
+      val refused =
+        try {
+          runner.run("demo", Map("shift" -> "1000000", "slice" -> "2"))
+          false
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("kll_profile_max_ks") => true
+        }
+      val tgt = graft.sink.BucketedMergeSink.read(s, s"$tmp/q147_docs")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      def poisonRow(id: Long, msg: String) =
+        Seq((id, msg, -1L)).toDF("doc_id", "text", "n_chars")
+      // profile-history contract: exactly loads 1 and 2 profiled, with
+      // (ks_prev, n) per version as documented — read back the tiny
+      // stored rows (<= 2)
+      val profRows = graft.sink.BucketedMergeSink
+        .manifestVersions(s, s"$tmp/q147_docs").sorted.map { v =>
+          val r = s.read.parquet(s"$tmp/q147_profile/version=$v")
+            .select(col("n"), col("ks_prev")).head()
+          (v, r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+        }
+      val exactNs = graft.sink.BucketedMergeSink
+        .manifestVersions(s, s"$tmp/q147_docs").sorted.map(v =>
+          graft.sink.BucketedMergeSink
+            .readVersion(s, s"$tmp/q147_docs", v).count())
+      val profileOk = profRows.length == 2 &&
+        profRows.map(_._2) == exactNs &&
+        profRows.head._3.isEmpty &&
+        profRows(1)._3.exists(ks => ks >= 0.0 && ks <= 0.5)
+      val poison =
+        (if (refused) tgt.limit(0)
+         else poisonRow(-1L, "DRIFTED LOAD WAS NOT REFUSED"))
+          .unionByName(
+            if (profileOk) tgt.limit(0)
+            else poisonRow(-2L, s"PROFILE HISTORY BROKEN: $profRows"))
+      tgt.unionByName(poison).orderBy("doc_id")
+    }),
+
     // -- the delete_where stage key end-to-end: a load followed by a
     //    config-driven predicate purge on the TARGET (row-level TTL /
     //    GDPR erasure — the set-based complement of the reference's
@@ -1102,6 +1177,11 @@ object QueriesEngine {
     "q140_drift_guard_refusal" ->
       """SELECT doc_id, text, n_chars FROM documents
         |WHERE doc_id % 20 < 1 ORDER BY doc_id""".stripMargin,
+    // loads 1+2 landed (same distribution), the shifted third was
+    // refused — the target is the slice<2 rows, no poison rows
+    "q147_kll_guard_refusal" ->
+      """SELECT doc_id, text, n_chars FROM documents
+        |WHERE doc_id % 20 < 2 ORDER BY doc_id""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

@@ -101,6 +101,27 @@ final case class StageSpec(
                                  // the NEWEST stored profile row
                                  // (requires profile:; 0 = off; first
                                  // load has no baseline and never trips)
+    kllProfileTable: String = "", // bucketed targets only: KLL quantile
+                                  // profile table name — like profile:
+                                  // but for metrics with NO declared
+                                  // value range: every retained target
+                                  // version without a row gets
+                                  // (n, sk, ks_prev) under version=<v>
+                                  // (Profiling.syncKllProfile; same
+                                  // idempotent version-marker catch-up).
+                                  // No binning stamp needed: KLL bytes
+                                  // are self-describing and sketches
+                                  // with different k stay comparable
+                                  // (each side's rank error rides the
+                                  // KS threshold), unlike fixed bins
+    kllProfileColumn: String = "", // numeric column the profile sketches
+    kllProfileK: Int = 200, // sketch accuracy (rank error ≈1.65% at 200)
+    kllProfileMaxKs: Double = 0.0, // > 0: bad-data circuit breaker — refuse
+                                   // the load BEFORE any write when the
+                                   // batch's KS distance vs the NEWEST
+                                   // stored sketch exceeds this (requires
+                                   // kll_profile:; 0 = off; first load
+                                   // has no baseline and never trips)
     deleteWhere: String = "", // post-load predicate purge on the TARGET
                               // (row-level TTL / GDPR erasure): every
                               // target row matching this SQL boolean is
@@ -246,6 +267,10 @@ object PipelineSpec {
       profileHi = str("profile_hi", "0").toDouble,
       profileBins = str("profile_bins", "64").toInt,
       profileMaxPsi = str("profile_max_psi", "0").toDouble,
+      kllProfileTable = str("kll_profile", ""),
+      kllProfileColumn = str("kll_profile_column", ""),
+      kllProfileK = str("kll_profile_k", "200").toInt,
+      kllProfileMaxKs = str("kll_profile_max_ks", "0").toDouble,
       deleteWhere = str("delete_where", ""),
       subscribeFeed = str("subscribe_feed", ""),
       consumerName = str("consumer_name", ""),

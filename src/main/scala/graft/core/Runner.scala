@@ -215,6 +215,7 @@ final class Runner(
     Seq("change_feed" -> stage.changeFeed,
       "minhash_index" -> stage.minhashIndex, "lsh_index" -> stage.lshIndex,
       "semantic_index" -> stage.semanticIndex, "profile" -> stage.profileTable,
+      "kll_profile" -> stage.kllProfileTable,
       "delete_where" -> stage.deleteWhere, "scd2_ts" -> stage.scd2Ts,
       "outbox_keep" -> (if (stage.outboxKeep != 0) stage.outboxKeep.toString
                         else ""))
@@ -336,6 +337,30 @@ final class Runner(
     require(stage.profileMaxPsi >= 0.0,
       s"stage ${stage.name}: profile_max_psi must be >= 0, " +
         s"got ${stage.profileMaxPsi}")
+    // `kll_profile:` — the no-declared-range quantile twin of
+    // `profile:` — shares its shape contracts; no lo/hi/bins because a
+    // KLL sketch needs none (that is the point of the key)
+    if (stage.kllProfileTable.nonEmpty) {
+      require(stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path),
+        s"stage ${stage.name}: kll_profile needs a bucketed target " +
+          "(set buckets: N, or point at an existing bucketed layout)")
+      require(stage.kllProfileColumn.nonEmpty,
+        s"stage ${stage.name}: kll_profile needs kll_profile_column " +
+          "(the numeric column to sketch)")
+      require(stage.kllProfileK >= 8 && stage.kllProfileK <= 65535,
+        s"stage ${stage.name}: kll_profile_k must be in [8, 65535], " +
+          s"got ${stage.kllProfileK}")
+      require(stage.loadType != "scd2",
+        s"stage ${stage.name}: kll_profile over an scd2 target would " +
+          "double-count closed history rows — profile the current view " +
+          "in a downstream stage instead")
+    }
+    require(stage.kllProfileMaxKs == 0.0 || stage.kllProfileTable.nonEmpty,
+      s"stage ${stage.name}: kll_profile_max_ks needs kll_profile: " +
+        "(the stored sketch is the drift baseline)")
+    require(stage.kllProfileMaxKs >= 0.0 && stage.kllProfileMaxKs <= 1.0,
+      s"stage ${stage.name}: kll_profile_max_ks must be in [0, 1] " +
+        s"(a KS distance), got ${stage.kllProfileMaxKs}")
     val derived = Seq(
       ("change_feed", stage.changeFeed, false),
       ("minhash_index", stage.minhashIndex, true),
@@ -407,6 +432,11 @@ final class Runner(
     // (ids, no distribution) never trip.
     val driftGuard = stage.profileTable.nonEmpty &&
       stage.profileMaxPsi > 0.0 && stage.loadType != "delete"
+    // `kll_profile_max_ks:` — the same circuit breaker for the
+    // no-declared-range profile: KS distance of the batch vs the
+    // NEWEST stored sketch, refused before any write
+    val ksGuard = stage.kllProfileTable.nonEmpty &&
+      stage.kllProfileMaxKs > 0.0 && stage.loadType != "delete"
     // a guarded load whose extract DROPPED the profiled column is
     // exactly the corrupted-extract scenario the breaker exists for —
     // skipping the gate silently would wave it straight through
@@ -416,11 +446,37 @@ final class Runner(
           s"${stage.profileColumn} but the extract does not produce it — " +
           "refusing to load (a drift guard must not silently disarm when " +
           "the profiled column vanishes)")
+    if (ksGuard)
+      require(df.columns.contains(stage.kllProfileColumn),
+        s"stage ${stage.name}: kll_profile_max_ks guards column " +
+          s"${stage.kllProfileColumn} but the extract does not produce " +
+          "it — refusing to load (a drift guard must not silently disarm " +
+          "when the profiled column vanishes)")
     // the batch is persisted across the drift check + merge so the
     // extract never runs twice; try/finally so a merge/maintenance
     // failure can't leak the persisted batch in the block manager
-    if (driftGuard) df.persist()
+    if (driftGuard || ksGuard) df.persist()
     try {
+      if (ksGuard) {
+        graft.ops.Profiling
+          .latestKllProfile(spark, targetPath(stage.kllProfileTable))
+          .foreach { case (refV, ref) =>
+            graft.ops.Profiling.batchKsDrift(
+              df, stage.kllProfileColumn, stage.kllProfileK, ref)
+              .foreach { ks =>
+                if (ks > stage.kllProfileMaxKs) {
+                  throw new IllegalStateException(
+                    f"stage ${stage.name}: incoming batch drifts KS=$ks%.4f" +
+                      f" > kll_profile_max_ks=${stage.kllProfileMaxKs}%.4f " +
+                      s"vs stored profile version $refV of " +
+                      s"${stage.kllProfileTable} (column " +
+                      s"${stage.kllProfileColumn}) — refusing to load; " +
+                      "inspect the extract, or raise/remove " +
+                      "kll_profile_max_ks")
+                }
+              }
+          }
+      }
       if (driftGuard) {
         // the gate bins the batch with the STAGE's edges — refuse when
         // the stored reference was built under a different binning
@@ -467,7 +523,7 @@ final class Runner(
           stage.fieldsExcludedFromUpdate, retainVersions = stage.retainVersions,
           scd2Ts = Hydrate(stage.scd2Ts, ph))
     } finally {
-      if (driftGuard) df.unpersist()
+      if (driftGuard || ksGuard) df.unpersist()
     }
     // `delete_where:` purges matching target rows right after the load —
     // row-level TTL / GDPR erasure as a stage property (the hydrated
@@ -522,6 +578,11 @@ final class Runner(
       graft.ops.Profiling.syncProfile(
         spark, path, targetPath(stage.profileTable), stage.profileColumn,
         stage.profileLo, stage.profileHi, stage.profileBins): Unit
+    // `kll_profile:` runs in the same last slot for the same reason
+    if (stage.kllProfileTable.nonEmpty)
+      graft.ops.Profiling.syncKllProfile(
+        spark, path, targetPath(stage.kllProfileTable),
+        stage.kllProfileColumn, stage.kllProfileK): Unit
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

@@ -273,6 +273,94 @@ object Profiling {
     pending
   }
 
+  // the newest stored KLL profile row's sketch bytes (one tiny row)
+  private def readStoredKll(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String,
+      v: Long): Array[Byte] =
+    spark.read.parquet(s"$profilePath/version=$v")
+      .select("sk").head().getAs[Array[Byte]](0)
+
+  /** The NEWEST stored KLL profile row, as (version, sketch bytes) —
+    * the reference a KS drift gate compares an incoming batch against.
+    * None while the profile table is empty (first load, no baseline). */
+  def latestKllProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String): Option[(Long, Array[Byte])] =
+    profiledVersions(spark, profilePath).lastOption
+      .map(v => v -> readStoredKll(spark, profilePath, v))
+
+  /** KS distance of a batch's `column` distribution vs a stored
+    * reference sketch — one aggregation over the batch plus the
+    * [[graft.functions.KllSketch.kllKs]] kernel, so batch and
+    * stored-profile drift scores are the same arithmetic. None when
+    * either side is empty (nothing to judge — matches [[batchDrift]]'s
+    * null-PSI contract). */
+  def batchKsDrift(
+      batch: DataFrame,
+      column: String,
+      k: Int,
+      reference: Array[Byte]): Option[Double] = {
+    import graft.functions.KllSketch
+    val rows = batch
+      .agg(KllSketch.kllSketch(col(column).cast("double"), k).as("sk"))
+      .select(KllSketch.kllKs(col("sk"), lit(reference)).as("ks"))
+      .collect()
+    rows.headOption.collect { case r if !r.isNullAt(0) => r.getDouble(0) }
+  }
+
+  /** [[syncProfile]]'s KLL twin (the `kll_profile:` stage key): corpus
+    * quantile profiling for metrics with NO declared value range —
+    * every retained target version without a profile row gets
+    * `(n, sk, ks_prev)` under `profilePath/version=<v>/`, where `sk`
+    * is the KLL sketch of `column` over that snapshot (n exact, read
+    * from the sketch itself) and `ks_prev` is the Kolmogorov–Smirnov
+    * distance (`kll_ks`) vs the previous profiled version (null
+    * for the first). Same `_SUCCESS`-marker idempotency contract as
+    * [[syncProfile]]. Deliberately NO binning-stamp analogue: KLL
+    * bytes are self-describing and sketches built under different k
+    * remain comparable (each side's rank error rides the KS
+    * threshold), so a k change degrades accuracy visibly rather than
+    * corrupting comparisons — the failure mode fixed bins refuse for
+    * does not exist here.
+    *
+    * Returns the newly profiled version ids. */
+  def syncKllProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      profilePath: String,
+      column: String,
+      k: Int): Seq[Long] = {
+    import graft.functions.KllSketch
+    import graft.sink.BucketedMergeSink
+    val versions = BucketedMergeSink.manifestVersions(spark, targetPath).sorted
+    val profiledSet = profiledVersions(spark, profilePath).toSet
+    val pending = versions.filterNot(profiledSet)
+    // drift baseline from the STORED rows (the profile's history
+    // outlives the target's retention window — same rationale as
+    // syncProfile)
+    var prev: Option[Array[Byte]] =
+      profiledVersions(spark, profilePath)
+        .filter(v => pending.headOption.forall(v < _))
+        .lastOption.map(readStoredKll(spark, profilePath, _))
+    pending.foreach { v =>
+      val snap = BucketedMergeSink.readVersion(spark, targetPath, v)
+      val profile = snap
+        .agg(KllSketch.kllSketch(col(column).cast("double"), k).as("sk"))
+        .select(KllSketch.kllN(col("sk")).as("n"), col("sk"))
+      val withKs = prev match {
+        case Some(pb) => profile.withColumn("ks_prev",
+          KllSketch.kllKs(col("sk"), lit(pb)))
+        case None => profile.withColumn("ks_prev",
+          lit(null).cast("double"))
+      }
+      withKs.coalesce(1)
+        .write.mode("overwrite").parquet(s"$profilePath/version=$v")
+      prev = Some(readStoredKll(spark, profilePath, v))
+    }
+    pending
+  }
+
   /** Quantile read from a sketch map: the LEFT EDGE of the bin holding
     * rank `ceil(q·n)` (edge error ≤ one bin width by construction;
     * overflow bins report the range bound). Pure map manipulation —

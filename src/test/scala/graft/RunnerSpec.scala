@@ -441,6 +441,99 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(rebinGate.getMessage.contains("incomparable"), rebinGate.getMessage)
   }
 
+  test("kll_profile / kll_profile_max_ks: per-version KLL sketches with " +
+    "KS drift history; a shifted batch refuses BEFORE any write; " +
+    "misconfigurations refuse up front") {
+    // baseline distribution = 1..50; the drifted slice lives 100k away
+    ((1 to 50).map(i => (i.toLong, i.toDouble)) ++
+      (101 to 150).map(i => (i.toLong, i + 100000.0)))
+      .toDF("id", "v").createOrReplaceTempView("kllgate_src")
+    val root = Files.createTempDirectory("graft-runner-kllgate").toString
+    def yaml(pred: String) =
+      s"""pypelines:
+         |  p: [kg]
+         |pypes:
+         |  kg:
+         |    extract_query: "SELECT id, v FROM kllgate_src WHERE $pred"
+         |    target_table: tgt_kll
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    kll_profile: tgt_kll_profile
+         |    kll_profile_column: v
+         |    kll_profile_max_ks: 0.5
+         |""".stripMargin
+    // load 1: no stored baseline, never trips; load 2 in-band (same
+    // distribution) sails through and extends the profile history
+    new Runner(spark, PipelineSpec.fromYaml(yaml("id <= 50")),
+      Map.empty, root).run("p")
+    new Runner(spark, PipelineSpec.fromYaml(yaml("id <= 50")),
+      Map.empty, root).run("p")
+    val prof = spark.read.parquet(s"$root/tgt_kll_profile")
+      .select(col("version").cast("long"), col("n"), col("ks_prev"))
+      .orderBy("version")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(prof.length == 2, s"one profile row per version: ${prof.toSeq}")
+    assert(prof(0)._2 == 50L && prof(0)._3.isEmpty,
+      s"first profiled version: exact n, no drift baseline: ${prof(0)}")
+    // identical snapshots sketch identical value sets — in the exact
+    // regime (50 values << capacity) the KS distance is exactly 0
+    assert(prof(1)._2 == 50L && prof(1)._3.contains(0.0),
+      s"same-distribution drift must read 0 in exact mode: ${prof(1)}")
+    // the shifted slice's CDF is disjoint -> KS ~= 1 > 0.5: refuse
+    // BEFORE any write, keeping both the target and profile history
+    val e = intercept[IllegalStateException](
+      new Runner(spark, PipelineSpec.fromYaml(yaml("id > 100")),
+        Map.empty, root).run("p"))
+    assert(e.getMessage.contains("kll_profile_max_ks") &&
+      e.getMessage.contains("refusing to load"), e.getMessage)
+    assert(graft.sink.BucketedMergeSink
+      .manifestVersions(spark, s"$root/tgt_kll").max == 2,
+      "the refused batch must not have committed a version")
+    // the profile history OUTLIVES the default retention window (which
+    // keeps only version 2): both profiled rows are still readable
+    assert(spark.read.parquet(s"$root/tgt_kll_profile").count() == 2)
+    // catch-up is idempotent: everything retained is already profiled
+    assert(graft.ops.Profiling.syncKllProfile(spark, s"$root/tgt_kll",
+      s"$root/tgt_kll_profile", "v", 200).isEmpty)
+    // an extract that DROPS the sketched column refuses loudly (the
+    // corrupted-extract scenario must not silently disarm the gate)
+    val dropped = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(yaml("id <= 50")
+        .replace("SELECT id, v FROM", "SELECT id FROM")),
+        Map.empty, root).run("p"))
+    assert(dropped.getMessage.contains("does not produce"),
+      dropped.getMessage)
+    // misconfigurations refuse before any write
+    def failing(stanza: String, msg: String): Unit = {
+      val y =
+        s"""pypelines:
+           |  p: [bad]
+           |pypes:
+           |  bad:
+           |    extract_query: "SELECT id, v FROM kllgate_src"
+           |    target_table: tgt_kll_bad
+           |    key: [id]
+           |$stanza
+           |""".stripMargin
+      val err = intercept[IllegalArgumentException](
+        new Runner(spark, PipelineSpec.fromYaml(y), Map.empty, root).run("p"))
+      assert(err.getMessage.contains(msg), err.getMessage)
+      assert(!new java.io.File(s"$root/tgt_kll_bad").exists(),
+        "refusal must land before the write")
+    }
+    failing("    kll_profile: bad_kp\n    kll_profile_column: v", "bucketed")
+    failing("    buckets: 4\n    kll_profile: bad_kp", "kll_profile_column")
+    failing("    buckets: 4\n    kll_profile: bad_kp" +
+      "\n    kll_profile_column: v\n    kll_profile_k: 4", "[8, 65535]")
+    failing("    buckets: 4\n    kll_profile: bad_kp" +
+      "\n    kll_profile_column: v\n    type: scd2" +
+      "\n    scd2_ts: \"2024-01-01 00:00:00\"", "scd2")
+    failing("    kll_profile_max_ks: 0.5", "kll_profile:")
+    failing("    buckets: 4\n    kll_profile: bad_kp" +
+      "\n    kll_profile_column: v\n    kll_profile_max_ks: 1.5", "[0, 1]")
+  }
+
   test("lsh_index and semantic_index: each run keeps the embedding " +
     "postings (and the frozen centroid model) in lockstep with the target") {
     val rows = Seq(
