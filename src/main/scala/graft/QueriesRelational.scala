@@ -1088,6 +1088,51 @@ object QueriesRelational {
           |   OR (era = 'cur' AND delta > thr)
           |   OR (era = 'shifted' AND delta <= thr)
           |ORDER BY era""".stripMargin)
+    }),
+
+    // -- streaming KS drift alerting in BATCH mode (the q142 pattern
+    //    for Streams.windowedKsAlert, KLL edition): the operator's
+    //    per-window sketch+KS+gate must match a pure twin (one
+    //    kll_sketch_agg per window + the kll_ks column kernel, same
+    //    reference bytes, same threshold) on (window_start, n, ks) —
+    //    deterministic because sf windows sit far below KLL's
+    //    compaction capacity, so each side reconstructs the identical
+    //    per-window CDF, and BOTH sides read the one shared reference
+    //    byte array. The reference is deliberately shifted +200 so a
+    //    healthy share of windows alerts — a 'no_alerts' violation row
+    //    guards vacuity (two empty sides would otherwise pass).
+    //    Oracle = empty relation; StreamsSpec drives the same operator
+    //    through a real micro-batched stream.
+    "q148_ks_alert_batch" -> ((s, dir) => {
+      import graft.functions.KllSketch
+      val ev = T(s, dir, "events").filter(col("value").isNotNull)
+      val threshold = 0.3
+      // one shared reference: the corpus's own values shifted +200
+      val ref = ev.agg(KllSketch.kllSketch(
+          col("value").cast("double") + lit(200.0d)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val alerts = graft.streaming.Streams.windowedKsAlert(
+        ev, "value", ref, threshold)
+      val twin = ev
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(KllSketch.kllSketch(col("value").cast("double")).as("sk"))
+        .select(col("window.start").as("window_start"),
+          KllSketch.kllN(col("sk")).as("n"),
+          KllSketch.kllKs(col("sk"), lit(ref)).as("ks"))
+        .filter(col("ks") > lit(threshold))
+      def canon(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("window_start"), col("n"), col("ks"),
+          lit(src).as("src"))
+      val parity = canon(alerts, "alert").unionByName(canon(twin, "batch"))
+        .groupBy("window_start", "n", "ks")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2)
+        .select(col("window_start"), lit("alert_parity").as("violation"))
+      val vacuity = alerts.agg(count(lit(1)).as("c"))
+        .filter(col("c") === 0)
+        .select(lit(null).cast("timestamp").as("window_start"),
+          lit("no_alerts").as("violation"))
+      parity.unionByName(vacuity).orderBy("window_start")
     }))
 
   /** q141's read side: set algebra over STORED theta sketch bytes via
@@ -1186,6 +1231,10 @@ object QueriesRelational {
         |WHERE false""".stripMargin,
     "q146_kll_drift" ->
       """SELECT CAST(NULL AS VARCHAR) AS era,
+        |  CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "q148_ks_alert_batch" ->
+      """SELECT CAST(NULL AS TIMESTAMP) AS window_start,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "q137_recursive_cte" ->

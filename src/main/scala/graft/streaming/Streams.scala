@@ -166,6 +166,55 @@ object Streams {
             KllSketch.kllQuantile(col("sk"), lit(q))): _*)).as("quantiles"))
   }
 
+  /** Streaming KS DRIFT ALERT — [[windowedDriftAlert]]'s twin for
+    * metrics with NO declared value range: each event-time window's
+    * value distribution is sketched (KLL, [[windowedQuantiles]]'s
+    * state shape) and compared against a STORED reference sketch (a
+    * `kll_profile:` table row, or any `kll_sketch_agg` bytes) by
+    * Kolmogorov–Smirnov distance; only windows past the gate emit.
+    * The gate is `threshold` as a direct KS bound when > 0 (the
+    * `kll_profile_max_ks:` convention), or — when `threshold` is 0 —
+    * the per-window significance test `kll_ks_threshold(sig)`, which
+    * adapts to each window's n (small windows need more evidence;
+    * the PSI twin has no such option because PSI has no sampling
+    * theory attached). Emits (window_start, n, sk, ks); the sketch
+    * bytes ride along so alerts can be drilled into (quantile reads)
+    * and rolled up without re-scanning. Batch frames run identically
+    * (the watermark is a no-op). */
+  def windowedKsAlert(
+      events: DataFrame,
+      valueCol: String,
+      reference: Array[Byte],
+      threshold: Double,
+      sig: Double = 0.01,
+      k: Int = graft.functions.KllSketch.DefaultK,
+      windowLen: String = "1 hour",
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(reference != null && reference.nonEmpty,
+      "KS drift needs a non-empty reference sketch (an empty side has " +
+        "no CDF to drift from — kll_ks would be null on every window)")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be a KS distance in [0, 1] (0 = use the " +
+        s"significance test at sig), got $threshold")
+    import graft.functions.KllSketch
+    val windowed = events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen))
+      .agg(KllSketch.kllSketch(col(valueCol).cast("double"), k).as("sk"))
+      .select(
+        col("window.start").as("window_start"),
+        KllSketch.kllN(col("sk")).as("n"),
+        col("sk"),
+        KllSketch.kllKs(col("sk"), lit(reference)).as("ks"))
+    val gate =
+      if (threshold > 0.0) col("ks") > lit(threshold)
+      else col("ks") >
+        KllSketch.kllKsThreshold(col("sk"), lit(reference), lit(sig))
+    windowed.filter(gate)
+  }
+
   /** File-stream reader over a directory of event parquet (schema fixed
     * up front — streaming sources can't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -245,6 +245,62 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       rows.toDF("ts", "v"), "v", probes = Seq(1.5)))
   }
 
+  test("windowedKsAlert: only windows drifted past the gate emit; the " +
+    "significance mode adapts to window size; refusals are loud") {
+    import graft.functions.KllSketch
+    import org.apache.spark.sql.functions.{col, lit}
+    // reference = 1..60 (exact mode, deterministic bytes semantics)
+    val reference = (1 to 60).map(_.toDouble).toDF("v")
+      .agg(KllSketch.kllSketch(col("v")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    // window 10:00 repeats the reference values (KS = 0); window 11:00
+    // lives 1000 away (CDFs disjoint, KS = (n-1)/n ≈ 0.98); the late
+    // 14:00 event closes both on the stream
+    val steady = (0 until 60).map(i => (tsAt(10, i), (i + 1).toDouble))
+    val drifted = (0 until 60).map(i => (tsAt(11, i), (i + 1001).toDouble))
+    val late = Seq((tsAt(14, 0), 42.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ka-stream").toString
+    writeSourceBatch(dir, (steady ++ drifted).toDF("ts", "v"), 0)
+    writeSourceBatch(dir, late.toDF("ts", "v"), 1)
+    val stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.windowedKsAlert(stream, "v", reference, threshold = 0.5)
+      .writeStream.format("memory").queryName("ka_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("ka_stream")
+        .select("window_start", "n", "ks")
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+      assert(out.map(_._1).toSeq == Seq(tsAt(11, 0)),
+        s"only the drifted window may alert: ${out.toSeq}")
+      assert(out.head._2 == 60L && out.head._3 > 0.9,
+        s"drifted window profile: ${out.head}")
+    } finally q.stop()
+    // batch mode, significance gate (threshold = 0): the 60-value
+    // drifted window clears its adaptive threshold, the steady window
+    // scores 0, and the single-value 14:00 window — despite a raw KS
+    // of ~0.68 — does NOT alert because one sample is no evidence
+    val batch = Streams.windowedKsAlert(
+      (steady ++ drifted ++ late).toDF("ts", "v"), "v", reference,
+      threshold = 0.0, sig = 0.01)
+      .select("window_start").as[java.sql.Timestamp].collect()
+    assert(batch.toSeq == Seq(tsAt(11, 0)),
+      s"significance mode must alert on the drifted window alone: " +
+        s"${batch.toSeq}")
+    // the emitted sketch bytes are the drill-down: a quantile read off
+    // the alert row lands inside the drifted window's value range
+    val med = Streams.windowedKsAlert(
+      drifted.toDF("ts", "v"), "v", reference, threshold = 0.5)
+      .select(KllSketch.kllQuantile(col("sk"), lit(0.5)))
+      .head().getDouble(0)
+    assert(med >= 1001.0 && med <= 1060.0, s"alert-row median: $med")
+    intercept[IllegalArgumentException](Streams.windowedKsAlert(
+      steady.toDF("ts", "v"), "v", Array.empty[Byte], 0.5))
+    intercept[IllegalArgumentException](Streams.windowedKsAlert(
+      steady.toDF("ts", "v"), "v", reference, 1.5))
+  }
+
   test("readEventStream produces a streaming frame with the fixed schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val sdf = Streams.readEventStream(spark, dir)
