@@ -435,6 +435,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         s"it every raw item ships through the shuffle:\n$p")
   }
 
+  test("kll_sketch_agg plans its partial below the exchange — raw " +
+    "values never ride the shuffle, and the merge side reads bytes") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    (1 to 200).map(i => (i % 5, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("ps_kll_rows")
+    val df = spark.sql(
+      "SELECT g, kll_sketch_agg(v) AS sk FROM ps_kll_rows GROUP BY g")
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("objecthashaggregate"),
+      s"expected ObjectHashAggregate for the live KLL buffer:\n$p")
+    assert(p.contains("partial_kll_sketch_agg"),
+      s"expected a PARTIAL sketch stage below the exchange — without " +
+        s"it every raw value ships through the shuffle:\n$p")
+    // the persisted-read rollup has the same shape: stored bytes in,
+    // one constant-size summary per group through the exchange
+    val m = spark.sql(
+      "SELECT kll_merge_agg(sk) FROM (SELECT g, kll_sketch_agg(v) AS sk " +
+        "FROM ps_kll_rows GROUP BY g)")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(m.contains("partial_kll_merge_agg"),
+      s"expected a PARTIAL merge stage below the exchange:\n$m")
+  }
+
   test("deflate_ratio stays inside whole-stage codegen — no fallback " +
     "projection in the scoring scan") {
     graft.functions.GraftFunctions.register(spark)
