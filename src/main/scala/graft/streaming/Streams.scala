@@ -702,6 +702,46 @@ object Streams {
     }
   }
 
+  /** [[streamingMergeWithProfile]]'s KLL twin — continuous ingest whose
+    * per-version QUANTILE profile (`kll_profile:`'s table shape:
+    * n exact, sketch bytes, ks_prev) tracks the target per micro-batch
+    * with the same catch-up-BEFORE-merge ordering, for metrics whose
+    * value range nobody declared at stream-start (the fixed-bin twin
+    * requires [lo, hi) up front). Crash between a trigger's merge and
+    * its profile heals on the next trigger, before that trigger's own
+    * merge can slide the retention window past the pending version. */
+  def streamingMergeWithKllProfile(
+      stream: DataFrame,
+      path: String,
+      profilePath: String,
+      key: Seq[String],
+      column: String,
+      k: Int = graft.functions.KllSketch.DefaultK,
+      loadType: String = "upsert",
+      excluded: Seq[String] = Nil,
+      numBuckets: Int = 64,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(Set("upsert", "update", "delete")(loadType),
+      s"unknown load type: $loadType (expected upsert/update/delete; " +
+        "profile rows snapshot CURRENT versions — scd2 history would " +
+        "double-count closed rows)")
+    require(numBuckets > 0,
+      "a profiled merge stream needs a bucketed target (the profile " +
+        "snapshots manifest versions) — pass numBuckets > 0")
+    require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
+    val sync = (spark: SparkSession) =>
+      graft.ops.Profiling.syncKllProfile(
+        spark, path, profilePath, column, k): Unit
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      if (graft.sink.BucketedMergeSink.isBucketed(spark, path)) sync(spark)
+      graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
+        identifier = key.head, excluded = excluded, numBuckets = numBuckets,
+        retainVersions = retainVersions)
+      sync(spark)
+    }
+  }
+
   /** The shared merge-plus-index trigger loop behind the three indexed
     * ingest variants — validation and the catch-up-BEFORE-merge
     * ordering live here once; `sync` is the family's idempotent

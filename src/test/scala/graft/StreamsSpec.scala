@@ -654,6 +654,81 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       s"crashed version's profile healed: $healed vs retained $retained")
   }
 
+  test("streamingMergeWithKllProfile: per-version quantile profiles " +
+    "track the target across micro-batches; a crashed trigger's " +
+    "version heals") {
+    import graft.functions.KllSketch
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-smk-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-smk-tgt").toString + "/t"
+    val prof = java.nio.file.Files.createTempDirectory("graft-smk-pr").toString + "/p"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smk-ck").toString
+    val batches = Seq(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      Seq((1L, 500.0), (4L, 40.0))) // b1 drags doc 1 far out of band
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("id", "v"), i)
+    }
+    val stream = spark.readStream
+      .schema("id LONG, v DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMergeWithKllProfile(
+      stream, target, prof, Seq("id"), "v", numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // one profile row per retained version; n exact, and the sketch
+    // bytes replay the snapshot's order statistics (exact regime)
+    val versions = graft.sink.BucketedMergeSink
+      .manifestVersions(spark, target).sorted
+    val rows = spark.read.parquet(prof)
+      .select($"version".cast("long"), $"n", $"sk", $"ks_prev")
+      .orderBy("version")
+      .as[(Long, Long, Array[Byte], Option[Double])].collect()
+    assert(rows.map(_._1).toSeq == versions,
+      s"every retained version profiled: ${rows.map(_._1).toSeq} vs $versions")
+    rows.foreach { case (v, n, sk, _) =>
+      val snap = graft.sink.BucketedMergeSink.readVersion(spark, target, v)
+      assert(n == snap.count(), s"v$v: n must be the snapshot's exact count")
+      val (med, freshMed) = (
+        spark.range(1).select(KllSketch.kllQuantile(lit(sk), lit(0.5)))
+          .head().getDouble(0),
+        snap.agg(KllSketch.kllQuantile(
+          KllSketch.kllSketch(col("v")), lit(0.5))).head().getDouble(0))
+      assert(med == freshMed,
+        s"v$v: stored bytes must replay the snapshot's median (exact " +
+          s"regime): $med vs $freshMed")
+    }
+    assert(rows.head._4.isEmpty, "first profiled version has no baseline")
+    assert(rows.last._4.exists(ks => ks > 0.0 && ks <= 1.0),
+      s"the out-of-band update must show as KS drift: ${rows.last._4}")
+    // construction-time refusals
+    intercept[IllegalArgumentException](Streams.streamingMergeWithKllProfile(
+      stream, target, prof, Seq("id"), "v", numBuckets = 0))
+    intercept[IllegalArgumentException](Streams.streamingMergeWithKllProfile(
+      stream, target, prof, Seq("id"), "v", k = 4))
+    intercept[IllegalArgumentException](Streams.streamingMergeWithKllProfile(
+      stream, target, prof, Seq("id"), "v", loadType = "scd2"))
+    // crash between a trigger's merge and its profile: the target gains
+    // a version with no profile row; the next trigger heals it BEFORE
+    // its own merge can slide the retention window past it
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((5L, 50.0)).toDF("id", "v"), target, "upsert", Seq("id"))
+    writeSourceBatch(dir, Seq((6L, 60.0)).toDF("id", "v"), 2)
+    val q2 = Streams.streamingMergeWithKllProfile(
+      stream, target, prof, Seq("id"), "v", numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val healed = spark.read.parquet(prof)
+      .select($"version".cast("long")).as[Long].collect().toSet
+    val retained = graft.sink.BucketedMergeSink
+      .manifestVersions(spark, target).toSet
+    assert(retained.subsetOf(healed),
+      s"crashed version's profile healed: $healed vs retained $retained")
+  }
+
   test("subscribeFeedStream: an AvailableNow trigger catches the replica " +
     "up to the outbox; the next one converges after more publishes") {
     import org.apache.spark.sql.streaming.Trigger
