@@ -78,6 +78,31 @@ class KllSketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sketches built under DIFFERENT k merge and compare — the " +
+    "documented contrast with the fixed-bin family's binning refusal") {
+    GraftFunctions.register(spark)
+    (1 to 50).map(_.toDouble).toDF("v").createOrReplaceTempView("kmix_lo")
+    (51 to 100).map(_.toDouble).toDF("v").createOrReplaceTempView("kmix_hi")
+    // build halves at k=128 and k=512, merge, read: n stays exact and
+    // the merged quantiles are order statistics (both halves exact-mode)
+    val row = spark.sql(
+      """SELECT kll_n(m) AS n, kll_quantile(m, 0.5d) AS med,
+        |  kll_ks(a, b) AS ks
+        |FROM (
+        |  SELECT kll_merge_agg(sk) AS m,
+        |    min(CASE WHEN src = 'a' THEN sk END) AS a,
+        |    min(CASE WHEN src = 'b' THEN sk END) AS b
+        |  FROM (
+        |    SELECT 'a' AS src, kll_sketch_agg(v, 128) AS sk FROM kmix_lo
+        |    UNION ALL
+        |    SELECT 'b' AS src, kll_sketch_agg(v, 512) AS sk FROM kmix_hi))
+        |""".stripMargin).head()
+    assert(row.getLong(0) == 100L && row.getDouble(1) == 50.0,
+      s"mixed-k merge must stay exact below capacity: $row")
+    // and the KS kernel compares across k too: disjoint halves separate
+    assert(row.getDouble(2) >= 0.98, s"cross-k KS on disjoint halves: $row")
+  }
+
   test("kll_ks / kll_ks_threshold: KS distance from stored bytes — " +
     "identical sketches score 0, disjoint ranges score 1, the " +
     "threshold-gated test separates same-distribution from shifted") {
