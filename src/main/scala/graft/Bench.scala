@@ -206,9 +206,16 @@ object Bench {
 
   /** Percentages over the window: steal/iowait against total cpu ticks
     * (all cores), PSI "some" stall time against wall time. `calibS`,
-    * when >= 0, is the window's [[calibProbe]] seconds. */
+    * when >= 0, is the window's OPENING [[calibProbe]] seconds;
+    * `calibCloseS` the CLOSING one (r16 verdict #1: an open-only probe
+    * missed a mid-window era shift — iso:q118 opened at a calm 0.497 s
+    * yet measured 286.7 s CPU on a shape whose calm cost is 88.9 s; the
+    * era degraded after the probe. With both ends recorded, a window
+    * whose probes disagree is self-labelling as era-shifted instead of
+    * needing a sibling capture to adjudicate). */
   private[graft] def hostDeltaJson(
-      a: HostSnap, b: HostSnap, calibS: Double = -1.0): String = {
+      a: HostSnap, b: HostSnap, calibS: Double = -1.0,
+      calibCloseS: Double = -1.0): String = {
     val dTicks = math.max(1L, b.totalTicks - a.totalTicks)
     val wallUs = math.max(1L, (b.wallNs - a.wallNs) / 1000)
     def p(x: Double): String = f"$x%.2f"
@@ -218,6 +225,7 @@ object Bench {
       s""""cpu_psi_some_pct":${p(100.0 * (b.cpuPsiUs - a.cpuPsiUs) / wallUs)},""" +
       s""""io_psi_some_pct":${p(100.0 * (b.ioPsiUs - a.ioPsiUs) / wallUs)},""" +
       (if (calibS >= 0) s""""calib_s":${f"$calibS%.3f"},""" else "") +
+      (if (calibCloseS >= 0) s""""calib_close_s":${f"$calibCloseS%.3f"},""" else "") +
       s""""load1_end":${b.load1}}"""
   }
 
@@ -230,14 +238,19 @@ object Bench {
   // counters, inflating wall AND task-CPU together on byte-identical
   // work (SURVEY §6). The probe turns that swing into a number inside
   // the artifact: a deterministic single-threaded xxhash-style mix over
-  // a fixed 64 MiB buffer, run at the OPEN of every host window (each
-  // family JVM, each isolated re-run, the whole run). Work is constant
+  // a fixed 64 MiB buffer, run at the OPEN and (since r17) the CLOSE of
+  // every host window (each family JVM, each isolated re-run, the whole
+  // run) — the r16 driver capture proved open-only insufficient: an era
+  // can degrade after the probe, mid-window. Work is constant
   // by construction — same buffer, same pass count; the final checksum
   // is pinned in BenchWorkSpec so any edit to the workload is loud —
   // so calib_s varies only with the era's delivered throughput, and
   // cross-round CPU comparisons normalize as
-  //   cpu_norm = cpu_s * (calib_ref / calib_window).
-  // ~0.5-1 s calm; ~10 windows per full run.
+  //   cpu_norm = cpu_s * (calib_ref / calib_window)
+  // with calib_window = max(calib_s, calib_close_s); when open and close
+  // disagree >25% the window is era-shifted mid-flight — inconclusive,
+  // adjudicate with a sibling capture (bench_compare.py labels this).
+  // ~0.5-1 s calm; ~10 windows per full run, 2 probes each.
 
   private val calibWords = 8 * 1024 * 1024 // 64 MiB of longs
   private val calibPasses = 16
@@ -292,11 +305,17 @@ object Bench {
     // labels can still be rewritten if a family is abandoned mid-sequence
     val famHost = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def withHost(run: => FamilyRun, head: String): FamilyRun = {
-      // probe BEFORE the window opens so the measurement itself never
-      // rides inside the window's steal/PSI/wall accounting
+      // probe BEFORE the window opens and AFTER it closes (r16 verdict
+      // #1), so both probes bracket the window without riding inside its
+      // steal/PSI/wall accounting; a mid-window era shift shows up as
+      // open/close disagreement right in the artifact
       val calib = calibProbe()._1
       val a = hostSnap()
-      try run finally famHost += (head -> hostDeltaJson(a, hostSnap(), calib))
+      try run finally {
+        val b = hostSnap()
+        val close = calibProbe()._1
+        famHost += (head -> hostDeltaJson(a, b, calib, close))
+      }
     }
     val results: Seq[FamilyRun] =
       if (nFam == 1) { spawned = false; Seq(withHost(runInProcess(names), names.head)) }
@@ -337,8 +356,10 @@ object Bench {
         }.toMap
     val isolated = isolatedRuns.map { case (n, r) => n -> r._1.head._2 }
     val isolatedWork = isolatedRuns.flatMap { case (n, r) => r._3.get(n).map(n -> _) }
+    val runEnd = hostSnap()
+    val runCalibClose = calibProbe()._1
     val hostJson =
-      s"""{"overall":${hostDeltaJson(runStart, hostSnap(), runCalib)},""" +
+      s"""{"overall":${hostDeltaJson(runStart, runEnd, runCalib, runCalibClose)},""" +
         s""""windows":[${famHost.map { case (l, h) =>
           s"""{"family":"$l","host":$h}""" }.mkString(",")}]}"""
     emit(passesByName, meta, families = results.size, isolated,
@@ -604,10 +625,18 @@ object Bench {
       "for r13->r14 deltas (r13's driver capture ran ~3-5x task-CPU " +
       "inflated at load1 15.6 with byte-identical work shapes; compare " +
       "against the anchor, not that capture). " +
-      "r16+: every host window opens with a fixed-work single-thread " +
-      "probe (calib_s); cross-round cpu comparisons normalize by the " +
-      "calib ratio, cpu_norm = cpu_s * (calib_ref / calib_window) — " +
-      "SURVEY section 6 Era calibration\""
+      "r16+: every host window carries a fixed-work single-thread " +
+      "probe (calib_s at open; r17+ also calib_close_s at close); " +
+      "cross-round cpu comparisons normalize by the calib ratio, " +
+      "cpu_norm = cpu_s * (calib_ref / max(calib_s, calib_close_s)); " +
+      "open/close disagreeing >25% = era shifted mid-window, " +
+      "inconclusive, use a sibling capture — SURVEY section 6 Era " +
+      "calibration. READER NOTE: calm-era calib_s on this host is " +
+      "~0.5 s; if this capture's probes read >~1.5x that, the " +
+      "headline total is era-inflated — prefer the newest calm dated " +
+      "sibling BENCH_<date>_r<N>_run<k>.json as the representative " +
+      "number (tools/bench_compare.py separates era noise from real " +
+      "regressions either way)\""
     val full = s"""{"metric":"total","value":$total,$common,"queries":$qs,""" +
       s""""passes":$passes,"isolated":$iso,"work":${workJson(workByName)},""" +
       s""""work_isolated":${workJson(isolatedWork)},"host":$hostJson,""" +

@@ -122,6 +122,16 @@ class BenchWorkSpec extends AnyFunSuite with SparkTestBase {
     val b = Bench.hostSnap()
     val withCalib = Bench.hostDeltaJson(a, b, s1)
     assert(withCalib.contains("\"calib_s\":"), withCalib)
+    // open-only caller (legacy shape): close key must NOT appear, so
+    // bench_compare can tell a real r16 capture from a truncated r17 one
+    assert(!withCalib.contains("calib_close_s"), withCalib)
+    // r17+: both probes bracket the window — these exact JSON keys are
+    // what bench_compare.py normalizes by (max of the two) and what it
+    // uses to label mid-window era shifts; renaming either breaks every
+    // committed capture's comparability
+    val withBoth = Bench.hostDeltaJson(a, b, s1, s2)
+    assert(withBoth.contains("\"calib_s\":"), withBoth)
+    assert(withBoth.contains("\"calib_close_s\":"), withBoth)
     // default (child-side / legacy callers): no calib key, still valid
     assert(!Bench.hostDeltaJson(a, b).contains("calib_s"))
   }

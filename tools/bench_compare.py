@@ -1,28 +1,47 @@
 #!/usr/bin/env python3
-"""Era-corrected comparison of two BENCH_FULL.json captures.
+"""Era-corrected comparison of BENCH_FULL.json captures.
 
 Executes SURVEY.md §6 "Era calibration": the sandbox host's delivered
 per-thread throughput swings between multi-hour eras with calm
 steal/iowait/PSI counters, inflating wall AND task-CPU together on
-byte-identical work. Each capture's host windows carry `calib_s` — a
-fixed-work single-thread probe (graft.Bench.calibProbe, checksum-pinned
-in BenchWorkSpec) — so cross-round CPU compares as
+byte-identical work. Each capture's host windows carry a fixed-work
+single-thread probe (graft.Bench.calibProbe, checksum-pinned in
+BenchWorkSpec): `calib_s` at window OPEN (r16+) and `calib_close_s` at
+window CLOSE (r17+). Cross-round CPU compares as
 
     cpu_norm = cpu_s * (calib_ref / calib_window)
 
-This tool reconstructs each query's family window (the battery splits
-into contiguous families labeled by their head query), normalizes both
-sides, and reports per-query raw vs normalized ratios alongside the
-work-shape delta (input rows, shuffle MB, task count). The verdict a
-reader wants: "normalized CPU flat + identical shape = same operator
-cost, era noise only; normalized CPU moved on identical shape = real."
+with calib_window = max(calib_s, calib_close_s) — the conservative
+choice: a window is only as trustworthy as its worst observed era.
+When the two probes disagree by >25% the era shifted MID-window (the
+r16 failure mode: iso:q118 opened at a calm 0.497 s yet measured
+286.7 s CPU on an 88.9 s-calm shape); such windows are labelled
+"era-shifted — inconclusive" and excluded from normalized ratios
+unless no clean sibling window exists.
 
-Captures from rounds before the probe (no calib_s) degrade to raw-only
-with a warning. Stdlib only — runnable anywhere the artifacts are.
+MULTI-CAPTURE MIN-AGGREGATION (r16 verdict #2): the isolated-rerun
+phase has high co-tenant variance (q111 isolated cpu 44.3 vs 23.4 s
+across same-HEAD captures with identical shapes), so the documented
+adjudication rule is "min-aggregate across >=2 captures before
+flagging an isolated regression". Pass several files per side,
+separated by `--`:
+
+    bench_compare.py OLD1 [OLD2 ...] -- NEW1 [NEW2 ...]
+    bench_compare.py OLD NEW              # single-capture, as before
+
+Per side and per query, the minimum raw cpu and the minimum
+era-normalized cpu (cpu_s / calib_window, clean windows preferred)
+are taken across captures; ratios compare those minima. Captures from
+rounds before the probes degrade gracefully: calib_s-only windows
+normalize by the open probe (no shift detection possible); no-calib
+captures give raw-only ratios with a warning. Stdlib only — runnable
+anywhere the artifacts are.
 """
 import argparse
 import json
 import sys
+
+SHIFT_BAND = 0.25  # open/close disagreement that marks a window era-shifted
 
 
 def load(path):
@@ -31,14 +50,24 @@ def load(path):
 
 
 def family_windows(doc):
-    """label -> calib_s for battery-family windows; 'iso:<q>' kept as-is."""
+    """label -> (calib_window, era_shifted) for battery-family windows;
+    'iso:<q>' kept as-is. calib_window = max(open, close) when both
+    probes exist, the open probe alone on r16-era captures, None before
+    the probe. era_shifted = the two probes disagree by > SHIFT_BAND
+    (None when only one probe exists — shift is undetectable)."""
     out = {}
     for w in doc.get("host", {}).get("windows", []):
         label = w.get("family", "")
         if label.startswith("abandoned:"):
             continue
-        calib = w.get("host", {}).get("calib_s")
-        out[label] = calib
+        h = w.get("host", {})
+        op, cl = h.get("calib_s"), h.get("calib_close_s")
+        if op and cl:
+            out[label] = (max(op, cl), max(op, cl) / min(op, cl) - 1 > SHIFT_BAND)
+        elif op:
+            out[label] = (op, None)
+        else:
+            out[label] = (None, None)
     return out
 
 
@@ -70,74 +99,143 @@ def section(doc, isolated):
     return doc.get("work_isolated" if isolated else "work", {}) or {}
 
 
-def compare(old, new, isolated, threshold):
-    ow, nw = section(old, isolated), section(new, isolated)
-    ofam, nfam = family_windows(old), family_windows(new)
-    oheads = sorted(h for h in ofam if not h.startswith("iso:"))
-    nheads = sorted(h for h in nfam if not h.startswith("iso:"))
+def side_stats(docs, isolated):
+    """Per query: min raw cpu (+ its shape), min era-normalized cpu
+    (cpu/calib, clean windows preferred), and whether every calibrated
+    window that measured it was era-shifted."""
+    per_query = {}
+    for doc in docs:
+        work = section(doc, isolated)
+        fams = family_windows(doc)
+        heads = sorted(h for h in fams if not h.startswith("iso:"))
+        for q, passes in work.items():
+            cpu = min_cpu(passes)
+            if cpu is None or cpu <= 0:
+                continue
+            label = f"iso:{q}" if isolated else family_of(q, heads)
+            calib, shifted = fams.get(label, (None, None))
+            per_query.setdefault(q, []).append(
+                {"cpu": cpu, "calib": calib, "shifted": shifted,
+                 "shape": shape(passes)})
+    out = {}
+    for q, entries in per_query.items():
+        best = min(entries, key=lambda e: e["cpu"])
+        calibrated = [e for e in entries if e["calib"]]
+        clean = [e for e in calibrated if not e["shifted"]]
+        pool = clean or calibrated  # fall back to shifted-only, flagged below
+        norm = min(e["cpu"] / e["calib"] for e in pool) if pool else None
+        out[q] = {"cpu": best["cpu"], "shape": best["shape"], "norm": norm,
+                  "all_shifted": bool(calibrated) and not clean,
+                  "captures": len(entries)}
+    return out
+
+
+def compare(olds, news, isolated, threshold):
+    os_, ns_ = side_stats(olds, isolated), side_stats(news, isolated)
     rows = []
-    for q in sorted(set(ow) & set(nw)):
-        oc, nc = min_cpu(ow[q]), min_cpu(nw[q])
-        if oc is None or nc is None or oc <= 0:
-            continue
-        if isolated:
-            ocal, ncal = ofam.get(f"iso:{q}"), nfam.get(f"iso:{q}")
-        else:
-            ocal = ofam.get(family_of(q, oheads))
-            ncal = nfam.get(family_of(q, nheads))
-        raw = nc / oc
-        # normalize BOTH sides to the old capture's era: scale new cpu by
-        # (old window probe / new window probe)
-        norm = raw * (ocal / ncal) if ocal and ncal else None
-        osh, nsh = shape(ow[q]), shape(nw[q])
+    for q in sorted(set(os_) & set(ns_)):
+        o, n = os_[q], ns_[q]
+        raw = n["cpu"] / o["cpu"]
+        norm = (n["norm"] / o["norm"]
+                if o["norm"] and n["norm"] else None)
+        inconclusive = o["all_shifted"] or n["all_shifted"]
         rows.append({
-            "query": q, "old_cpu_s": round(oc, 1), "new_cpu_s": round(nc, 1),
+            "query": q, "old_cpu_s": round(o["cpu"], 1),
+            "new_cpu_s": round(n["cpu"], 1),
             "raw_ratio": round(raw, 2),
             "norm_ratio": round(norm, 2) if norm is not None else None,
-            "same_shape": osh == nsh,
-            "old_shape": osh, "new_shape": nsh,
+            "same_shape": o["shape"] == n["shape"],
+            "old_shape": o["shape"], "new_shape": n["shape"],
+            "era_shifted": inconclusive,
+            "captures": (o["captures"], n["captures"]),
         })
     flagged = [r for r in rows
                if (r["norm_ratio"] if r["norm_ratio"] is not None
-                   else r["raw_ratio"]) > threshold and r["same_shape"]]
-    return rows, flagged
+                   else r["raw_ratio"]) > threshold and r["same_shape"]
+               and not r["era_shifted"]]
+    shifted = [r for r in rows if r["era_shifted"]
+               and (r["norm_ratio"] if r["norm_ratio"] is not None
+                    else r["raw_ratio"]) > threshold and r["same_shape"]]
+    return rows, flagged, shifted
+
+
+def probe_summary(docs):
+    """label -> 'open->close' strings for the newest capture per side."""
+    lines = []
+    for doc, name in docs:
+        for w in doc.get("host", {}).get("windows", []):
+            label = w.get("family", "")
+            if label.startswith("abandoned:"):
+                continue
+            h = w.get("host", {})
+            op, cl = h.get("calib_s"), h.get("calib_close_s")
+            if op is None:
+                continue
+            s = f"{op:.2f}" + (f"->{cl:.2f}" if cl is not None else "")
+            if op and cl and max(op, cl) / min(op, cl) - 1 > SHIFT_BAND:
+                s += " SHIFTED"
+            lines.append(f"{name} {label}: {s}s")
+    return lines
 
 
 def main():
-    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("old"), ap.add_argument("new")
+    # `--` splits old captures from new ones; handle it before argparse
+    # (argparse swallows a literal `--`). Two bare positionals = the
+    # classic single-capture-per-side form.
+    argv = sys.argv[1:]
+    olds_paths, news_paths = None, None
+    if "--" in argv:
+        i = argv.index("--")
+        pre, post = argv[:i], argv[i + 1:]
+        olds_paths = [a for a in pre if not a.startswith("-")]
+        news_paths = [a for a in post if not a.startswith("-")]
+        argv = ([a for a in pre if a.startswith("-")] +
+                [a for a in post if a.startswith("-")])
+    ap = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
+        usage="bench_compare.py OLD [OLD2 ...] -- NEW [NEW2 ...]  |  "
+              "bench_compare.py OLD NEW [options]")
+    if olds_paths is None:
+        ap.add_argument("old"), ap.add_argument("new")
     ap.add_argument("--isolated", action="store_true",
                     help="compare work_isolated (fresh-JVM) instead of in-battery")
     ap.add_argument("--threshold", type=float, default=1.2,
                     help="flag same-shape queries whose normalized ratio exceeds this")
     ap.add_argument("--all", action="store_true", help="print every query, not just flagged")
-    a = ap.parse_args()
-    old, new = load(a.old), load(a.new)
-    rows, flagged = compare(old, new, a.isolated, a.threshold)
-    ocal = family_windows(old)
-    ncal = family_windows(new)
-    if not any(v for v in ocal.values()) or not any(v for v in ncal.values()):
+    a = ap.parse_args(argv)
+    if olds_paths is None:
+        olds_paths, news_paths = [a.old], [a.new]
+    if not olds_paths or not news_paths:
+        ap.error("need at least one capture on each side of --")
+    olds = [load(p) for p in olds_paths]
+    news = [load(p) for p in news_paths]
+    rows, flagged, shifted = compare(olds, news, a.isolated, a.threshold)
+    if (not any(c for c, _ in (fw for d in olds for fw in family_windows(d).values())) or
+            not any(c for c, _ in (fw for d in news for fw in family_windows(d).values()))):
         print("WARNING: a capture predates the calib probe — raw ratios only; "
               "era swings are NOT corrected", file=sys.stderr)
     kind = "work_isolated" if a.isolated else "in-battery work"
     print(f"# {kind}: {len(rows)} comparable queries "
-          f"({a.old} -> {a.new})")
-    calibs = [(l, c) for l, c in sorted(ncal.items()) if c]
-    if calibs:
-        oc = {l: c for l, c in ocal.items() if c}
-        print("# era probes (old -> new, per window): " + ", ".join(
-            f"{l}: {oc[l]:.2f}->{c:.2f}s" for l, c in calibs if l in oc))
-    for r in (rows if a.all else flagged):
+          f"({'+'.join(olds_paths)} -> {'+'.join(news_paths)}; "
+          f"min-aggregated per side)")
+    for line in probe_summary(list(zip(olds, olds_paths)) +
+                              list(zip(news, news_paths))):
+        print(f"# probe {line}")
+    for r in (rows if a.all else flagged + shifted):
         tag = "SAME-SHAPE" if r["same_shape"] else "shape-changed"
+        if r["era_shifted"]:
+            tag += "; ERA-SHIFTED — inconclusive, use a sibling capture"
         print(f"{r['query']}: cpu {r['old_cpu_s']} -> {r['new_cpu_s']} s "
-              f"raw x{r['raw_ratio']} norm x{r['norm_ratio']} [{tag}]")
+              f"raw x{r['raw_ratio']} norm x{r['norm_ratio']} "
+              f"captures {r['captures'][0]}v{r['captures'][1]} [{tag}]")
         if not r["same_shape"]:
             print(f"    {r['old_shape']} -> {r['new_shape']} "
                   "(rows, sh_read_mb, sh_write_mb, tasks)")
     if not a.all:
         print(f"# {len(flagged)} flagged (same shape, norm ratio > "
-              f"{a.threshold}); {len(rows) - len(flagged)} within band or "
-              "shape-explained")
+              f"{a.threshold}, clean windows); {len(shifted)} era-shifted "
+              f"inconclusive; {len(rows) - len(flagged) - len(shifted)} "
+              "within band or shape-explained")
     return 0 if not flagged else 1
 
 
