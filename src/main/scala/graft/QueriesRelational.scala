@@ -1039,7 +1039,18 @@ object QueriesRelational {
         .select(lit(null).cast("timestamp").as("window_start"),
           lit(null).cast("double").as("q"),
           lit("rollup_n_mismatch").as("violation"))
-      perWindow.unionByName(rollup).orderBy("window_start", "q")
+      // audit-premise guard (r16 advice): the band is DETERMINISTIC
+      // only while every window sketch is in exact mode (never
+      // compacted — retained == n); past capacity the randomized
+      // compactor makes the band probabilistic (~99% per check) and a
+      // denser fixture would flake instead of failing for a reason.
+      // This row names the fix: re-widen the band or shrink windows.
+      val capacity = wq
+        .filter(KllSketch.kllRetained(col("sk")) =!= col("n"))
+        .select(col("window_start"), lit(null).cast("double").as("q"),
+          lit("window_past_exact_capacity_rewiden_band").as("violation"))
+      perWindow.unionByName(rollup).unionByName(capacity)
+        .orderBy("window_start", "q")
     }),
 
     // -- KS drift over STORED KLL bytes (the monitoring question for
@@ -1098,7 +1109,8 @@ object QueriesRelational {
     //    deterministic because sf windows sit far below KLL's
     //    compaction capacity, so each side reconstructs the identical
     //    per-window CDF, and BOTH sides read the one shared reference
-    //    byte array. The reference is deliberately shifted +200 so a
+    //    byte array — a premise the kll_retained guard row now
+    //    enforces instead of assumes. The reference is deliberately shifted +200 so a
     //    healthy share of windows alerts — a 'no_alerts' violation row
     //    guards vacuity (two empty sides would otherwise pass).
     //    Oracle = empty relation; StreamsSpec drives the same operator
@@ -1113,11 +1125,13 @@ object QueriesRelational {
         .head().getAs[Array[Byte]](0)
       val alerts = graft.streaming.Streams.windowedKsAlert(
         ev, "value", ref, threshold)
-      val twin = ev
+      val twinSk = ev
         .groupBy(window(col("ts"), "1 hour"))
         .agg(KllSketch.kllSketch(col("value").cast("double")).as("sk"))
         .select(col("window.start").as("window_start"),
-          KllSketch.kllN(col("sk")).as("n"),
+          KllSketch.kllN(col("sk")).as("n"), col("sk"))
+      val twin = twinSk
+        .select(col("window_start"), col("n"),
           KllSketch.kllKs(col("sk"), lit(ref)).as("ks"))
         .filter(col("ks") > lit(threshold))
       def canon(df: org.apache.spark.sql.DataFrame, src: String) =
@@ -1132,7 +1146,20 @@ object QueriesRelational {
         .filter(col("c") === 0)
         .select(lit(null).cast("timestamp").as("window_start"),
           lit("no_alerts").as("violation"))
-      parity.unionByName(vacuity).orderBy("window_start")
+      // audit-premise guard (r16 advice): exact parity between two
+      // INDEPENDENTLY built per-window sketches holds only in exact
+      // mode (retained == n — no randomized compaction to diverge on;
+      // whether a sketch has compacted is a deterministic function of
+      // (k, n), so checking the twin side covers the operator side
+      // too). The shared REFERENCE may compact freely — both sides
+      // read the one byte array. A denser fixture now fails loudly
+      // with the fix in the name: compare ks within a 2-epsilon band.
+      val capacity = twinSk
+        .filter(KllSketch.kllRetained(col("sk")) =!= col("n"))
+        .select(col("window_start"),
+          lit("window_past_exact_capacity_band_compare_ks").as("violation"))
+      parity.unionByName(vacuity).unionByName(capacity)
+        .orderBy("window_start")
     }))
 
   /** q141's read side: set algebra over STORED theta sketch bytes via

@@ -461,8 +461,24 @@ final class Runner(
         graft.ops.Profiling
           .latestKllProfile(spark, targetPath(stage.kllProfileTable))
           .foreach { case (refV, ref) =>
-            graft.ops.Profiling.batchKsDrift(
+            val (batchN, ksOpt) = graft.ops.Profiling.batchKsDrift(
               df, stage.kllProfileColumn, stage.kllProfileK, ref)
+            // null KS must not read as "nothing to judge" when the batch
+            // HAS rows: a non-empty batch whose profiled column sketches
+            // to n=0 (every value null/NaN/cast-to-null) is the same
+            // corrupted-extract class the column-presence check above
+            // refuses loudly — the breaker disarming silently here would
+            // wave it through (r16 advice)
+            if (batchN == 0L && graft.functions.KllKernel.n(ref) > 0L &&
+                !df.isEmpty)
+              throw new IllegalStateException(
+                s"stage ${stage.name}: kll_profile_max_ks guards column " +
+                  s"${stage.kllProfileColumn} but the incoming batch has " +
+                  "rows whose profiled values are ALL null/NaN (sketch " +
+                  "n=0) against a non-empty stored profile (version " +
+                  s"$refV of ${stage.kllProfileTable}) — refusing to " +
+                  "load; inspect the extract, or remove kll_profile_max_ks")
+            ksOpt
               .foreach { ks =>
                 if (ks > stage.kllProfileMaxKs) {
                   throw new IllegalStateException(

@@ -203,9 +203,15 @@ object GraftFunctions {
     "kll_merge_agg" -> { args =>
       require(args.length == 1 || args.length == 2,
         s"kll_merge_agg expects 1 or 2 arguments, got ${args.length}")
-      val k = if (args.length == 2)
-        litInt("kll_merge_agg", "k", args(1)) else KllSketch.DefaultK
-      KllMergeAgg(args(0), k).toAggregateExpression()
+      // 1-arg: the buffer adopts the inputs' k (no accuracy cliff when
+      // merging high-k stored sketches). 2-arg: the explicit k governs —
+      // merge takes min k, so it CAPS accuracy (see KllMergeAgg).
+      if (args.length == 2)
+        KllMergeAgg(args(0), litInt("kll_merge_agg", "k", args(1)))
+          .toAggregateExpression()
+      else
+        KllMergeAgg(args(0), KllSketch.DefaultK, adaptK = true)
+          .toAggregateExpression()
     },
     "kll_quantile" -> { args =>
       arity("kll_quantile", 2, args)
@@ -219,6 +225,9 @@ object GraftFunctions {
     },
     "kll_n" -> { args =>
       arity("kll_n", 1, args); KllN(args(0))
+    },
+    "kll_retained" -> { args =>
+      arity("kll_retained", 1, args); KllRetained(args(0))
     },
     "kll_ks" -> { args =>
       arity("kll_ks", 2, args); KllKsDelta(args(0), args(1))

@@ -54,8 +54,18 @@ object KllSketch {
 
   /** Merge STORED sketches (a binary column) into one sketch. Unlike
     * theta intersection, the empty merge IS representable (the empty
-    * sketch), so this always yields bytes. */
-  def kllMerge(sketch: Column, k: Int = DefaultK): Column =
+    * sketch), so this always yields bytes. With no k given, the buffer
+    * ADOPTS the inputs' k (adaptK), preserving stored accuracy; see
+    * [[KllMergeAgg]] for the merge-takes-min-k accuracy contract. */
+  def kllMerge(sketch: Column): Column =
+    GraftSqlBridge.column(
+      KllMergeAgg(GraftSqlBridge.expression(sketch), DefaultK,
+        adaptK = true).toAggregateExpression())
+
+  /** As above with an EXPLICIT k: the caller's k governs, capping
+    * merged accuracy at k even for higher-k inputs (deliberate
+    * downsizing). */
+  def kllMerge(sketch: Column, k: Int): Column =
     GraftSqlBridge.column(
       KllMergeAgg(GraftSqlBridge.expression(sketch), k)
         .toAggregateExpression())
@@ -76,6 +86,12 @@ object KllSketch {
   /** EXACT number of values the sketch absorbed. */
   def kllN(sketch: Column): Column =
     GraftSqlBridge.column(KllN(GraftSqlBridge.expression(sketch)))
+
+  /** Items the sketch physically retains; equal to [[kllN]] iff the
+    * sketch never compacted (exact mode — quantiles are order
+    * statistics, KS deltas deterministic). */
+  def kllRetained(sketch: Column): Column =
+    GraftSqlBridge.column(KllRetained(GraftSqlBridge.expression(sketch)))
 
   /** Kolmogorov–Smirnov distance between two STORED sketches — the
     * drift kernel for metrics with no declared range (the KLL-family
@@ -127,6 +143,9 @@ object KllKernel {
   }
 
   def n(bytes: Array[Byte]): Long = wrap(bytes).getN
+
+  /** Items physically retained; == n iff never compacted (exact mode). */
+  def retained(bytes: Array[Byte]): Long = wrap(bytes).getNumRetained.toLong
 
   /** null (boxed) if either sketch is empty — an empty stream has no
     * CDF to compare. */
@@ -219,10 +238,26 @@ case class KllSketchAgg(
   * group), so the per-row heapify is off the hot path by construction.
   * Null bytes are skipped; zero inputs yield the EMPTY sketch (the
   * merge identity is representable, unlike theta intersection's
-  * universe), whose quantile/rank reads are null. */
+  * universe), whose quantile/rank reads are null.
+  *
+  * ACCURACY UNDER MERGE (r16 advice): DataSketches' merge takes the
+  * MINIMUM k across everything it touches — including this aggregate's
+  * own buffer — so a fixed buffer k silently downgrades higher-k
+  * stored sketches, one-way. Two modes:
+  *  - `adaptK = true` (the no-explicit-k SQL/Scala form): the buffer
+  *    adopts the first input sketch's k (and partials re-heapify at
+  *    their own k), so merging same-k stored sketches preserves their
+  *    accuracy with no k to remember. Mixed-k inputs still land at the
+  *    inputs' min k — that is the information-theoretic bound, not a
+  *    buffer artifact.
+  *  - explicit k (`adaptK = false`): the caller's k governs, capping
+  *    merged accuracy at k even when inputs were built higher — pass a
+  *    k matching the stored sketches (or omit it) when that loss is
+  *    not intended. */
 case class KllMergeAgg(
     child: Expression,
     k: Int,
+    adaptK: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch] {
@@ -246,15 +281,30 @@ case class KllMergeAgg(
   override def update(
       buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null) KllKernel.fold(buffer, v.asInstanceOf[Array[Byte]])
-    buffer
+    if (v == null) buffer
+    else {
+      val in = KllKernel.wrap(v.asInstanceOf[Array[Byte]])
+      // adaptK: an untouched buffer adopts the first input's k so the
+      // buffer's own default never caps stored-sketch accuracy
+      val b = if (adaptK && buffer.isEmpty && in.getK > buffer.getK)
+        KllDoublesSketch.newHeapInstance(in.getK)
+      else buffer
+      b.merge(in)
+      b
+    }
   }
 
   override def merge(
-      buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
-    buffer.merge(other)
-    buffer
-  }
+      buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch =
+    // same adoption on the combine side: folding a higher-k partial into
+    // an untouched buffer must not downgrade it
+    if (adaptK && buffer.isEmpty && other.getK > buffer.getK) {
+      other.merge(buffer)
+      other
+    } else {
+      buffer.merge(other)
+      buffer
+    }
 
   override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
 
@@ -262,8 +312,12 @@ case class KllMergeAgg(
     buffer.toByteArray
 
   override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
-    val sk = createAggregationBuffer()
-    KllKernel.fold(sk, bytes)
+    val in = KllKernel.wrap(bytes)
+    // adaptK: re-heapify the partial at its own k — a fixed-k buffer
+    // here would claw back the accuracy update() just preserved
+    val sk = KllDoublesSketch.newHeapInstance(
+      if (adaptK) math.max(k, in.getK) else k)
+    sk.merge(in)
     sk
   }
 
@@ -440,6 +494,36 @@ case class KllN(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.KllKernel.n($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `kll_retained(sk)`: number of items the sketch physically retains.
+  * `retained == kll_n` iff the sketch has never compacted — i.e. it is
+  * still in EXACT mode and its quantiles are order statistics, its KS
+  * deltas deterministic. Audits whose premises are exact-mode-only
+  * (q145's order-statistic bands, q148's independent-rebuild parity)
+  * gate on this instead of assuming the fixture stays small (r16
+  * advice); it is also the memory-sizing introspection DataSketches
+  * itself exposes. */
+case class KllRetained(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kll_retained requires binary, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kll_retained"
+
+  override protected def nullSafeEval(input: Any): Any =
+    KllKernel.retained(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.KllKernel.retained($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -293,20 +293,27 @@ object Profiling {
   /** KS distance of a batch's `column` distribution vs a stored
     * reference sketch — one aggregation over the batch plus the
     * [[graft.functions.KllSketch.kllKs]] kernel, so batch and
-    * stored-profile drift scores are the same arithmetic. None when
-    * either side is empty (nothing to judge — matches [[batchDrift]]'s
-    * null-PSI contract). */
+    * stored-profile drift scores are the same arithmetic. Returns
+    * `(batchSketchN, ks)`: ks is None when either side is empty
+    * (matching [[batchDrift]]'s null-PSI contract), and the batch
+    * sketch's exact n rides along so a caller guarding a load can tell
+    * "empty batch, nothing to judge" apart from "batch HAS rows but the
+    * profiled column sketched to n=0 (all null/NaN/cast-to-null)" — the
+    * corrupted-extract class a KS circuit breaker must refuse, not
+    * silently disarm on (r16 advice). */
   def batchKsDrift(
       batch: DataFrame,
       column: String,
       k: Int,
-      reference: Array[Byte]): Option[Double] = {
+      reference: Array[Byte]): (Long, Option[Double]) = {
     import graft.functions.KllSketch
-    val rows = batch
+    val row = batch
       .agg(KllSketch.kllSketch(col(column).cast("double"), k).as("sk"))
-      .select(KllSketch.kllKs(col("sk"), lit(reference)).as("ks"))
-      .collect()
-    rows.headOption.collect { case r if !r.isNullAt(0) => r.getDouble(0) }
+      .select(KllSketch.kllN(col("sk")).as("n"),
+        KllSketch.kllKs(col("sk"), lit(reference)).as("ks"))
+      .head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) None else Some(row.getDouble(1)))
   }
 
   /** [[syncProfile]]'s KLL twin (the `kll_profile:` stage key): corpus
@@ -345,18 +352,25 @@ object Profiling {
         .lastOption.map(readStoredKll(spark, profilePath, _))
     pending.foreach { v =>
       val snap = BucketedMergeSink.readVersion(spark, targetPath, v)
-      val profile = snap
+      // ONE aggregation job collects the sketch bytes; n, ks_prev, the
+      // parquet row, AND the next iteration's baseline all derive from
+      // those bytes on the driver via the same KllKernel arithmetic the
+      // column kernels use (r16 advice: the per-version parquet
+      // read-back this replaced was a whole extra job per version for
+      // bytes already in hand — and parquet stores them verbatim, so
+      // seeding `prev` from memory is identical)
+      val sk = snap
         .agg(KllSketch.kllSketch(col(column).cast("double"), k).as("sk"))
-        .select(KllSketch.kllN(col("sk")).as("n"), col("sk"))
-      val withKs = prev match {
-        case Some(pb) => profile.withColumn("ks_prev",
-          KllSketch.kllKs(col("sk"), lit(pb)))
-        case None => profile.withColumn("ks_prev",
-          lit(null).cast("double"))
-      }
-      withKs.coalesce(1)
+        .head().getAs[Array[Byte]](0)
+      val ksPrev: Option[Double] = prev.flatMap(pb =>
+        Option(graft.functions.KllKernel.ksDelta(sk, pb))
+          .map(_.asInstanceOf[java.lang.Double].doubleValue))
+      import spark.implicits._
+      Seq((graft.functions.KllKernel.n(sk), sk, ksPrev))
+        .toDF("n", "sk", "ks_prev")
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$profilePath/version=$v")
-      prev = Some(readStoredKll(spark, profilePath, v))
+      prev = Some(sk)
     }
     pending
   }

@@ -200,4 +200,55 @@ class KllSketchSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(oob.getMessage.contains("[0, 1]"), oob.getMessage)
   }
+
+  test("kll_merge_agg without explicit k ADOPTS the inputs' k (no " +
+    "silent accuracy downgrade merging high-k stored sketches); an " +
+    "explicit k still governs and caps") {
+    import graft.functions.KllKernel
+    GraftFunctions.register(spark)
+    // DataSketches merge takes the MIN k it touches, so a k=200 buffer
+    // would permanently downgrade these k=512 group sketches (r16
+    // advice). The adopted k must survive partial aggregation — the
+    // repartition(8) forces partial buffers through serialize/
+    // deserialize and the final combine's merge().
+    val grouped = (1 to 1000).map(v => (v % 8, v.toDouble)).toDF("g", "v")
+      .repartition(8)
+      .groupBy("g").agg(KllSketch.kllSketch(col("v"), 512).as("sk"))
+    grouped.createOrReplaceTempView("adapt_sks")
+    val adaptive = spark.sql("SELECT kll_merge_agg(sk) FROM adapt_sks")
+      .head().getAs[Array[Byte]](0)
+    assert(KllKernel.wrap(adaptive).getK == 512,
+      s"1-arg merge must adopt the inputs' k: ${KllKernel.wrap(adaptive).getK}")
+    assert(KllKernel.n(adaptive) == 1000L)
+    val scalaForm = grouped.agg(KllSketch.kllMerge(col("sk")).as("m"))
+      .head().getAs[Array[Byte]](0)
+    assert(KllKernel.wrap(scalaForm).getK == 512,
+      "the Scala no-k overload matches the SQL 1-arg form")
+    // explicit k: the caller asked for the downsize — deliberate
+    val capped = spark.sql("SELECT kll_merge_agg(sk, 200) FROM adapt_sks")
+      .head().getAs[Array[Byte]](0)
+    assert(KllKernel.wrap(capped).getK == 200,
+      s"explicit k governs: ${KllKernel.wrap(capped).getK}")
+    assert(KllKernel.n(capped) == 1000L)
+  }
+
+  test("kll_retained: equals kll_n in exact mode, drops below n once " +
+    "compacted — the premise guard q145/q148 gate their exact-parity " +
+    "audits on") {
+    GraftFunctions.register(spark)
+    (1 to 100).map(_.toDouble).toDF("v").createOrReplaceTempView("ret_small")
+    spark.range(100000).select(col("id").cast("double").as("v"))
+      .createOrReplaceTempView("ret_big")
+    val row = spark.sql(
+      """SELECT
+        |  (SELECT kll_retained(kll_sketch_agg(v)) FROM ret_small) AS sr,
+        |  (SELECT kll_n(kll_sketch_agg(v)) FROM ret_small) AS sn,
+        |  (SELECT kll_retained(kll_sketch_agg(v)) FROM ret_big) AS br,
+        |  (SELECT kll_n(kll_sketch_agg(v)) FROM ret_big) AS bn
+        |""".stripMargin).head()
+    assert(row.getLong(0) == 100L && row.getLong(1) == 100L,
+      s"exact mode: retained == n: $row")
+    assert(row.getLong(3) == 100000L && row.getLong(2) < row.getLong(3),
+      s"past capacity: retained < n (compaction happened): $row")
+  }
 }

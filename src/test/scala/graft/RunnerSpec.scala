@@ -504,6 +504,18 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
         Map.empty, root).run("p"))
     assert(dropped.getMessage.contains("does not produce"),
       dropped.getMessage)
+    // the column SURVIVING but sketching to n=0 (every value null) on a
+    // batch that HAS rows is the same corrupted-extract class — null KS
+    // must refuse, not read as "nothing to judge" (r16 advice)
+    val allNull = intercept[IllegalStateException](
+      new Runner(spark, PipelineSpec.fromYaml(yaml("id <= 50")
+        .replace("SELECT id, v FROM", "SELECT id, CAST(NULL AS DOUBLE) AS v FROM")),
+        Map.empty, root).run("p"))
+    assert(allNull.getMessage.contains("ALL null/NaN") &&
+      allNull.getMessage.contains("refusing to load"), allNull.getMessage)
+    assert(graft.sink.BucketedMergeSink
+      .manifestVersions(spark, s"$root/tgt_kll").max == 2,
+      "the all-null refusal must land before any write")
     // misconfigurations refuse before any write
     def failing(stanza: String, msg: String): Unit = {
       val y =
