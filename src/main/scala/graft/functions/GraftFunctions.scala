@@ -229,6 +229,13 @@ object GraftFunctions {
     "kll_retained" -> { args =>
       arity("kll_retained", 1, args); KllRetained(args(0))
     },
+    // deterministic bottom-k-by-hash exemplar sample (family #6 —
+    // drill-down rows; see graft.functions.Exemplar)
+    "exemplar_agg" -> { args =>
+      arity("exemplar_agg", 3, args)
+      ExemplarAgg(args(0), args(1), litInt("exemplar_agg", "k", args(2)))
+        .toAggregateExpression()
+    },
     "kll_ks" -> { args =>
       arity("kll_ks", 2, args); KllKsDelta(args(0), args(1))
     },

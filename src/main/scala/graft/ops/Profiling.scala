@@ -375,6 +375,103 @@ object Profiling {
     pending
   }
 
+  // ------------------------------------------------- exemplar samples
+  //
+  // Family #6 — deterministic bottom-k-by-hash exemplar ROWS (see
+  // graft.functions.Exemplar for the full contract). The drift
+  // families above answer "did the distribution move?"; these answer
+  // the question a fired breaker raises next — "show me what the rows
+  // look like" — from stored profile rows alone, never a target scan.
+
+  /** Deterministic exemplar sample of a frame: the `k` rows whose
+    * `md5(cast(keyCol as string))` sorts smallest, as
+    * `(h, payload)` with payload = the row as JSON (all columns, or
+    * `payloadCols`). Pure composition — `ORDER BY h LIMIT k` is
+    * Spark's TakeOrderedAndProject: per-partition bounded heaps, NO
+    * shuffle, the driver merges k-sized lists — so the global sample
+    * costs one narrow pass at any corpus size. md5 (not xxhash64)
+    * because every SQL engine renders the identical hex, making the
+    * sample replayable cross-engine; the hash choice changes WHICH
+    * uniform sample you get, not its properties. */
+  def exemplarSample(
+      df: DataFrame,
+      keyCol: String,
+      k: Int,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"exemplarSample k must be >= 1, got $k")
+    val cols = if (payloadCols.nonEmpty) payloadCols else df.columns.toSeq
+    df.select(
+        md5(col(keyCol).cast("string")).as("h"),
+        to_json(struct(cols.map(col): _*)).as("payload"))
+      .orderBy("h", "payload")
+      .limit(k)
+  }
+
+  /** [[syncProfile]]/[[syncKllProfile]]'s exemplar sibling (the
+    * `exemplar_profile:` stage key): every retained target version
+    * without a profile gets `k` exemplar rows `(h, payload, n)` under
+    * `profilePath/version=<v>/` — payload is the whole row as JSON, n
+    * the snapshot's EXACT count (stamped on each row so any single
+    * exemplar row sizes its snapshot). Sample + count ride ONE
+    * aggregation pass (the exemplar_agg kernel + count(1)). Same
+    * `_SUCCESS`-marker idempotency contract as the siblings. Because
+    * bottom-k-by-hash merges exactly (`bottomK(A ∪ B) =
+    * bottomK(bottomK(A) ∪ bottomK(B))`), [[mergedExemplars]] answers
+    * corpus-level "show me examples" from these stored rows alone.
+    *
+    * Returns the newly profiled version ids. */
+  def syncExemplarProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      profilePath: String,
+      keyCol: String,
+      k: Int): Seq[Long] = {
+    import graft.sink.BucketedMergeSink
+    val versions = BucketedMergeSink.manifestVersions(spark, targetPath).sorted
+    val profiledSet = profiledVersions(spark, profilePath).toSet
+    val pending = versions.filterNot(profiledSet)
+    pending.foreach { v =>
+      val snap = BucketedMergeSink.readVersion(spark, targetPath, v)
+      val row = snap.agg(
+        graft.functions.Exemplar.exemplarAgg(
+          md5(col(keyCol).cast("string")),
+          to_json(struct(snap.columns.map(col).toIndexedSeq: _*)),
+          k).as("ex"),
+        count(lit(1)).as("n")).head()
+      val n = row.getLong(1)
+      val ex = row.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1), n))
+      import spark.implicits._
+      ex.toDF("h", "payload", "n")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$profilePath/version=$v")
+    }
+    pending
+  }
+
+  /** Corpus-level exemplars from STORED profile rows only: union every
+    * version's bottom-k, re-take the k smallest — exact by the merge
+    * identity, zero target reads. For versions that SUPERSEDE each
+    * other (upsert history) this is the sample of all rows ever
+    * resident; pass specific versions via the caller filtering the
+    * parquet paths if a narrower union is wanted. */
+  def mergedExemplars(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"mergedExemplars k must be >= 1, got $k")
+    spark.read.parquet(
+        profiledVersions(spark, profilePath)
+          .map(v => s"$profilePath/version=$v"): _*)
+      .select("h", "payload")
+      // dedup BEFORE the limit: consecutive upsert snapshots repeat
+      // surviving rows, and k duplicates would crowd out distinct
+      // exemplars (the input here is versions × k rows — tiny)
+      .dropDuplicates("h", "payload")
+      .orderBy("h", "payload")
+      .limit(k)
+  }
+
   /** Quantile read from a sketch map: the LEFT EDGE of the bin holding
     * rank `ceil(q·n)` (edge error ≤ one bin width by construction;
     * overflow bins report the range bound). Pure map manipulation —

@@ -459,6 +459,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected a PARTIAL merge stage below the exchange:\n$m")
   }
 
+  test("exemplar_agg plans its partial below the exchange (bounded " +
+    "bottom-k per group, not raw rows, rides the shuffle), and the " +
+    "global exemplarSample is TakeOrderedAndProject — no shuffle at all") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    (1 to 300).map(i => (i % 5, i.toLong)).toDF("g", "id")
+      .createOrReplaceTempView("ps_ex_rows")
+    val df = spark.sql(
+      "SELECT g, exemplar_agg(md5(CAST(id AS STRING)), " +
+        "CAST(id AS STRING), 5) AS ex FROM ps_ex_rows GROUP BY g")
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("objecthashaggregate"),
+      s"expected ObjectHashAggregate for the bounded exemplar buffer:\n$p")
+    assert(p.contains("partial_exemplar_agg"),
+      s"expected a PARTIAL exemplar stage below the exchange — without " +
+        s"it every raw row ships through the shuffle:\n$p")
+    // the global sample composes to a per-partition bounded heap with
+    // a driver-side merge of k-sized lists: the 100 TB shape is ONE
+    // narrow pass, no exchange
+    val sample = graft.ops.Profiling.exemplarSample(
+      (1 to 300).map(i => (i.toLong, s"t$i")).toDF("id", "text"), "id", 10)
+    val sp = sample.queryExecution.executedPlan.toString.toLowerCase
+    assert(sp.contains("takeorderedandproject"),
+      s"expected TakeOrderedAndProject for the global bottom-k:\n$sp")
+    assert(!sp.contains("exchange"),
+      s"a global exemplar sample must not shuffle:\n$sp")
+  }
+
   test("deflate_ratio stays inside whole-stage codegen — no fallback " +
     "projection in the scoring scan") {
     graft.functions.GraftFunctions.register(spark)
