@@ -1188,6 +1188,50 @@ object QueriesRelational {
           lit("window_past_exact_capacity_band_compare_ks").as("violation"))
       parity.unionByName(vacuity).unionByName(capacity)
         .orderBy("window_start")
+    }),
+
+    // -- deterministic EXEMPLAR sample (family #6, the drill-down
+    //    rows; graft.functions.Exemplar): bottom-25-by-md5 over
+    //    documents, driven through the SQL kernel. Unlike every other
+    //    sketch family — whose randomized internals force violations-
+    //    relation audits — the sample is a pure function of the key
+    //    set AND md5 renders identical hex in DuckDB, so this entry
+    //    gets a REAL cross-engine hash oracle: the driver hash-matches
+    //    the exact (h, doc_key) rows against DuckDB's
+    //    ORDER BY md5(...) LIMIT 25 on the same parquet.
+    "q149_exemplar_sample" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "documents").createOrReplaceTempView("q149_docs")
+      s.sql(
+        """SELECT e.h AS h, e.payload AS doc_key
+          |FROM (SELECT explode(exemplar_agg(md5(CAST(doc_id AS STRING)),
+          |                                  CAST(doc_id AS STRING),
+          |                                  25)) AS e
+          |      FROM q149_docs)
+          |ORDER BY h""".stripMargin)
+    }),
+
+    // -- exemplar MERGE identity cross-engine: per-lang bottom-20
+    //    samples (grouped kernel, partial-below-exchange), unioned and
+    //    re-cut to the corpus bottom-20 — which must equal DuckDB's
+    //    direct global bottom-20 EXACTLY (bottomK(∪ bottomK(slices)) =
+    //    bottomK(corpus); the slices partition the corpus). The same
+    //    identity is why per-version/per-window stored exemplars roll
+    //    up with zero error and zero target reads at 100 TB.
+    "q150_exemplar_rollup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "documents").createOrReplaceTempView("q150_docs")
+      s.sql(
+        """WITH per AS (
+          |  SELECT lang,
+          |    exemplar_agg(md5(CAST(doc_id AS STRING)),
+          |                 CAST(doc_id AS STRING), 20) AS ex
+          |  FROM q150_docs GROUP BY lang),
+          |flat AS (
+          |  SELECT e.h AS h, e.payload AS doc_key
+          |  FROM per LATERAL VIEW explode(ex) t AS e)
+          |SELECT h, doc_key FROM flat ORDER BY h, doc_key LIMIT 20
+          |""".stripMargin)
     }))
 
   /** q141's read side: set algebra over STORED theta sketch bytes via
@@ -1292,6 +1336,16 @@ object QueriesRelational {
       """SELECT CAST(NULL AS TIMESTAMP) AS window_start,
         |  CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
+    // exemplar samples: REAL hash oracles — deterministic bottom-k by
+    // md5 is replayable in DuckDB verbatim (same hex, same casts)
+    "q149_exemplar_sample" ->
+      """SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(doc_id AS VARCHAR) AS doc_key
+        |FROM documents ORDER BY h LIMIT 25""".stripMargin,
+    "q150_exemplar_rollup" ->
+      """SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(doc_id AS VARCHAR) AS doc_key
+        |FROM documents ORDER BY h, doc_key LIMIT 20""".stripMargin,
     "q137_recursive_cte" ->
       """WITH RECURSIVE tree AS (
         |  SELECT n_nationkey AS key, 0 AS depth,
