@@ -515,6 +515,45 @@ object QueriesEngine {
       tgt.unionByName(poison).orderBy("doc_id")
     }),
 
+    // -- the `exemplar_profile:` stage key end-to-end: two upsert
+    //    loads over growing documents slices, each landing its
+    //    per-version deterministic bottom-15-by-md5(doc_id) exemplar
+    //    rows in the maintenance pass. Because the sample is a pure
+    //    function of each snapshot's key set and md5 is cross-engine,
+    //    the ORACLE REPLAYS THE STORED PROFILE ROWS THEMSELVES in
+    //    DuckDB — (version, h, n) hash-gated, the q147 pattern but
+    //    with a direct value oracle instead of poison rows.
+    "q151_exemplar_profile" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val yaml =
+        """pypelines:
+          |  demo: [docs_exemplar]
+          |pypes:
+          |  docs_exemplar:
+          |    extract_query: "SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <= {res}"
+          |    target_table: q151_docs
+          |    type: upsert
+          |    key: [doc_id]
+          |    buckets: 4
+          |    retain_versions: 2
+          |    exemplar_profile: q151_profile
+          |    exemplar_key: doc_id
+          |    exemplar_k: 15
+          |""".stripMargin
+      val tmp = Tables.scratchPath("graft-runexprof", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val runner = new Runner(s, PipelineSpec.fromYaml(yaml),
+        Map("res" -> "0"), tmp)
+      runner.run("demo") // version 1: residue-0 slice
+      runner.run("demo", Map("res" -> "1")) // version 2: residues {0,1}
+      graft.sink.BucketedMergeSink
+        .manifestVersions(s, s"$tmp/q151_docs").sorted
+        .map(v => s.read.parquet(s"$tmp/q151_profile/version=$v")
+          .select(lit(v).cast("int").as("version"), col("h"), col("n")))
+        .reduce(_ unionByName _)
+        .orderBy("version", "h")
+    }),
+
     // -- the delete_where stage key end-to-end: a load followed by a
     //    config-driven predicate purge on the TARGET (row-level TTL /
     //    GDPR erasure — the set-based complement of the reference's
@@ -1182,6 +1221,22 @@ object QueriesEngine {
     "q147_kll_guard_refusal" ->
       """SELECT doc_id, text, n_chars FROM documents
         |WHERE doc_id % 20 < 2 ORDER BY doc_id""".stripMargin,
+    // DuckDB replays the STORED exemplar rows: version v's snapshot is
+    // the deterministic slice doc_id % 3 <= v-1, its sample the 15
+    // smallest md5 hexes, its n the slice's exact count
+    "q151_exemplar_profile" ->
+      """WITH v1 AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS h
+        |            FROM documents WHERE doc_id % 3 <= 0),
+        |     v2 AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS h
+        |            FROM documents WHERE doc_id % 3 <= 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS version, h, (SELECT count(*) FROM v1) AS n
+        |  FROM v1 ORDER BY h LIMIT 15)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 2 AS version, h, (SELECT count(*) FROM v2) AS n
+        |  FROM v2 ORDER BY h LIMIT 15)
+        |ORDER BY version, h""".stripMargin,
     "q86_pipeline_bucketed" ->
       """WITH x AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag,

@@ -122,6 +122,22 @@ final case class StageSpec(
                                    // stored sketch exceeds this (requires
                                    // kll_profile:; 0 = off; first load
                                    // has no baseline and never trips)
+    exemplarProfileTable: String = "", // bucketed targets only: exemplar
+                                       // sample table name — the drill-
+                                       // down sibling of profile:/
+                                       // kll_profile:: every retained
+                                       // target version without rows gets
+                                       // its k bottom-k-by-md5(key)
+                                       // example rows (h, payload, n)
+                                       // under version=<v> (Profiling
+                                       // .syncExemplarProfile; same
+                                       // idempotent version-marker
+                                       // catch-up). Deterministic — a
+                                       // pure function of the key set —
+                                       // and exactly mergeable across
+                                       // versions (mergedExemplars)
+    exemplarKey: String = "", // row-identity column hashed for the sample
+    exemplarK: Int = 20, // exemplar rows stored per version
     deleteWhere: String = "", // post-load predicate purge on the TARGET
                               // (row-level TTL / GDPR erasure): every
                               // target row matching this SQL boolean is
@@ -271,6 +287,9 @@ object PipelineSpec {
       kllProfileColumn = str("kll_profile_column", ""),
       kllProfileK = str("kll_profile_k", "200").toInt,
       kllProfileMaxKs = str("kll_profile_max_ks", "0").toDouble,
+      exemplarProfileTable = str("exemplar_profile", ""),
+      exemplarKey = str("exemplar_key", ""),
+      exemplarK = str("exemplar_k", "20").toInt,
       deleteWhere = str("delete_where", ""),
       subscribeFeed = str("subscribe_feed", ""),
       consumerName = str("consumer_name", ""),

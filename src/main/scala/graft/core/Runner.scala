@@ -216,6 +216,7 @@ final class Runner(
       "minhash_index" -> stage.minhashIndex, "lsh_index" -> stage.lshIndex,
       "semantic_index" -> stage.semanticIndex, "profile" -> stage.profileTable,
       "kll_profile" -> stage.kllProfileTable,
+      "exemplar_profile" -> stage.exemplarProfileTable,
       "delete_where" -> stage.deleteWhere, "scd2_ts" -> stage.scd2Ts,
       "outbox_keep" -> (if (stage.outboxKeep != 0) stage.outboxKeep.toString
                         else ""))
@@ -361,6 +362,28 @@ final class Runner(
     require(stage.kllProfileMaxKs >= 0.0 && stage.kllProfileMaxKs <= 1.0,
       s"stage ${stage.name}: kll_profile_max_ks must be in [0, 1] " +
         s"(a KS distance), got ${stage.kllProfileMaxKs}")
+    // `exemplar_profile:` — the drill-down sibling: per-version example
+    // ROWS rather than a distribution summary (see Profiling
+    // .syncExemplarProfile); shares the bucketed-target and no-scd2
+    // shape contracts
+    if (stage.exemplarProfileTable.nonEmpty) {
+      require(stage.buckets > 0 || graft.sink.BucketedMergeSink.isBucketed(spark, path),
+        s"stage ${stage.name}: exemplar_profile needs a bucketed target " +
+          "(set buckets: N, or point at an existing bucketed layout)")
+      require(stage.exemplarKey.nonEmpty,
+        s"stage ${stage.name}: exemplar_profile needs exemplar_key " +
+          "(the row-identity column hashed for the deterministic sample)")
+      require(stage.exemplarK >= 1 && stage.exemplarK <= 100000,
+        s"stage ${stage.name}: exemplar_k must be in [1, 100000], " +
+          s"got ${stage.exemplarK}")
+      require(stage.loadType != "scd2",
+        s"stage ${stage.name}: exemplar_profile over an scd2 target " +
+          "would sample closed history rows alongside current ones — " +
+          "sample the current view in a downstream stage instead")
+    }
+    require(stage.exemplarKey.isEmpty || stage.exemplarProfileTable.nonEmpty,
+      s"stage ${stage.name}: exemplar_key needs exemplar_profile: " +
+        "(it names the hash column of the stored sample)")
     val derived = Seq(
       ("change_feed", stage.changeFeed, false),
       ("minhash_index", stage.minhashIndex, true),
@@ -452,6 +475,14 @@ final class Runner(
           s"${stage.kllProfileColumn} but the extract does not produce " +
           "it — refusing to load (a drift guard must not silently disarm " +
           "when the profiled column vanishes)")
+    // same refusal shape for the exemplar key: the maintenance sync
+    // hashes it from the TARGET snapshot, so an extract that dropped it
+    // would fail AFTER the merge committed — refuse up front instead
+    if (stage.exemplarProfileTable.nonEmpty && stage.loadType != "delete")
+      require(df.columns.contains(stage.exemplarKey),
+        s"stage ${stage.name}: exemplar_profile hashes column " +
+          s"${stage.exemplarKey} but the extract does not produce it — " +
+          "refusing to load (the sample sync would fail after the merge)")
     // the batch is persisted across the drift check + merge so the
     // extract never runs twice; try/finally so a merge/maintenance
     // failure can't leak the persisted batch in the block manager
@@ -599,6 +630,12 @@ final class Runner(
       graft.ops.Profiling.syncKllProfile(
         spark, path, targetPath(stage.kllProfileTable),
         stage.kllProfileColumn, stage.kllProfileK): Unit
+    // `exemplar_profile:` likewise — the stored drill-down rows should
+    // reflect this run's purges/compaction
+    if (stage.exemplarProfileTable.nonEmpty)
+      graft.ops.Profiling.syncExemplarProfile(
+        spark, path, targetPath(stage.exemplarProfileTable),
+        stage.exemplarKey, stage.exemplarK): Unit
     val result =
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path))
         graft.sink.BucketedMergeSink.read(spark, path)

@@ -546,6 +546,97 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       "\n    kll_profile_column: v\n    kll_profile_max_ks: 1.5", "[0, 1]")
   }
 
+  test("exemplar_profile: per-version deterministic example rows with " +
+    "exact n; sync is idempotent; misconfigurations and a dropped key " +
+    "column refuse up front") {
+    (1 to 40).map(i => (i.toLong, s"doc-$i"))
+      .toDF("id", "text").createOrReplaceTempView("exprof_src")
+    val root = Files.createTempDirectory("graft-runner-exprof").toString
+    def yaml(pred: String, select: String = "id, text") =
+      s"""pypelines:
+         |  p: [xp]
+         |pypes:
+         |  xp:
+         |    extract_query: "SELECT $select FROM exprof_src WHERE $pred"
+         |    target_table: tgt_ex
+         |    type: upsert
+         |    key: [id]
+         |    buckets: 4
+         |    exemplar_profile: tgt_ex_profile
+         |    exemplar_key: id
+         |    exemplar_k: 6
+         |""".stripMargin
+    new Runner(spark, PipelineSpec.fromYaml(yaml("id <= 25")),
+      Map.empty, root).run("p")
+    new Runner(spark, PipelineSpec.fromYaml(yaml("id <= 40")),
+      Map.empty, root).run("p")
+    // per-version rows: 6 exemplars each, stamped with the snapshot's
+    // exact count, and EQUAL to the direct sample of that snapshot
+    // (the determinism contract — no RNG, no schedule dependence)
+    // the profile history OUTLIVES retention (default keeps only the
+    // newest version), so v1's stored rows are checked against a
+    // recomputed expectation from the SOURCE slice, v2's against the
+    // still-readable snapshot directly
+    Seq((1L, 25L), (2L, 40L)).foreach { case (v, n) =>
+      val rows = spark.read.parquet(s"$root/tgt_ex_profile/version=$v")
+        .select("h", "payload", "n").orderBy("h")
+        .as[(String, String, Long)].collect().toSeq
+      assert(rows.length == 6 && rows.forall(_._3 == n),
+        s"version $v: 6 exemplars at exact n=$n: $rows")
+      val expect = graft.ops.Profiling.exemplarSample(
+        spark.table("exprof_src").filter(col("id") <= n), "id", 6)
+        .as[(String, String)].collect().toSeq
+      assert(rows.map(r => (r._1, r._2)) == expect,
+        s"stored sample must equal the deterministic sample of version $v")
+    }
+    val directV2 = graft.ops.Profiling.exemplarSample(
+      graft.sink.BucketedMergeSink.readVersion(spark, s"$root/tgt_ex", 2L),
+      "id", 6).as[(String, String)].collect().toSeq
+    assert(spark.read.parquet(s"$root/tgt_ex_profile/version=2")
+      .select("h", "payload").orderBy("h")
+      .as[(String, String)].collect().toSeq == directV2,
+      "stored v2 sample must equal the direct sample of the snapshot")
+    // idempotent catch-up: nothing pending
+    assert(graft.ops.Profiling.syncExemplarProfile(spark, s"$root/tgt_ex",
+      s"$root/tgt_ex_profile", "id", 6).isEmpty)
+    // an extract that DROPS the key column refuses BEFORE the merge
+    val dropped = intercept[IllegalArgumentException](
+      new Runner(spark, PipelineSpec.fromYaml(
+        yaml("id <= 40", select = "id AS doc, text")),
+        Map.empty, root).run("p"))
+    assert(dropped.getMessage.contains("does not produce"),
+      dropped.getMessage)
+    assert(graft.sink.BucketedMergeSink
+      .manifestVersions(spark, s"$root/tgt_ex").max == 2,
+      "the refusal must land before any write")
+    // misconfigurations refuse up front, before any write
+    def failing(stanza: String, msg: String): Unit = {
+      val y =
+        s"""pypelines:
+           |  p: [bad]
+           |pypes:
+           |  bad:
+           |    extract_query: "SELECT id, text FROM exprof_src"
+           |    target_table: tgt_ex_bad
+           |    key: [id]
+           |$stanza
+           |""".stripMargin
+      val err = intercept[IllegalArgumentException](
+        new Runner(spark, PipelineSpec.fromYaml(y), Map.empty, root).run("p"))
+      assert(err.getMessage.contains(msg), err.getMessage)
+      assert(!new java.io.File(s"$root/tgt_ex_bad").exists(),
+        "refusal must land before the write")
+    }
+    failing("    exemplar_profile: bad_xp\n    exemplar_key: id", "bucketed")
+    failing("    buckets: 4\n    exemplar_profile: bad_xp", "exemplar_key")
+    failing("    buckets: 4\n    exemplar_profile: bad_xp" +
+      "\n    exemplar_key: id\n    exemplar_k: 0", "[1, 100000]")
+    failing("    buckets: 4\n    exemplar_profile: bad_xp" +
+      "\n    exemplar_key: id\n    type: scd2" +
+      "\n    scd2_ts: \"2024-01-01 00:00:00\"", "scd2")
+    failing("    buckets: 4\n    exemplar_key: id", "exemplar_profile:")
+  }
+
   test("lsh_index and semantic_index: each run keeps the embedding " +
     "postings (and the frozen centroid model) in lockstep with the target") {
     val rows = Seq(
