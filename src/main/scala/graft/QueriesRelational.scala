@@ -1232,6 +1232,23 @@ object QueriesRelational {
           |  FROM per LATERAL VIEW explode(ex) t AS e)
           |SELECT h, doc_key FROM flat ORDER BY h, doc_key LIMIT 20
           |""".stripMargin)
+    }),
+
+    // -- streaming exemplars in BATCH mode (Streams.windowedExemplars,
+    //    the drill-down twin of q145/q148): per hour-window bottom-5
+    //    by md5(event_id) with the window's exact n. Determinism +
+    //    cross-engine md5 again buy a REAL oracle: DuckDB replays the
+    //    per-window sample with row_number over the same hash order.
+    //    StreamsSpec drives the identical operator through a real
+    //    micro-batched stream with mid-window state-store round-trips.
+    "q152_exemplar_windows" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      graft.streaming.Streams
+        .windowedExemplars(ev, "event_id", 5, payloadCols = Seq("event_id"))
+        .select(col("window_start"), col("n"),
+          explode(col("exemplars")).as("e"))
+        .select(col("window_start"), col("e.h").as("h"), col("n"))
+        .orderBy("window_start", "h")
     }))
 
   /** q141's read side: set algebra over STORED theta sketch bytes via
@@ -1346,6 +1363,16 @@ object QueriesRelational {
       """SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
         |  CAST(doc_id AS VARCHAR) AS doc_key
         |FROM documents ORDER BY h, doc_key LIMIT 20""".stripMargin,
+    "q152_exemplar_windows" ->
+      """SELECT window_start, h, n FROM (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    md5(CAST(event_id AS VARCHAR)) AS h,
+        |    count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |      ORDER BY md5(CAST(event_id AS VARCHAR))) AS rk
+        |  FROM events WHERE event_id IS NOT NULL)
+        |WHERE rk <= 5
+        |ORDER BY window_start, h""".stripMargin,
     "q137_recursive_cte" ->
       """WITH RECURSIVE tree AS (
         |  SELECT n_nationkey AS key, 0 AS depth,

@@ -215,6 +215,47 @@ object Streams {
     windowed.filter(gate)
   }
 
+  /** Streaming EXEMPLAR samples — the drill-down twin of
+    * [[windowedQuantiles]]/[[windowedKsAlert]] (family #6,
+    * [[graft.functions.Exemplar]]): per event-time window, the k rows
+    * whose `md5(cast(keyCol as string))` sorts smallest, as
+    * `(window_start, n, exemplars)` with `exemplars` an ascending
+    * `array<struct<h, payload>>` (payload = the row as JSON over
+    * `payloadCols`, or all columns) and `n` the window's exact count.
+    * State is BOUNDED at ≤ k (hash, payload) pairs per open window
+    * regardless of stream rate, and the sample is a pure function of
+    * each window's key set — deterministic across retries, replays,
+    * and batch/stream execution (batch frames run the identical
+    * expression; the watermark is a no-op). Stored window samples
+    * merge exactly: re-cutting the k smallest across stored windows
+    * IS the corpus sample of those windows (q150's identity), so an
+    * alerting window's rows can be eyeballed and corpus-level
+    * examples assembled without touching the raw stream again. */
+  def windowedExemplars(
+      events: DataFrame,
+      keyCol: String,
+      k: Int,
+      payloadCols: Seq[String] = Nil,
+      windowLen: String = "1 hour",
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(k >= 1, s"windowedExemplars k must be >= 1, got $k")
+    import graft.functions.Exemplar
+    val cols =
+      if (payloadCols.nonEmpty) payloadCols else events.columns.toSeq
+    events
+      .filter(col(keyCol).isNotNull)
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen))
+      .agg(
+        Exemplar.exemplarAgg(
+          md5(col(keyCol).cast("string")),
+          to_json(struct(cols.map(col): _*)), k).as("exemplars"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("n"), col("exemplars"))
+  }
+
   /** File-stream reader over a directory of event parquet (schema fixed
     * up front — streaming sources can't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -245,6 +245,62 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       rows.toDF("ts", "v"), "v", probes = Seq(1.5)))
   }
 
+  test("windowedExemplars: per-window samples equal the deterministic " +
+    "bottom-k, state survives the store, and only closed windows emit " +
+    "on the stream") {
+    import org.apache.spark.sql.functions.col
+    // window 10:00 holds keys 1..5, window 11:00 keys 10..11; k=3 —
+    // each window's sample is the 3 smallest md5 hexes of its key set,
+    // a pure function we can recompute with plain columns
+    val rows = Seq(
+      (tsAt(10, 1), 1L), (tsAt(10, 2), 2L), (tsAt(10, 3), 3L),
+      (tsAt(10, 10), 4L), (tsAt(10, 11), 5L),
+      (tsAt(11, 1), 10L), (tsAt(11, 2), 11L),
+      (tsAt(14, 0), 42L)) // late event: closes 10:00 and 11:00
+    def expect(keys: Seq[Long], k: Int): Seq[String] =
+      keys.map(i => java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+        .sorted.take(k)
+    // batch twin: all three windows emit
+    val batch = Streams.windowedExemplars(
+      rows.toDF("ts", "id"), "id", k = 3, payloadCols = Seq("id"))
+    val bOut = batch
+      .select(col("window_start"), col("n"), col("exemplars.h").as("hs"))
+      .as[(java.sql.Timestamp, Long, Seq[String])]
+      .collect().sortBy(_._1.getTime).toSeq
+    assert(bOut == Seq(
+      (tsAt(10, 0), 5L, expect(Seq(1L, 2L, 3L, 4L, 5L), 3)),
+      (tsAt(11, 0), 2L, expect(Seq(10L, 11L), 3)),
+      (tsAt(14, 0), 1L, expect(Seq(42L), 3))),
+      s"batch windows: $bOut")
+    // streaming: the 14:00 arrival closes 10:00 and 11:00 — the bounded
+    // TreeMap buffer round-trips the state store across micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-we-stream").toString
+    writeSourceBatch(dir, rows.take(4).toDF("ts", "id"), 0)
+    writeSourceBatch(dir, rows.slice(4, 7).toDF("ts", "id"), 1)
+    writeSourceBatch(dir, rows.drop(7).toDF("ts", "id"), 2)
+    val stream = spark.readStream.schema("ts TIMESTAMP, id LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.windowedExemplars(stream, "id", k = 3,
+        payloadCols = Seq("id"))
+      .writeStream.format("memory").queryName("we_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("we_stream")
+        .select(col("window_start"), col("n"), col("exemplars.h").as("hs"))
+        .as[(java.sql.Timestamp, Long, Seq[String])]
+        .collect().sortBy(_._1.getTime).toSeq
+      assert(out == Seq(
+        (tsAt(10, 0), 5L, expect(Seq(1L, 2L, 3L, 4L, 5L), 3)),
+        (tsAt(11, 0), 2L, expect(Seq(10L, 11L), 3))),
+        s"closed windows, identical samples through the state store: $out")
+    } finally q.stop()
+    intercept[IllegalArgumentException](Streams.windowedExemplars(
+      rows.toDF("ts", "id"), "id", k = 0))
+  }
+
   test("windowedKsAlert: only windows drifted past the gate emit; the " +
     "significance mode adapts to window size; refusals are loud") {
     import graft.functions.KllSketch
