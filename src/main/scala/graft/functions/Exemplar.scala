@@ -55,6 +55,29 @@ object Exemplar {
     GraftSqlBridge.column(
       ExemplarAgg(GraftSqlBridge.expression(h),
         GraftSqlBridge.expression(payload), k).toAggregateExpression())
+
+  /** KMV distinct-count estimate read from a stored exemplar sample —
+    * the free side reading: the k smallest uniform hashes of a key set
+    * are exactly a KMV (k-minimum-values) sketch, so
+    * `(k − 1) / u_k` — with `u_k` the kth smallest hash normalized to
+    * [0, 1) — is the standard unbiased distinct estimator
+    * (rse ≈ 1/√(k−2)). A sample SMALLER than k saw every distinct key,
+    * so the answer degrades to the EXACT count (the sample size).
+    * `u_k` reads the first 15 hex nibbles of the kth hash as a 60-bit
+    * fraction — beyond double precision's 53-bit mantissa the extra
+    * nibbles are noise anyway. Pure column composition over the
+    * `array<struct<h, payload>>` the aggregate/profile stores; k must
+    * be the k the sample was BUILT with (a larger k would read a
+    * missing element, a smaller one misnormalizes the order
+    * statistic). */
+  def kmvEstimate(exemplars: Column, k: Int): Column = {
+    require(k >= 2, s"kmvEstimate needs k >= 2 (rse ~ 1/sqrt(k-2)), got $k")
+    import org.apache.spark.sql.functions._
+    val u = conv(substring(element_at(exemplars, k).getField("h"), 1, 15),
+      16, 10).cast("double") / lit(math.pow(16.0, 15))
+    when(size(exemplars) < k, size(exemplars).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / u)
+  }
 }
 
 /** `exemplar_agg(h, payload, k)`: bounded bottom-k-by-hash sample.

@@ -236,6 +236,14 @@ object GraftFunctions {
       ExemplarAgg(args(0), args(1), litInt("exemplar_agg", "k", args(2)))
         .toAggregateExpression()
     },
+    // KMV distinct estimate read from a stored exemplar sample (the
+    // free side reading; k must match the sample's build k)
+    "kmv_estimate" -> { args =>
+      arity("kmv_estimate", 2, args)
+      GraftSqlBridge.expressionEager(Exemplar.kmvEstimate(
+        GraftSqlBridge.column(args(0)),
+        litInt("kmv_estimate", "k", args(1))))
+    },
     "kll_ks" -> { args =>
       arity("kll_ks", 2, args); KllKsDelta(args(0), args(1))
     },

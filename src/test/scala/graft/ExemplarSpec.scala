@@ -104,6 +104,37 @@ class ExemplarSpec extends AnyFunSuite with SparkTestBase {
     assert(badT.getMessage.toLowerCase.contains("string"), badT.getMessage)
   }
 
+  test("kmv_estimate: the stored sample doubles as a distinct-count " +
+    "estimator — inside the KMV rse band at k=256, EXACT when the " +
+    "sample saw every key") {
+    GraftFunctions.register(spark)
+    spark.range(50000).createOrReplaceTempView("kmv_ids")
+    val est = spark.sql(
+      """SELECT kmv_estimate(
+        |  exemplar_agg(md5(CAST(id AS STRING)), CAST(id AS STRING), 256),
+        |  256) AS est
+        |FROM kmv_ids""".stripMargin).head().getDouble(0)
+    // rse ~ 1/sqrt(254) ~= 6.3%; 4-sigma band (the estimate is a fixed
+    // number — md5 is deterministic — the band documents the accuracy
+    // class, not run-to-run noise)
+    assert(math.abs(est / 50000.0 - 1.0) < 0.25,
+      s"KMV estimate off: $est vs 50000")
+    // fewer distinct keys than k: the sample IS the key set — exact
+    val exact = spark.sql(
+      """SELECT kmv_estimate(
+        |  exemplar_agg(md5(CAST(id AS STRING)), CAST(id AS STRING), 8), 8)
+        |FROM kmv_ids WHERE id < 5""".stripMargin).head().getDouble(0)
+    assert(exact == 5.0, s"below-k must be exact: $exact")
+    // Scala API parity with the SQL surface
+    val viaScala = spark.table("kmv_ids")
+      .agg(Exemplar.exemplarAgg(md5(col("id").cast("string")),
+        col("id").cast("string"), 256).as("ex"))
+      .select(Exemplar.kmvEstimate(col("ex"), 256)).head().getDouble(0)
+    assert(viaScala == est, s"Scala/SQL parity: $viaScala vs $est")
+    intercept[IllegalArgumentException](
+      Exemplar.kmvEstimate(col("x"), 1))
+  }
+
   test("syncExemplarProfile + mergedExemplars: per-version stored rows " +
     "carry the exact n, sync is idempotent, and the merged read " +
     "equals the direct corpus sample — from stored rows only") {
