@@ -460,9 +460,12 @@ object Profiling {
       profilePath: String,
       k: Int): DataFrame = {
     require(k >= 1, s"mergedExemplars k must be >= 1, got $k")
+    val versions = profiledVersions(spark, profilePath)
+    require(versions.nonEmpty,
+      s"mergedExemplars: no profiled versions under $profilePath — " +
+        "run the exemplar_profile: stage (or syncExemplarProfile) first")
     spark.read.parquet(
-        profiledVersions(spark, profilePath)
-          .map(v => s"$profilePath/version=$v"): _*)
+        versions.map(v => s"$profilePath/version=$v"): _*)
       .select("h", "payload")
       // dedup BEFORE the limit: consecutive upsert snapshots repeat
       // surviving rows, and k duplicates would crowd out distinct
