@@ -392,7 +392,11 @@ object Profiling {
     * costs one narrow pass at any corpus size. md5 (not xxhash64)
     * because every SQL engine renders the identical hex, making the
     * sample replayable cross-engine; the hash choice changes WHICH
-    * uniform sample you get, not its properties. */
+    * uniform sample you get, not its properties. Assumes `keyCol`
+    * values are DISTINCT (a merged target's key): duplicate keys would
+    * occupy multiple sample slots here, while [[graft.functions
+    * .Exemplar.exemplarAgg]] dedups per hash — profile a keyed table,
+    * not a raw multiset. */
   def exemplarSample(
       df: DataFrame,
       keyCol: String,

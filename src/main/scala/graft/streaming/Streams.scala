@@ -783,6 +783,49 @@ object Streams {
     }
   }
 
+  /** [[streamingMergeWithProfile]]/[[streamingMergeWithKllProfile]]'s
+    * exemplar sibling — continuous ingest whose per-version DRILL-DOWN
+    * sample ([[graft.ops.Profiling.syncExemplarProfile]]: k bottom-k-
+    * by-md5(keyCol) example rows + exact n) tracks the bucketed target
+    * per micro-batch, completing the family symmetry (every persisted
+    * profile family has a streaming-merge twin). Same catch-up-BEFORE-
+    * merge ordering as the indexed-ingest variants: a crash between a
+    * previous batch's merge and its profile sync heals at the next
+    * trigger, and at-least-once micro-batch replay is absorbed by the
+    * sync's idempotent version markers. */
+  def streamingMergeWithExemplarProfile(
+      stream: DataFrame,
+      path: String,
+      profilePath: String,
+      key: Seq[String],
+      exemplarKey: String,
+      k: Int = 20,
+      loadType: String = "upsert",
+      excluded: Seq[String] = Nil,
+      numBuckets: Int = 64,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(Set("upsert", "update", "delete")(loadType),
+      s"unknown load type: $loadType (expected upsert/update/delete; " +
+        "exemplar rows sample CURRENT versions — scd2 history would " +
+        "sample closed rows)")
+    require(numBuckets > 0,
+      "a profiled merge stream needs a bucketed target (the sample " +
+        "snapshots manifest versions) — pass numBuckets > 0")
+    require(k >= 1 && k <= 100000,
+      s"exemplar k must be in [1, 100000], got $k")
+    val sync = (spark: SparkSession) =>
+      graft.ops.Profiling.syncExemplarProfile(
+        spark, path, profilePath, exemplarKey, k): Unit
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      if (graft.sink.BucketedMergeSink.isBucketed(spark, path)) sync(spark)
+      graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
+        identifier = key.head, excluded = excluded, numBuckets = numBuckets,
+        retainVersions = retainVersions)
+      sync(spark)
+    }
+  }
+
   /** The shared merge-plus-index trigger loop behind the three indexed
     * ingest variants — validation and the catch-up-BEFORE-merge
     * ordering live here once; `sync` is the family's idempotent

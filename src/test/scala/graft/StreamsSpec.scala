@@ -785,6 +785,75 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
       s"crashed version's profile healed: $healed vs retained $retained")
   }
 
+  test("streamingMergeWithExemplarProfile: per-version drill-down " +
+    "samples track the target across micro-batches; a crashed " +
+    "trigger's version heals") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-sme-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-sme-tgt").toString + "/t"
+    val prof = java.nio.file.Files.createTempDirectory("graft-sme-pr").toString + "/p"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sme-ck").toString
+    val batches = Seq(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      Seq((1L, "a2"), (4L, "d"))) // b1 updates doc 1 and grows the set
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeSourceBatch(dir, rows.toDF("id", "text"), i)
+    }
+    val stream = spark.readStream
+      .schema("id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = Streams.streamingMergeWithExemplarProfile(
+      stream, target, prof, Seq("id"), "id", k = 2, numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // every retained version sampled; each version's stored rows equal
+    // the deterministic sample of its snapshot (pure function of the
+    // key set — doc 1's UPDATED payload must appear in v2's sample if
+    // its hash makes the cut)
+    val versions = graft.sink.BucketedMergeSink
+      .manifestVersions(spark, target).sorted
+    versions.foreach { v =>
+      val stored = spark.read.parquet(s"$prof/version=$v")
+        .select("h", "payload", "n").orderBy("h")
+        .as[(String, String, Long)].collect().toSeq
+      val snap = graft.sink.BucketedMergeSink.readVersion(spark, target, v)
+      val direct = graft.ops.Profiling.exemplarSample(snap, "id", 2)
+        .as[(String, String)].collect().toSeq
+      assert(stored.map(r => (r._1, r._2)) == direct,
+        s"v$v stored sample != direct sample: $stored vs $direct")
+      assert(stored.forall(_._3 == snap.count()),
+        s"v$v: n must be the snapshot's exact count")
+    }
+    // construction-time refusals
+    intercept[IllegalArgumentException](
+      Streams.streamingMergeWithExemplarProfile(
+        stream, target, prof, Seq("id"), "id", numBuckets = 0))
+    intercept[IllegalArgumentException](
+      Streams.streamingMergeWithExemplarProfile(
+        stream, target, prof, Seq("id"), "id", k = 0))
+    intercept[IllegalArgumentException](
+      Streams.streamingMergeWithExemplarProfile(
+        stream, target, prof, Seq("id"), "id", loadType = "scd2"))
+    // crash between a trigger's merge and its sample sync: the next
+    // trigger heals BEFORE its own merge slides retention past it
+    graft.sink.BucketedMergeSink.merge(spark,
+      Seq((5L, "e")).toDF("id", "text"), target, "upsert", Seq("id"))
+    writeSourceBatch(dir, Seq((6L, "f")).toDF("id", "text"), 2)
+    val q2 = Streams.streamingMergeWithExemplarProfile(
+      stream, target, prof, Seq("id"), "id", k = 2, numBuckets = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val healed = spark.read.parquet(prof)
+      .select(col("version").cast("long")).as[Long].collect().toSet
+    val retained = graft.sink.BucketedMergeSink
+      .manifestVersions(spark, target).toSet
+    assert(retained.subsetOf(healed),
+      s"crashed version's sample healed: $healed vs retained $retained")
+  }
+
   test("subscribeFeedStream: an AvailableNow trigger catches the replica " +
     "up to the outbox; the next one converges after more publishes") {
     import org.apache.spark.sql.streaming.Trigger
