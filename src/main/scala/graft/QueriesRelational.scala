@@ -1377,6 +1377,10 @@ object QueriesRelational {
       """SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
         |  CAST(doc_id AS VARCHAR) AS doc_key
         |FROM documents ORDER BY h, doc_key LIMIT 20""".stripMargin,
+    // n counts ALL rows per window (null keys included — the operator's
+    // exact-count contract); ranks cover only non-null keys (nulls sort
+    // last under ASC, the h IS NOT NULL guard drops any that sneak into
+    // the top-5 of a nearly-empty window)
     "q152_exemplar_windows" ->
       """SELECT window_start, h, n FROM (
         |  SELECT date_trunc('hour', ts) AS window_start,
@@ -1384,8 +1388,8 @@ object QueriesRelational {
         |    count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n,
         |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
         |      ORDER BY md5(CAST(event_id AS VARCHAR))) AS rk
-        |  FROM events WHERE event_id IS NOT NULL)
-        |WHERE rk <= 5
+        |  FROM events)
+        |WHERE rk <= 5 AND h IS NOT NULL
         |ORDER BY window_start, h""".stripMargin,
     "q137_recursive_cte" ->
       """WITH RECURSIVE tree AS (

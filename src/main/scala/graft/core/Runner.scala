@@ -492,6 +492,20 @@ final class Runner(
         graft.ops.Profiling
           .latestKllProfile(spark, targetPath(stage.kllProfileTable))
           .foreach { case (refV, ref) =>
+            // an EMPTY stored reference (the profiled column was all
+            // null/NaN when that version was built) can never judge
+            // drift — every future KS reads null and the breaker would
+            // stay disarmed FOREVER, the mirror image of the batch-side
+            // hole below; refuse loudly so the operator re-baselines
+            if (graft.functions.KllKernel.n(ref) == 0L)
+              throw new IllegalStateException(
+                s"stage ${stage.name}: kll_profile_max_ks is armed but " +
+                  s"the newest stored profile (version $refV of " +
+                  s"${stage.kllProfileTable}) is an EMPTY sketch — the " +
+                  s"profiled column ${stage.kllProfileColumn} was all " +
+                  "null/NaN when it was built, so no future batch can " +
+                  "be judged; re-baseline the profile table or remove " +
+                  "kll_profile_max_ks")
             val (batchN, ksOpt) = graft.ops.Profiling.batchKsDrift(
               df, stage.kllProfileColumn, stage.kllProfileK, ref)
             // null KS must not read as "nothing to judge" when the batch
@@ -499,9 +513,9 @@ final class Runner(
             // to n=0 (every value null/NaN/cast-to-null) is the same
             // corrupted-extract class the column-presence check above
             // refuses loudly — the breaker disarming silently here would
-            // wave it through (r16 advice)
-            if (batchN == 0L && graft.functions.KllKernel.n(ref) > 0L &&
-                !df.isEmpty)
+            // wave it through (r16 advice; the reference side is
+            // non-empty past the guard above)
+            if (batchN == 0L && !df.isEmpty)
               throw new IllegalStateException(
                 s"stage ${stage.name}: kll_profile_max_ks guards column " +
                   s"${stage.kllProfileColumn} but the incoming batch has " +

@@ -18,11 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * none can answer the question a fired drift breaker raises next:
   * "show me what the rows LOOK like". An exemplar sample stores k
   * whole example rows per group/version, chosen by BOTTOM-K-BY-HASH:
-  * keep the k rows whose hash string (any uniform hash of the row's
-  * key — `md5(cast(key as string))` is the battery's choice because
-  * DuckDB computes the identical hex, making the sample hash-matchable
-  * cross-engine; `xxhash64` works equally for production) sorts
-  * smallest.
+  * keep the k rows whose hash string sorts smallest.
+  * `md5(cast(key as string))` is the supported hash: it is uniform,
+  * every engine renders the identical lowercase hex, and — critically —
+  * hex is FIXED-WIDTH, so lexicographic string order equals numeric
+  * hash order (the uniformity argument) and [[Exemplar.kmvEstimate]]
+  * can read the leading nibbles as a fraction. A different hash must
+  * preserve both properties: render it as fixed-width unsigned hex
+  * (e.g. `format_string("%016x", ...)` over an unsigned reading), NOT
+  * as a decimal string — variable-length signed decimals sort "10…"
+  * before "9" and cluster negatives, destroying uniformity, and their
+  * digits misread as hex in the KMV estimator.
   *
   * Why hash-ordered rather than random: the sample is a PURE FUNCTION
   * of the key set — deterministic across retries and engines (no RNG,

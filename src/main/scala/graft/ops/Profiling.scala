@@ -389,10 +389,11 @@ object Profiling {
     * `payloadCols`). Pure composition — `ORDER BY h LIMIT k` is
     * Spark's TakeOrderedAndProject: per-partition bounded heaps, NO
     * shuffle, the driver merges k-sized lists — so the global sample
-    * costs one narrow pass at any corpus size. md5 (not xxhash64)
-    * because every SQL engine renders the identical hex, making the
-    * sample replayable cross-engine; the hash choice changes WHICH
-    * uniform sample you get, not its properties. Assumes `keyCol`
+    * costs one narrow pass at any corpus size. md5 because every SQL
+    * engine renders the identical FIXED-WIDTH hex (string order =
+    * hash order, and the sample replays cross-engine); see
+    * [[graft.functions.Exemplar]] for what an alternative hash must
+    * preserve. Assumes `keyCol`
     * values are DISTINCT (a merged target's key): duplicate keys would
     * occupy multiple sample slots here, while [[graft.functions
     * .Exemplar.exemplarAgg]] dedups per hash — profile a keyed table,
@@ -458,7 +459,15 @@ object Profiling {
     * identity, zero target reads. For versions that SUPERSEDE each
     * other (upsert history) this is the sample of all rows ever
     * resident; pass specific versions via the caller filtering the
-    * parquet paths if a narrower union is wanted. */
+    * parquet paths if a narrower union is wanted.
+    *
+    * The merge identity needs each stored version to contribute its
+    * bottom-min(k, |version|): a version synced with a SMALLER build k
+    * than the k requested here may have truncated rows the corpus
+    * bottom-k needs, silently biasing the result — so this REFUSES
+    * when any version's stored rows are both fewer than the requested
+    * k and fewer than that version's exact key count (stored rows ==
+    * n means the sample covers every key and any k is fine). */
   def mergedExemplars(
       spark: org.apache.spark.sql.SparkSession,
       profilePath: String,
@@ -468,6 +477,19 @@ object Profiling {
     require(versions.nonEmpty,
       s"mergedExemplars: no profiled versions under $profilePath — " +
         "run the exemplar_profile: stage (or syncExemplarProfile) first")
+    versions.foreach { v =>
+      // tiny read: ≤ buildK rows per version
+      val rows = spark.read.parquet(s"$profilePath/version=$v")
+        .select("n").collect()
+      val stored = rows.length.toLong
+      val n = if (rows.isEmpty) 0L else rows.head.getLong(0)
+      require(stored >= k || stored == n,
+        s"mergedExemplars: version $v stores only $stored exemplars for " +
+          s"$n keys — built with a smaller k than the requested $k, so " +
+          "the corpus bottom-" + k + " may be missing truncated rows; " +
+          "request k <= the build k, or re-sync the profile at the " +
+          "larger k")
+    }
     spark.read.parquet(
         versions.map(v => s"$profilePath/version=$v"): _*)
       .select("h", "payload")

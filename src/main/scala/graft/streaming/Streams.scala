@@ -221,7 +221,10 @@ object Streams {
     * whose `md5(cast(keyCol as string))` sorts smallest, as
     * `(window_start, n, exemplars)` with `exemplars` an ascending
     * `array<struct<h, payload>>` (payload = the row as JSON over
-    * `payloadCols`, or all columns) and `n` the window's exact count.
+    * `payloadCols`, or all columns) and `n` the window's exact row
+    * count — ALL rows, including null-key ones (which the sample
+    * itself skips), so an all-null-key window emits (n, empty sample)
+    * rather than disappearing from monitoring.
     * State is BOUNDED at ≤ k (hash, payload) pairs per open window
     * regardless of stream rate, and the sample is a pure function of
     * each window's key set — deterministic across retries, replays,
@@ -243,8 +246,12 @@ object Streams {
     import graft.functions.Exemplar
     val cols =
       if (payloadCols.nonEmpty) payloadCols else events.columns.toSeq
+    // no null-key pre-filter: the aggregate skips null hashes itself,
+    // and `n` must count EVERY row in the window (a null-key pre-filter
+    // would undercount, and a window whose keys are ALL null would
+    // vanish from monitoring instead of emitting (n, empty sample) —
+    // the corrupted-key signature worth seeing)
     events
-      .filter(col(keyCol).isNotNull)
       .withWatermark(timeCol, watermarkDelay)
       .groupBy(window(col(timeCol), windowLen))
       .agg(
@@ -721,6 +728,30 @@ object Streams {
       excluded: Seq[String] = Nil,
       numBuckets: Int = 64,
       retainVersions: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(hi > lo, s"profile needs hi > lo, got [$lo, $hi)")
+    require(nbins >= 1, s"nbins must be >= 1, got $nbins")
+    profileMergeStream(stream, path, key, loadType, excluded, numBuckets,
+      retainVersions, spark => graft.ops.Profiling.syncProfile(
+        spark, path, profilePath, column, lo, hi, nbins): Unit)
+  }
+
+  /** The shared trigger core of the three profile-tracking ingest twins
+    * ([[streamingMergeWithProfile]] / [[streamingMergeWithKllProfile]] /
+    * [[streamingMergeWithExemplarProfile]]) — the profile analogue of
+    * [[indexedMergeStream]]: per micro-batch, catch the profile up
+    * BEFORE the merge (healing a previous trigger's crash between merge
+    * and sync while the orphaned version is still retained), merge,
+    * then sync this batch's version. At-least-once micro-batch replay
+    * is absorbed by the sync's idempotent version markers. */
+  private def profileMergeStream(
+      stream: DataFrame,
+      path: String,
+      key: Seq[String],
+      loadType: String,
+      excluded: Seq[String],
+      numBuckets: Int,
+      retainVersions: Int,
+      sync: SparkSession => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(Set("upsert", "update", "delete")(loadType),
       s"unknown load type: $loadType (expected upsert/update/delete; " +
         "profile rows snapshot CURRENT versions — scd2 history would " +
@@ -728,11 +759,6 @@ object Streams {
     require(numBuckets > 0,
       "a profiled merge stream needs a bucketed target (the profile " +
         "snapshots manifest versions) — pass numBuckets > 0")
-    require(hi > lo, s"profile needs hi > lo, got [$lo, $hi)")
-    require(nbins >= 1, s"nbins must be >= 1, got $nbins")
-    val sync = (spark: SparkSession) =>
-      graft.ops.Profiling.syncProfile(
-        spark, path, profilePath, column, lo, hi, nbins): Unit
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       if (graft.sink.BucketedMergeSink.isBucketed(spark, path)) sync(spark)
@@ -762,25 +788,10 @@ object Streams {
       excluded: Seq[String] = Nil,
       numBuckets: Int = 64,
       retainVersions: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(Set("upsert", "update", "delete")(loadType),
-      s"unknown load type: $loadType (expected upsert/update/delete; " +
-        "profile rows snapshot CURRENT versions — scd2 history would " +
-        "double-count closed rows)")
-    require(numBuckets > 0,
-      "a profiled merge stream needs a bucketed target (the profile " +
-        "snapshots manifest versions) — pass numBuckets > 0")
     require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
-    val sync = (spark: SparkSession) =>
-      graft.ops.Profiling.syncKllProfile(
-        spark, path, profilePath, column, k): Unit
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
-      if (graft.sink.BucketedMergeSink.isBucketed(spark, path)) sync(spark)
-      graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
-        identifier = key.head, excluded = excluded, numBuckets = numBuckets,
-        retainVersions = retainVersions)
-      sync(spark)
-    }
+    profileMergeStream(stream, path, key, loadType, excluded, numBuckets,
+      retainVersions, spark => graft.ops.Profiling.syncKllProfile(
+        spark, path, profilePath, column, k): Unit)
   }
 
   /** [[streamingMergeWithProfile]]/[[streamingMergeWithKllProfile]]'s
@@ -804,26 +815,11 @@ object Streams {
       excluded: Seq[String] = Nil,
       numBuckets: Int = 64,
       retainVersions: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(Set("upsert", "update", "delete")(loadType),
-      s"unknown load type: $loadType (expected upsert/update/delete; " +
-        "exemplar rows sample CURRENT versions — scd2 history would " +
-        "sample closed rows)")
-    require(numBuckets > 0,
-      "a profiled merge stream needs a bucketed target (the sample " +
-        "snapshots manifest versions) — pass numBuckets > 0")
     require(k >= 1 && k <= 100000,
       s"exemplar k must be in [1, 100000], got $k")
-    val sync = (spark: SparkSession) =>
-      graft.ops.Profiling.syncExemplarProfile(
-        spark, path, profilePath, exemplarKey, k): Unit
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
-      if (graft.sink.BucketedMergeSink.isBucketed(spark, path)) sync(spark)
-      graft.sink.BucketedMergeSink.merge(spark, batch, path, loadType, key,
-        identifier = key.head, excluded = excluded, numBuckets = numBuckets,
-        retainVersions = retainVersions)
-      sync(spark)
-    }
+    profileMergeStream(stream, path, key, loadType, excluded, numBuckets,
+      retainVersions, spark => graft.ops.Profiling.syncExemplarProfile(
+        spark, path, profilePath, exemplarKey, k): Unit)
   }
 
   /** The shared merge-plus-index trigger loop behind the three indexed

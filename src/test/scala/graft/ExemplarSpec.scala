@@ -170,5 +170,12 @@ class ExemplarSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == direct,
       s"stored-rollup exemplars must equal the direct sample:\n" +
         s"$merged\n$direct")
+    // requesting a larger k than the samples were built with REFUSES:
+    // truncated versions (stored < k AND stored < that version's n)
+    // cannot reconstruct the corpus bottom-k — a silent biased result
+    // would masquerade as the exact sample
+    val bigK = intercept[IllegalArgumentException](
+      Profiling.mergedExemplars(spark, profile, 20))
+    assert(bigK.getMessage.contains("smaller k"), bigK.getMessage)
   }
 }

@@ -516,6 +516,23 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.sink.BucketedMergeSink
       .manifestVersions(spark, s"$root/tgt_kll").max == 2,
       "the all-null refusal must land before any write")
+    // the mirror-image hole: a FIRST load whose profiled column is all
+    // null has no baseline to trip on, so it lands and stores an EMPTY
+    // sketch — every later KS would read null and the breaker would
+    // stay disarmed forever; load 2 must refuse loudly instead
+    def yaml2(select: String) = yaml("id <= 50")
+      .replace("tgt_kll", "tgt_kll2")
+      .replace("SELECT id, v FROM", s"SELECT $select FROM")
+    new Runner(spark, PipelineSpec.fromYaml(
+      yaml2("id, CAST(NULL AS DOUBLE) AS v")), Map.empty, root).run("p")
+    val emptyRef = intercept[IllegalStateException](
+      new Runner(spark, PipelineSpec.fromYaml(yaml2("id, v")),
+        Map.empty, root).run("p"))
+    assert(emptyRef.getMessage.contains("EMPTY sketch") &&
+      emptyRef.getMessage.contains("re-baseline"), emptyRef.getMessage)
+    assert(graft.sink.BucketedMergeSink
+      .manifestVersions(spark, s"$root/tgt_kll2").max == 1,
+      "the empty-reference refusal must land before any write")
     // misconfigurations refuse before any write
     def failing(stanza: String, msg: String): Unit = {
       val y =

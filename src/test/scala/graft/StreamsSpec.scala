@@ -248,7 +248,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
   test("windowedExemplars: per-window samples equal the deterministic " +
     "bottom-k, state survives the store, and only closed windows emit " +
     "on the stream") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, size}
     // window 10:00 holds keys 1..5, window 11:00 keys 10..11; k=3 —
     // each window's sample is the 3 smallest md5 hexes of its key set,
     // a pure function we can recompute with plain columns
@@ -299,6 +299,16 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
     intercept[IllegalArgumentException](Streams.windowedExemplars(
       rows.toDF("ts", "id"), "id", k = 0))
+    // null keys count toward the window's exact n but never enter the
+    // sample (a null-key pre-filter would undercount n and hide an
+    // all-null-key window from monitoring entirely)
+    val withNull = Seq((tsAt(10, 1), Some(1L)), (tsAt(10, 2), None))
+      .toDF("ts", "id")
+    val nn = Streams.windowedExemplars(withNull, "id", k = 3,
+        payloadCols = Seq("id"))
+      .select(col("n"), size(col("exemplars"))).head()
+    assert(nn.getLong(0) == 2L && nn.getInt(1) == 1,
+      s"null-key rows: n counts them, the sample skips them: $nn")
   }
 
   test("windowedKsAlert: only windows drifted past the gate emit; the " +

@@ -181,16 +181,31 @@ def probe_summary(docs):
 def main():
     # `--` splits old captures from new ones; handle it before argparse
     # (argparse swallows a literal `--`). Two bare positionals = the
-    # classic single-capture-per-side form.
+    # classic single-capture-per-side form. Options may appear anywhere;
+    # value-taking options keep their following token with them (a bare
+    # `--threshold 1.5` must not turn "1.5" into a capture path).
+    VALUE_OPTS = {"--threshold"}
     argv = sys.argv[1:]
     olds_paths, news_paths = None, None
     if "--" in argv:
         i = argv.index("--")
-        pre, post = argv[:i], argv[i + 1:]
-        olds_paths = [a for a in pre if not a.startswith("-")]
-        news_paths = [a for a in post if not a.startswith("-")]
-        argv = ([a for a in pre if a.startswith("-")] +
-                [a for a in post if a.startswith("-")])
+
+        def split(tokens):
+            paths, opts, skip = [], [], False
+            for t in tokens:
+                if skip:
+                    opts.append(t)
+                    skip = False
+                elif t.startswith("-"):
+                    opts.append(t)
+                    skip = t in VALUE_OPTS
+                else:
+                    paths.append(t)
+            return paths, opts
+
+        olds_paths, pre_opts = split(argv[:i])
+        news_paths, post_opts = split(argv[i + 1:])
+        argv = pre_opts + post_opts
     ap = argparse.ArgumentParser(
         description=__doc__.splitlines()[0],
         usage="bench_compare.py OLD [OLD2 ...] -- NEW [NEW2 ...]  |  "
