@@ -304,16 +304,24 @@ object Bench {
     // (label, host-delta json) pairs; strings are rendered at emit time so
     // labels can still be rewritten if a family is abandoned mid-sequence
     val famHost = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // the previous window's CLOSE reading doubles as the next window's
+    // OPEN: consecutive windows are back-to-back (only result
+    // aggregation between them, milliseconds), so the two probes would
+    // measure the same instant twice — reusing halves the fixed-work
+    // overhead (~10 windows × ~0.5 s per full run) with no information
+    // loss; the very first window still probes fresh
+    var carryProbe: Double = -1.0
     def withHost(run: => FamilyRun, head: String): FamilyRun = {
       // probe BEFORE the window opens and AFTER it closes (r16 verdict
       // #1), so both probes bracket the window without riding inside its
       // steal/PSI/wall accounting; a mid-window era shift shows up as
       // open/close disagreement right in the artifact
-      val calib = calibProbe()._1
+      val calib = if (carryProbe >= 0) carryProbe else calibProbe()._1
       val a = hostSnap()
       try run finally {
         val b = hostSnap()
         val close = calibProbe()._1
+        carryProbe = close
         famHost += (head -> hostDeltaJson(a, b, calib, close))
       }
     }

@@ -868,8 +868,12 @@ object QueriesRelational {
           max(when(col("flag") === "A", 1).otherwise(0)).as("in_a"),
           max(when(col("flag") === "R", 1).otherwise(0)).as("in_r"))
         .agg(count(lit(1)).as("u"),
-          sum(col("in_a") * col("in_r")).as("i"),
-          sum(col("in_a") * (lit(1) - col("in_r"))).as("d"))
+          // coalesce: sum over ZERO groups is null, and the replaced
+          // distinct/intersect/except code returned 0 on an empty
+          // corpus — keep that domain
+          coalesce(sum(col("in_a") * col("in_r")), lit(0L)).as("i"),
+          coalesce(sum(col("in_a") * (lit(1) - col("in_r"))), lit(0L))
+            .as("d"))
         .head()
       val exactUnion = ex.getLong(0).toDouble
       val exactInt = ex.getLong(1).toDouble
@@ -1294,8 +1298,8 @@ object QueriesRelational {
          |    'diff', d, 0.10d) AS (op, exact, bound)
          |  FROM (
          |    SELECT CAST(count(*) AS DOUBLE) AS u,
-         |      CAST(sum(in_a * in_r) AS DOUBLE) AS i,
-         |      CAST(sum(in_a * (1 - in_r)) AS DOUBLE) AS d
+         |      CAST(coalesce(sum(in_a * in_r), 0) AS DOUBLE) AS i,
+         |      CAST(coalesce(sum(in_a * (1 - in_r)), 0) AS DOUBLE) AS d
          |    FROM (
          |      SELECT l_orderkey,
          |        max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS in_a,

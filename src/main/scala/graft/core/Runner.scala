@@ -490,22 +490,15 @@ final class Runner(
     try {
       if (ksGuard) {
         graft.ops.Profiling
-          .latestKllProfile(spark, targetPath(stage.kllProfileTable))
+          // the reference is the newest NON-EMPTY stored sketch: an
+          // empty profile version (purged snapshot, all-null first
+          // batch) must neither disarm the gate forever (null KS vs an
+          // empty CDF) nor brick the pipeline by refusing every load —
+          // drift is judged against the last distribution actually
+          // seen, and with no non-empty baseline ever the gate waits
+          // exactly like the first load
+          .latestNonEmptyKllProfile(spark, targetPath(stage.kllProfileTable))
           .foreach { case (refV, ref) =>
-            // an EMPTY stored reference (the profiled column was all
-            // null/NaN when that version was built) can never judge
-            // drift — every future KS reads null and the breaker would
-            // stay disarmed FOREVER, the mirror image of the batch-side
-            // hole below; refuse loudly so the operator re-baselines
-            if (graft.functions.KllKernel.n(ref) == 0L)
-              throw new IllegalStateException(
-                s"stage ${stage.name}: kll_profile_max_ks is armed but " +
-                  s"the newest stored profile (version $refV of " +
-                  s"${stage.kllProfileTable}) is an EMPTY sketch — the " +
-                  s"profiled column ${stage.kllProfileColumn} was all " +
-                  "null/NaN when it was built, so no future batch can " +
-                  "be judged; re-baseline the profile table or remove " +
-                  "kll_profile_max_ks")
             val (batchN, ksOpt) = graft.ops.Profiling.batchKsDrift(
               df, stage.kllProfileColumn, stage.kllProfileK, ref)
             // null KS must not read as "nothing to judge" when the batch
@@ -514,7 +507,7 @@ final class Runner(
             // corrupted-extract class the column-presence check above
             // refuses loudly — the breaker disarming silently here would
             // wave it through (r16 advice; the reference side is
-            // non-empty past the guard above)
+            // non-empty by construction)
             if (batchN == 0L && !df.isEmpty)
               throw new IllegalStateException(
                 s"stage ${stage.name}: kll_profile_max_ks guards column " +

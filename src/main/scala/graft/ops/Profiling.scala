@@ -290,6 +290,24 @@ object Profiling {
     profiledVersions(spark, profilePath).lastOption
       .map(v => v -> readStoredKll(spark, profilePath, v))
 
+  /** The newest stored KLL profile row whose sketch is NON-EMPTY — the
+    * drift-gate reference. An empty stored sketch (a legitimately
+    * purged snapshot, an all-null first batch that had no baseline to
+    * trip on) has no CDF: comparing against it reads null forever, and
+    * refusing on it would BRICK the pipeline with no in-band recovery
+    * (re-baselining requires a load, which would refuse). Judging
+    * drift against the last NON-EMPTY distribution self-heals both
+    * ways: the gate stays armed across empty interludes, and when no
+    * non-empty baseline has ever existed the gate waits exactly like
+    * the first load. Bounded: one ≤1-row read per stored version,
+    * newest-first, stopping at the first non-empty. */
+  def latestNonEmptyKllProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      profilePath: String): Option[(Long, Array[Byte])] =
+    profiledVersions(spark, profilePath).reverseIterator
+      .map(v => v -> readStoredKll(spark, profilePath, v))
+      .find { case (_, sk) => graft.functions.KllKernel.n(sk) > 0L }
+
   /** KS distance of a batch's `column` distribution vs a stored
     * reference sketch — one aggregation over the batch plus the
     * [[graft.functions.KllSketch.kllKs]] kernel, so batch and

@@ -518,21 +518,26 @@ class RunnerSpec extends AnyFunSuite with SparkTestBase {
       "the all-null refusal must land before any write")
     // the mirror-image hole: a FIRST load whose profiled column is all
     // null has no baseline to trip on, so it lands and stores an EMPTY
-    // sketch — every later KS would read null and the breaker would
-    // stay disarmed forever; load 2 must refuse loudly instead
-    def yaml2(select: String) = yaml("id <= 50")
-      .replace("tgt_kll", "tgt_kll2")
-      .replace("SELECT id, v FROM", s"SELECT $select FROM")
+    // sketch. The gate must neither stay disarmed forever (null KS vs
+    // an empty CDF) nor brick the pipeline by refusing every load — it
+    // judges against the newest NON-EMPTY stored sketch, so load 2
+    // (real values, still no non-empty baseline) lands and BECOMES the
+    // baseline, and a shifted load 3 refuses against it
+    def yaml2(select: String, pred: String = "id <= 50") =
+      yaml(pred).replace("tgt_kll", "tgt_kll2")
+        .replace("SELECT id, v FROM", s"SELECT $select FROM")
     new Runner(spark, PipelineSpec.fromYaml(
       yaml2("id, CAST(NULL AS DOUBLE) AS v")), Map.empty, root).run("p")
-    val emptyRef = intercept[IllegalStateException](
-      new Runner(spark, PipelineSpec.fromYaml(yaml2("id, v")),
-        Map.empty, root).run("p"))
-    assert(emptyRef.getMessage.contains("EMPTY sketch") &&
-      emptyRef.getMessage.contains("re-baseline"), emptyRef.getMessage)
+    new Runner(spark, PipelineSpec.fromYaml(yaml2("id, v")),
+      Map.empty, root).run("p") // self-heals: lands, baselines
+    val shifted = intercept[IllegalStateException](
+      new Runner(spark, PipelineSpec.fromYaml(
+        yaml2("id, v", "id > 100")), Map.empty, root).run("p"))
+    assert(shifted.getMessage.contains("kll_profile_max_ks") &&
+      shifted.getMessage.contains("refusing to load"), shifted.getMessage)
     assert(graft.sink.BucketedMergeSink
-      .manifestVersions(spark, s"$root/tgt_kll2").max == 1,
-      "the empty-reference refusal must land before any write")
+      .manifestVersions(spark, s"$root/tgt_kll2").max == 2,
+      "the gate re-armed from the non-empty baseline before any write")
     // misconfigurations refuse before any write
     def failing(stanza: String, msg: String): Unit = {
       val y =

@@ -198,7 +198,12 @@ def main():
                     skip = False
                 elif t.startswith("-"):
                     opts.append(t)
-                    skip = t in VALUE_OPTS
+                    # argparse accepts unambiguous abbreviations
+                    # (--thresh), so match by prefix; =-joined forms
+                    # carry their value inline and never skip
+                    bare = t.split("=", 1)[0]
+                    skip = ("=" not in t and len(bare) > 2 and
+                            any(o.startswith(bare) for o in VALUE_OPTS))
                 else:
                     paths.append(t)
             return paths, opts
