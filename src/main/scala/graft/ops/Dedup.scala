@@ -58,23 +58,70 @@ object Dedup {
   }
 
   /** Re-attach a per-id payload column `p` to candidate pairs
-    * `(id_a, id_b)` → `(id_a, id_b, p_a, p_b)`. Each pair explodes into
-    * two (pair, id, side) rows so the payload joins ONCE (a plain
-    * two-sided join would ship the payload table through two joins).
-    * Shared by the MinHash-LSH and embedding-LSH verification stages. */
-  private[ops] def rehydratePairs(cand: DataFrame, perId: DataFrame): DataFrame = {
-    val sides = cand.select(
-      explode(array(
-        struct(col("id_a"), col("id_b"), col("id_a").as("id"), lit("a").as("side")),
-        struct(col("id_a"), col("id_b"), col("id_b").as("id"), lit("b").as("side"))))
-        .as("s"))
-      .select(col("s.id_a"), col("s.id_b"), col("s.id"), col("s.side"))
-    sides.join(perId, "id")
-      .groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("side") === "a", col("p")), ignoreNulls = true).as("p_a"),
-        first(when(col("side") === "b", col("p")), ignoreNulls = true).as("p_b"))
-  }
+    * `(id_a, id_b)` → `(id_a, id_b, p_a, p_b)`: two plain equi-joins,
+    * one per endpoint. Shared by the MinHash-LSH and embedding-LSH
+    * verification stages.
+    *
+    * Why two joins and not the explode-into-sides + groupBy(pair) shape
+    * this replaced (r17 optimization; guide §2.3/§3.1): the grouped
+    * shape ships BOTH endpoints' payloads through a pair-keyed exchange
+    * — the payload-heaviest shuffle of every verification stage (at
+    * sf0.1 it was 300-420 MB of shingle arrays / embedding vectors per
+    * audit query, 60-75% of their total shuffle) — and buffers them in
+    * an aggregation. Plain joins let AQE broadcast `perId` (it is the
+    * candidate-restricted slice, small in the common case), so the pair
+    * list is often never exchanged at all; when `perId` is too big to
+    * broadcast, each payload still crosses the wire exactly once per
+    * endpoint (the same bytes the grouped shape paid), minus the
+    * explode doubling and the aggregation buffer. Equivalence: `cand`
+    * is deduped upstream and `perId` has one row per id, so the join
+    * neither duplicates nor drops pairs; a candidate id absent from
+    * `perId` (impossible via restrictToCandidates, which derives
+    * `perId` from `cand`) would previously yield a null payload that
+    * every downstream score-filter discarded — the inner join drops the
+    * same pair one step earlier. */
+  private[ops] def rehydratePairs(
+      cand: DataFrame, perId: DataFrame, grouped: Boolean = false): DataFrame =
+    if (grouped) {
+      // grouped shape: each pair explodes into two (pair, id, side) rows,
+      // the payload joins ONCE, and a pair-keyed aggregation reassembles
+      // (p_a, p_b). The per-id payload DERIVATION is evaluated exactly
+      // once — the right trade when that derivation dominates (char-gram
+      // shingling of candidate docs) or when the candidate list is
+      // slice-bounded by construction (the incremental ingest paths,
+      // whose pair volume is O(touched buckets), so the payload-bearing
+      // pair exchange this shape pays is small).
+      val sides = cand.select(
+        explode(array(
+          struct(col("id_a"), col("id_b"), col("id_a").as("id"), lit("a").as("side")),
+          struct(col("id_a"), col("id_b"), col("id_b").as("id"), lit("b").as("side"))))
+          .as("s"))
+        .select(col("s.id_a"), col("s.id_b"), col("s.id"), col("s.side"))
+      sides.join(perId, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+          first(when(col("side") === "a", col("p")), ignoreNulls = true).as("p_a"),
+          first(when(col("side") === "b", col("p")), ignoreNulls = true).as("p_b"))
+    } else {
+      // join shape (r17 optimization; guide §2.3/§3.1): two plain
+      // equi-joins, one per endpoint. The grouped shape ships BOTH
+      // payloads through a pair-keyed exchange — measured 300-420 MB of
+      // vectors/shingles per dense audit query at sf0.1, 60-75% of their
+      // shuffle — and buffers them in an aggregation; the joins let AQE
+      // broadcast the candidate-restricted perId slice (the common
+      // case), so the pair list is often never exchanged at all, and a
+      // too-big perId still crosses the wire once per endpoint under
+      // SMJ/SHJ. The cost is that perId appears twice in the plan; for
+      // raw-column payloads (embedding vectors) or pair volumes that
+      // dwarf the per-id table (sign-LSH fat buckets, SemDeDup probe
+      // cells, word-gram banding) the saved exchange wins by 25-40%
+      // measured; the callers where the duplicated derivation would
+      // dominate pass `grouped = true` instead.
+      cand.select(col("id_a"), col("id_b"))
+        .join(perId.select(col("id").as("id_a"), col("p").as("p_a")), "id_a")
+        .join(perId.select(col("id").as("id_b"), col("p").as("p_b")), "id_b")
+        .select("id_a", "id_b", "p_a", "p_b")
+    }
 
   /** Lowercase, trim, collapse whitespace — canonical text form. */
   def normalize(text: Column): Column =
@@ -376,7 +423,7 @@ object Dedup {
       // array, no hashed array per document
       t => graft.functions.SketchExprs.wordGramMinhash(
         normalize(t), k, bands * rowsPerBand),
-      bands, rowsPerBand, idCol, textCol)
+      bands, rowsPerBand, idCol, textCol, groupedRehydrate = false)
 
   /** MinHash-LSH over CHARACTER k-grams — the scale path for char-level
     * near-dup detection: exact char-gram Jaccard ([[jaccardPairsChar]])
@@ -400,7 +447,7 @@ object Dedup {
       // where gram counts are largest.
       t => graft.functions.SketchExprs.charGramMinhash(
         normalize(t), k, bands * rowsPerBand),
-      bands, rowsPerBand, idCol, textCol)
+      bands, rowsPerBand, idCol, textCol, groupedRehydrate = true)
 
   /** @param shingler gram-set builder used by the EXACT verification
     *   stage (restricted to candidates)
@@ -415,13 +462,18 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      // verification rehydration shape (see rehydratePairs): char grams
+      // pass true — their shingler is the dominant per-candidate cost,
+      // so it must evaluate exactly once — word grams false (pair volume
+      // dominates; the join shape's saved payload exchange wins)
+      groupedRehydrate: Boolean): DataFrame = {
     val wide = widen(df)
     val banded = bandedMinhash(wide, signer, bands, rowsPerBand, idCol, textCol)
     val cand = bucketPairs(banded.withColumn("isb", lit(0L)), requireFlagged = false)
     verifyJaccardPairs(
       cand, wide.select(col(idCol).as("id"), col(textCol).as("__txt")),
-      shingler, threshold)
+      shingler, threshold, groupedRehydrate)
   }
 
   /** (id, band, bucket) band postings of a MinHash signature. The
@@ -519,10 +571,11 @@ object Dedup {
       cand: DataFrame,
       texts: DataFrame,
       shingler: Column => Column,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      groupedRehydrate: Boolean): DataFrame = {
     val candDocs = restrictToCandidates(texts, cand)
       .select(col("id"), shingler(col("__txt")).as("p"))
-    rehydratePairs(cand, candDocs)
+    rehydratePairs(cand, candDocs, groupedRehydrate)
       .withColumnRenamed("p_a", "sh_a").withColumnRenamed("p_b", "sh_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -614,7 +667,10 @@ object Dedup {
     val cand = incrementalCandidates(batchBanded, index)
     val texts = corpus.select(col(idCol).as("id"), col(textCol).as("__txt"))
       .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("__txt")))
-    verifyJaccardPairs(cand, texts, shingler, threshold)
+    // grouped rehydration: the incremental candidate list is
+    // slice-bounded (O(touched buckets)), so the payload-bearing pair
+    // exchange is small while the duplicated shingler would not be
+    verifyJaccardPairs(cand, texts, shingler, threshold, groupedRehydrate = true)
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -225,8 +225,10 @@ object Similarity {
     * rehydratePairs): vectors ship only for candidate ids, and each
     * pair's payloads join once. */
   private def verifyCosinePairs(
-      cand: DataFrame, vecs: DataFrame, threshold: Double): DataFrame =
-    Dedup.rehydratePairs(cand, Dedup.restrictToCandidates(vecs, cand))
+      cand: DataFrame, vecs: DataFrame, threshold: Double,
+      groupedRehydrate: Boolean = false): DataFrame =
+    Dedup.rehydratePairs(cand, Dedup.restrictToCandidates(vecs, cand),
+      groupedRehydrate)
       .withColumn("cos", round(cosine(col("p_a"), col("p_b")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
@@ -258,7 +260,9 @@ object Similarity {
     val cand = Dedup.incrementalCandidates(batchBucketed, index, cap = maxBucket)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("p"))
       .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("p")))
-    verifyCosinePairs(cand, vecs, threshold)
+    // grouped rehydration: slice-bounded incremental candidates (see
+    // Dedup.rehydratePairs) — the pair exchange is small by construction
+    verifyCosinePairs(cand, vecs, threshold, groupedRehydrate = true)
   }
 
   /** Approximate top-k via LSH bucketing: join on (table, signature),
@@ -820,11 +824,12 @@ object Similarity {
     * centroid cosine — shared by the full and incremental paths.
     * `assigned` must cover every candidate id. */
   private def verifySemanticPairs(
-      cand: DataFrame, assigned: DataFrame, threshold: Double): DataFrame = {
+      cand: DataFrame, assigned: DataFrame, threshold: Double,
+      groupedRehydrate: Boolean = false): DataFrame = {
     val perId = Dedup.restrictToCandidates(
       assigned.select(col("cand_id").as("id"),
         struct(col("cv").as("v"), col("centroid_cos").as("cc")).as("p")), cand)
-    Dedup.rehydratePairs(cand, perId)
+    Dedup.rehydratePairs(cand, perId, groupedRehydrate)
       .withColumn("cos", round(cosine(col("p_a.v"), col("p_b.v")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"),
@@ -920,8 +925,12 @@ object Similarity {
     val restricted = Dedup.restrictToCandidates(
       universe.select(col(idCol).as("id"), col(vecCol).as("p")), cand)
       .select(col("id").as(idCol), col("p").as(vecCol))
+    // grouped rehydration: slice-bounded incremental candidates, and the
+    // per-id payload here embeds a cell re-assignment (cellsTop) whose
+    // duplication would dominate (see Dedup.rehydratePairs)
     verifySemanticPairs(
-      cand, assignCells(restricted, cents, probeCells, idCol, vecCol), threshold)
+      cand, assignCells(restricted, cents, probeCells, idCol, vecCol), threshold,
+      groupedRehydrate = true)
   }
 
   /** The SHARED-CELL near-dup candidate pairs SemDeDup considers: every
