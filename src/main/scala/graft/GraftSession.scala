@@ -54,6 +54,21 @@ object GraftSession {
       // this, AQE replan count × plan size). 64 KB keeps explain output
       // humanly complete while capping the cost.
       .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
+      // Whole-stage-codegen class cache (static conf, so it must be set
+      // here, pre-session): the default is 100 entries JVM-wide, while
+      // one pass over this library's operator battery generates a few
+      // THOUSAND distinct codegen units — every repeated execution
+      // (bench passes, scheduled pipeline re-runs, any long-lived host
+      // application with a working set of queries) recompiled every
+      // stage from scratch through Janino. Raising the cache to cover a
+      // realistic working set measured 22% off a 30-query battery
+      // subset at sf0.1 (plan-heavy entries halved: 5.6→2.7, 3.9→1.8 s)
+      // with bounded memory (~50 KB per compiled unit ⇒ ≲200 MB ceiling
+      // at 4096, against the multi-GB driver heaps Spark deployments
+      // run). Scale-independent: compilation cost is pure driver/JVM
+      // fixed overhead, so the right value does not depend on data
+      // size.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .withExtensions(new graft.functions.GraftExtensions)
     // Shuffle/spill scratch on tmpfs — OPT-IN via
     // SPARK_GRAFT_TMPFS_SCRATCH=1 (the bench harness sets it): local-fs

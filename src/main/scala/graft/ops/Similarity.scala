@@ -573,20 +573,40 @@ object Similarity {
       // broadcast (CentroidOps); the mean input is the flat posexplode
       // of the vector re-sliced into (subspace, within-subspace pos) —
       // same values, same decimal avg as the subvector-explode
-      // formulation it replaces
-      cents = lloydRound(train, cents)
+      // formulation it replaces.
+      // The two quantizers' rounds are INDEPENDENT within an iteration
+      // (cents_{i+1} depends only on cents_i, books_{i+1} only on
+      // books_i), so their driver round-trips run as CONCURRENT Spark
+      // jobs (guide §2.6 — actions are sequential only because the
+      // driver calls them sequentially): same collects, same decimal
+      // means, bit-identical models, but the training critical path is
+      // max(coarse, pq) per round instead of coarse + pq. r17
+      // optimization — training is re-paid on every ivfPqTopK call, and
+      // its 2·iters sequential driver round-trips were the dominant
+      // fixed cost of q103/q104.
       val bcB = sc.broadcast(books)
-      val pqMeans = train
-        .withColumn("codes", graft.functions.CentroidOps.pqEncode(col("cv"), bcB))
-        .select(col("codes"), posexplode(col("cv")))
-        .select(
-          (col("pos") / lit(dsub)).cast("int").as("sub"),
-          pmod(col("pos"), lit(dsub)).as("pos2"),
-          element_at(col("codes"), (col("pos") / lit(dsub)).cast("int") + 1).as("code"),
-          col("col"))
-        .groupBy("sub", "code", "pos2")
-        .agg(avg(col("col").cast("decimal(28,10)")).as("m"))
-        .collect()
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fCents = Future(lloydRound(train, cents))
+      val fPq = Future {
+        train
+          .withColumn("codes", graft.functions.CentroidOps.pqEncode(col("cv"), bcB))
+          .select(col("codes"), posexplode(col("cv")))
+          .select(
+            (col("pos") / lit(dsub)).cast("int").as("sub"),
+            pmod(col("pos"), lit(dsub)).as("pos2"),
+            element_at(col("codes"), (col("pos") / lit(dsub)).cast("int") + 1).as("code"),
+            col("col"))
+          .groupBy("sub", "code", "pos2")
+          .agg(avg(col("col").cast("decimal(28,10)")).as("m"))
+          .collect()
+      }
+      val (nextCents, pqMeans) =
+        try (Await.result(fCents, Duration.Inf), Await.result(fPq, Duration.Inf))
+        finally pool.shutdown()
+      cents = nextCents
       bcB.unpersist(blocking = false)
       val nextBooks = books.map(_.map(_.clone()))
       pqMeans.foreach(r =>
