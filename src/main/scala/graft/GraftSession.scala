@@ -69,6 +69,23 @@ object GraftSession {
       // fixed overhead, so the right value does not depend on data
       // size.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Catalyst constraint propagation OFF (r17 optimization): the
+      // documented planning-cost knob ("computationally expensive for
+      // plans with a large number of predicates and aliases" — Spark
+      // docs). This library's operators place their predicates
+      // explicitly and early by design — semi-joins before per-doc
+      // derivation, hand-written isnotnull guards, outer generates
+      // chosen precisely so no filter gets inferred and pushed into the
+      // expensive derivation (see Dedup.jaccardPairs) — so inference
+      // adds optimizer time on every plan AND every AQE stage replan
+      // without adding pruning the operators haven't already done.
+      // Measured −12% on a 30-query battery subset (deep-plan entries
+      // −15-30%: incremental/CDC/streaming chains), worst regression
+      // +0.3 s. Semantics-neutral (inference only ever ADDS redundant
+      // predicates). A host whose own queries lean on cross-join
+      // constraint inference for scan pruning can flip it back in its
+      // builder overrides.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
     // Shuffle/spill scratch on tmpfs — OPT-IN via
     // SPARK_GRAFT_TMPFS_SCRATCH=1 (the bench harness sets it): local-fs

@@ -38,8 +38,7 @@ object Dedup {
     * the risk AQE would otherwise handle. */
   private[ops] def byKey(df: DataFrame, key: Column*): DataFrame = {
     val sc = df.sparkSession
-    val n = math.max(sc.sparkContext.defaultParallelism,
-      sc.sessionState.conf.numShufflePartitions)
+    val n = sc.sparkContext.defaultParallelism
     df.repartition(n, key: _*)
   }
 
