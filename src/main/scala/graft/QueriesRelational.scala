@@ -25,6 +25,22 @@ object QueriesRelational {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** The Dedup.widen idiom for CPU-dense scans (r17 optimization): a
+    * single-row-group parquet file is unsplittable, so an expensive
+    * per-row derivation over it (JSON parse, sketch build) runs on one
+    * core no matter what maxPartitionBytes says. Repartition only when
+    * the scan under-parallelizes — at 100 TB (thousands of splits) this
+    * is a no-op, and when it fires the shuffled payload is by
+    * definition small. Used by the few relational entries whose
+    * per-row work dominates their scan (q130's VARIANT parse — measured
+    * 1.84 → 0.82 s; q129's sketch build measured FLAT under the same
+    * treatment, its wall being the sketch-table write/read round-trip,
+    * so it stays unwidened); cheap scans stay exchange-free. */
+  private def widened(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregation: TPC-H Q1 shape (partial+final hash agg over the scan;
     //    the filter and 6-column projection push to parquet)
@@ -787,7 +803,7 @@ object QueriesRelational {
     //    path, and missing-path null semantics against an oracle that
     //    reads the same values straight from the source columns.
     "q130_variant_events" -> ((s, dir) => {
-      val ev = T(s, dir, "events")
+      val ev = widened(T(s, dir, "events")) // parse_json is per-row CPU
       val doc = to_json(struct(
         struct(col("user_id").as("id"), col("event_type").as("kind"))
           .as("user"),
