@@ -743,9 +743,18 @@ object Dedup {
   def connectedComponents(
       edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val sym = edges
+    // cache sym PRE-PARTITIONED on the join key (r17 optimization): the
+    // per-round join re-reads sym every iteration, and an InMemoryRelation
+    // REMEMBERS its partitioning (Spark leaves cached-plan output
+    // partitioning unchanged by default), so the dst-side exchange is
+    // paid once here instead of once per round. Width = live cluster
+    // parallelism, the byKey rationale: the per-round work is a bounded
+    // label join, and iteration rounds are where task-count overhead
+    // multiplies.
+    val sym = byKey(edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      col("dst"))
       .cache()
     var checkpointed = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
